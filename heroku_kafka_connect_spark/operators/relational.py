@@ -1,0 +1,817 @@
+"""§2.G — relational/analytics surface (SURVEY.md).
+
+The reference has no query engine of its own (it pushes SQL to an
+external JDBC database — reference Dockerfile:36-40, `query=` mode);
+this module owns that surface as idiomatic Spark DataFrame plans so
+Catalyst gets full freedom: predicate pushdown, column pruning, join
+reordering, broadcast selection, AQE skew handling.
+
+Scale notes (100 TB design point) are per-query docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_tables
+from .common import dec, dsum, o_davg, o_dsum
+
+# ---------------------------------------------------------------- G2
+
+
+@register(
+    "rel_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 50000 AND 400000
+      AND o_orderpriority LIKE '1%'
+      AND o_custkey IS NOT NULL
+      AND NOT (o_orderstatus = 'P')
+    """,
+)
+def rel_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL — all pushed into the
+    parquet scan by Catalyst (verify PushedFilters in explain)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(50000, 400000)
+        & F.col("o_orderpriority").like("1%")
+        & F.col("o_custkey").isNotNull()
+        & ~(F.col("o_orderstatus") == "P")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------- G3 (flagship)
+
+
+@register(
+    "rel_agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))', 4)} AS sum_disc_price,
+           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))', 6)} AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 flagship (TPC-H Q1 shape): scan→filter→hash-agg. Partial
+    aggregation happens map-side, so the shuffle moves only
+    3×2 groups × a few aggregate buffers regardless of input size —
+    this is the plan shape that survives 100 TB. Decimal sums keep
+    results bit-identical across engines and summation orders."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- G4
+
+
+@register(
+    "rel_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: exact distinct counts. Spark expands multi-distinct into an
+    Expand + two-phase agg; at 100 TB prefer approx_count_distinct
+    (G5) when tolerance allows."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------- G5 (rows-only)
+
+
+@register("rel_approx_count_distinct", oracle=None)
+def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: HLL++ approximate distinct — sketch constants differ across
+    engines, so rows-only (SURVEY §7.4.7). Single-pass, mergeable
+    sketch: the 100 TB-scale substitute for COUNT(DISTINCT)."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------- G6
+
+
+@register(
+    "rel_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: rollup = Expand operator feeding one hash-agg; grand-total
+    rows have NULL keys in both engines."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "rel_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b: cube over two low-cardinality keys."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------------- G7
+
+
+@register(
+    "rel_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def rel_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: equi-join; Catalyst picks broadcast vs sort-merge by stats.
+    At 100 TB orders⋈customer both sides are large → sort-merge with
+    AQE skew split; co-partitioning (bucketing) on custkey removes the
+    shuffle entirely for repeated joins."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------- G8
+
+
+@register(
+    "rel_join_broadcast_star",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def rel_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: star join — explicit broadcast() on every dim so the fact
+    table streams through three broadcast-hash joins with ZERO
+    shuffles before the final 25-group agg. This is the canonical
+    100 TB star-schema plan."""
+    t = load_tables(spark, sf_dir)
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------- G9 / G10
+
+
+@register(
+    "rel_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def rel_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: left outer join preserving order-less customers (count 0)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "rel_join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def rel_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: full outer join of two aggregates."""
+    t = load_tables(spark, sf_dir)
+    cn = t.customer.groupBy(F.col("c_nationkey").alias("ck")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = t.supplier.groupBy(F.col("s_nationkey").alias("sk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.ck == sn.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------- G11 / G12
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: left-semi — customers with a big order; semi-join keeps the
+    probe side narrow (no join output blowup at scale)."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: left-anti — customers without orders."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------- G13 (range join)
+
+
+@register(
+    "rel_join_range",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 100000.0),
+             ('medium', 100000.0, 250000.0),
+             ('large', 250000.0, 1e12)
+    )
+    SELECT band, COUNT(*) AS n_orders, {o_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def rel_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: theta/range join against a tiny banding relation —
+    broadcast nested-loop, the only sane physical plan for an
+    inequality join with a small side."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        t.orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------- G14 (as-of join)
+
+
+@register(
+    "rel_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS asof_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: as-of join — for each purchase, the most recent click at or
+    before it, per user. Implemented the scalable way: a single
+    union + sort within user partitions + last(ignoreNulls) running
+    window. One shuffle on user_id, no range-join blowup — this is
+    O(n log n) per key vs the O(n·m) naive inequality join, which is
+    the difference between feasible and not at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    is_click = (F.col("event_type") == "click").cast("int")
+    # clicks sort before purchases at identical ts so 'at-or-before' holds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), is_click.desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = e.withColumn("click_ts", F.when(is_click == 1, F.col("ts"))).withColumn(
+        "asof_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("asof_click_ts").alias("asof_click_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------- G15
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment AS mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: cross join of tiny relations (5×5). Guarded use only —
+    never on fact tables."""
+    t = load_tables(spark, sf_dir)
+    segs = t.customer.select("c_mktsegment").distinct()
+    return t.region.crossJoin(segs).select("r_name", F.col("c_mktsegment").alias("mktsegment"))
+
+
+# ---------------------------------------------------------------- G16 / G17
+
+
+@register(
+    "rel_sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def rel_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: multi-key sort + limit → Spark plans TakeOrderedAndProject
+    (per-partition top-k then merge on driver; no full sort)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "rel_topk",
+    oracle=f"""
+    SELECT o_custkey, {o_dsum('o_totalprice')} AS total_spend, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey ASC
+    LIMIT 10
+    """,
+)
+def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17: top-k over an aggregate; agg shrinks to |custkey| rows
+    before the top-k, so the sort never sees the fact table."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- G18–G20 (windows)
+
+
+@register(
+    "rel_window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    QUALIFY rn <= 20
+    """,
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: ranking windows, top-20 per segment. At scale, per-group
+    top-k via window+filter shuffles once on the partition key."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        t.customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "rel_window_laglead",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(value) OVER w AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def rel_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: lag/lead/first within user timelines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+@register(
+    "rel_window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3, 6) AS sliding_avg3
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: frame-spec windows — running total + 3-row sliding average
+    (decimal-exact so the running values hash identically)."""
+    t = load_tables(spark, sf_dir)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w3 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
+        F.round(F.sum(dec("value")).over(w3).cast("double") / F.count(F.lit(1)).over(w3), 6).alias("sliding_avg3"),
+    )
+
+
+# ---------------------------------------------------------------- G21 / G22 (set ops)
+
+
+@register(
+    "rel_union",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: UNION ALL of conforming projections, then count."""
+    t = load_tables(spark, sf_dir)
+    u = t.customer.select(F.col("c_nationkey").alias("nationkey")).unionAll(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "rel_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def rel_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22: INTERSECT / EXCEPT (distinct semantics), tagged and unioned."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.select(F.col("c_nationkey").alias("k"))
+    s = t.supplier.select(F.col("s_nationkey").alias("k"))
+    return (
+        c.intersect(s).select(F.lit("intersect").alias("op"), "k")
+    ).unionAll(c.subtract(s).select(F.lit("except").alias("op"), "k"))
+
+
+# ---------------------------------------------------------------- G23–G25 (scalar funcs)
+
+
+@register(
+    "rel_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           TRIM(REPLACE(p_name, ' ', '_')) AS name_snake
+    FROM part
+    """,
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G23: string function battery — all JVM builtins, codegen'd."""
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.regexp_replace("p_name", " ", "_")).alias("name_snake"),
+    )
+
+
+@register(
+    "rel_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month_start,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter
+    FROM orders
+    """,
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G24: date/time function battery (UTC session, FIXTURES.md)."""
+    t = load_tables(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).cast("string").alias("order_month_start"),
+        d.cast("string").alias("order_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
+
+
+@register(
+    "rel_math_case",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 1) AS price_r1,
+           ABS(o_totalprice - 200000.0) AS dist_200k,
+           CAST(CEIL(o_totalprice / 1000.0) AS BIGINT) AS price_kceil,
+           CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS price_kfloor,
+           ROUND(POW(o_totalprice / 100000.0, 2), 6) AS price_sq,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_norm,
+           GREATEST(o_totalprice, 100000.0) AS price_floor100k
+    FROM orders
+    """,
+)
+def rel_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G25: math + conditional battery."""
+    t = load_tables(spark, sf_dir)
+    p = F.col("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.round(p, 1).alias("price_r1"),
+        F.abs(p - 200000.0).alias("dist_200k"),
+        F.ceil(p / 1000.0).alias("price_kceil"),
+        F.floor(p / 1000.0).alias("price_kfloor"),
+        F.round(F.pow(p / 100000.0, 2), 6).alias("price_sq"),
+        F.when(p > 250000, "high").when(p > 100000, "mid").otherwise("low").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias("status_norm"),
+        F.greatest(p, F.lit(100000.0)).alias("price_floor100k"),
+    )
+
+
+# ---------------------------------------------------------------- G26–G28 (array/map/json)
+
+
+@register(
+    "rel_array_funcs",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LENGTH(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)), 4) AS vec_sum,
+           ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS vec_max
+    FROM embeddings
+    """,
+)
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G26: array functions over the embedding column. vec_sum folds
+    left-to-right in double on both engines."""
+    t = load_tables(spark, sf_dir)
+    return t.embeddings.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+    )
+
+
+@register(
+    "rel_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G27: map functions — props parsed into map<string,long>, then
+    element_at / map_keys (scalar outputs for cross-engine hashing)."""
+    t = load_tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return t.events.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "rel_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    """,
+)
+def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G28: JSON functions on events.props (JSON string column)."""
+    t = load_tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(F.from_json("props", "map<string,string>").isNotNull(), 1).otherwise(0).alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------- G29–G32
+
+
+@register(
+    "rel_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29: distinct = hash-agg on all columns."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register("rel_sample", oracle=None)
+def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G30: Bernoulli sampling (seeded). Cross-engine RNGs differ →
+    rows-only."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "rel_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G31: pivot with explicit value list (never let Spark scan for
+    pivot values at scale — that's an extra job over the fact table)."""
+    t = load_tables(spark, sf_dir)
+    p = t.orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+@register(
+    "rel_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def rel_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G32: correlated EXISTS (decorrelated by Catalyst into a semi
+    join) + uncorrelated scalar subquery."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )

@@ -1,0 +1,107 @@
+"""SparkSession factory and fixture-table registration.
+
+The reference boots a Kafka Connect worker from env config
+(reference: main.sh:38-89); our analog is a SparkSession tuned for
+the analytics surface. At 100 TB the same settings matter on a
+cluster: AQE (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session time, and sane shuffle parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the ten driver fixture tables (TESTDATA.md / FIXTURES.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any scale factor —
+#: at 100 TB the facts grow, the dims stay broadcastable.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "heroku-kafka-connect-spark") -> SparkSession:
+    """Local-mode session for tests/bench. The driver supplies its own
+    session to the ``__spark_entry__`` contract; this factory mirrors
+    the config we would ship as cluster defaults."""
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Runtime-settable invariants applied to ANY session (including the
+    driver's): UTC time semantics (FIXTURES.md pins fixtures to UTC) and
+    AQE. These are safe mutable confs — static confs are left alone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores ns-precision timestamps (FIXTURES.md); Spark
+    # has no ns type, so read as long and convert to µs in Tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+class Tables:
+    """Lazy handle over the fixture tables of one scale-factor directory.
+
+    Reads are plain parquet scans so Catalyst keeps predicate pushdown
+    and column pruning; every table is also registered as a temp view so
+    corpus queries can use ``spark.sql`` where that is clearer.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool = True):
+        self.spark = configure(spark)
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        if register_views:
+            for name in TABLES:
+                self[name].createOrReplaceTempView(name)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLES:
+                raise KeyError(f"unknown fixture table: {name}")
+            df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+            if name == "events":
+                # ns→µs truncation (matches DuckDB's epoch_us semantics)
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLES:
+            raise AttributeError(name)
+        return self[name]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark, sf_dir)
