@@ -41,8 +41,13 @@ def davg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
 
 
 def ts_us(col: Column | str) -> Column:
+    """Epoch microseconds from TIMESTAMP or TIMESTAMP_NTZ columns.
+    Fixture parquet mixes both (orders/lineitem read as NTZ,
+    events as instant after the ns→µs conversion); the session is
+    pinned to UTC, so the NTZ→instant cast is the identity on the
+    wall-clock value and matches DuckDB's epoch_us."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 # DuckDB oracle-side fragments mirroring the helpers above.

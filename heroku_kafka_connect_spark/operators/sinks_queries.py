@@ -1,1 +1,207 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""§2.B + §2.C — sink-semantics and serde corpus queries.
+
+Tombstone convention for the fixtures: `event_type='error'` records
+act as deletes for their user_id (Connect's tombstone is a null value
+payload; the fixture has no nulls, so the error type stands in)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import alias, register
+from ..serde import avro_wire
+from ..serde.jsonserde import dlq_split
+from ..session import load_tables
+from ..sinks import writers
+
+_ORDER = lambda: [F.col("ts").desc(), F.col("event_id").desc()]  # noqa: E731
+
+
+@register(
+    "sink_insert_projection",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id,
+           o_totalprice AS amount, o_orderstatus AS status
+    FROM orders
+    """,
+)
+def sink_insert_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 insert.mode=insert: the projected batch that would be
+    appended to the target table (column mapping = sink field
+    renames)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+@register(
+    "sink_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           epoch_us(ts) AS last_ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def sink_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 insert.mode=upsert, pk.mode=user_id: last write per PK wins.
+    One shuffle on the PK; this exact transform runs inside
+    foreach_batch_upsert on the streaming path."""
+    t = load_tables(spark, sf_dir)
+    latest = writers.latest_per_key(t.events, ["user_id"], _ORDER())
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
+
+
+@register(
+    "sink_tombstone_delete",
+    oracle="""
+    SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type <> 'error'
+    """,
+)
+def sink_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 delete.enabled: keys whose latest record is a tombstone
+    (event_type='error') are deleted from the materialized state."""
+    t = load_tables(spark, sf_dir)
+    live = writers.apply_tombstones(
+        t.events, ["user_id"], _ORDER(), tombstone=F.col("event_type") == "error"
+    )
+    return live.select(
+        "user_id", F.col("event_type").alias("last_type"), F.unix_micros("ts").alias("last_ts_us")
+    )
+
+
+@register(
+    "cdc_apply_envelope",
+    oracle="""
+    WITH env AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+             value AS after_value, ts, event_id
+      FROM events
+    )
+    SELECT user_id, op AS last_op, after_value
+    FROM env
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND op <> 'd'
+    """,
+)
+def cdc_apply_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 Debezium envelope apply: build {op, before, after} change
+    events from the fixture stream, then materialize final state
+    (latest op per key; op='d' removes the key)."""
+    t = load_tables(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    env = t.events.select(
+        "user_id",
+        op.alias("op"),
+        F.col("value").alias("after_value"),
+        "ts",
+        "event_id",
+    )
+    state = writers.cdc_apply(env, ["user_id"], _ORDER())
+    return state.select("user_id", F.col("op").alias("last_op"), "after_value")
+
+
+@register(
+    "file_sink_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 file sink: write the batch as parquet (the Camel SFTP sink's
+    engine half), read it back, prove losslessness — the oracle is the
+    original table, so any write/read corruption fails the hash."""
+    t = load_tables(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "hkc_file_sink_roundtrip")
+    df = t.events.select("event_id", "user_id", "event_type", "value")
+    writers.write_files(df, out, fmt="parquet", partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "avro_roundtrip",
+    oracle="""
+    SELECT event_id, 7 AS schema_id, props AS payload_str, 1 AS frame_ok
+    FROM events
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 Confluent wire format: frame each payload as
+    [0x00][schema-id=7][body], then unframe and prove the id and body
+    survive. (Body codec = UTF-8 here; the avro body codec needs the
+    external spark-avro jar — serde/avro_wire.py gates it.)"""
+    t = load_tables(spark, sf_dir)
+    framed = t.events.select(
+        "event_id",
+        avro_wire.frame(F.encode("props", "UTF-8"), 7).alias("value"),
+    )
+    un = avro_wire.unframe(framed, "value")
+    return un.select(
+        "event_id",
+        F.col("schema_id").cast("int").alias("schema_id"),
+        F.decode("payload", "UTF-8").alias("payload_str"),
+        F.when(avro_wire.is_wire_format(F.col("value")), 1).otherwise(0).alias("frame_ok"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS valid
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 schemaless JsonConverter: PERMISSIVE parse + field extract."""
+    t = load_tables(spark, sf_dir)
+    parsed = t.events.withColumn("__p", F.from_json("props", "struct<k:bigint>"))
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("k"),
+        F.when(F.col("__p").isNotNull(), 1).otherwise(0).alias("valid"),
+    )
+
+
+@register(
+    "dlq_split",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL
+                THEN 'valid' ELSE 'dlq' END AS route
+    FROM events
+    """,
+)
+def dlq_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 errors.tolerance=all + DLQ: records that fail PERMISSIVE
+    parse (or lack the required field) route to the dead-letter side."""
+    t = load_tables(spark, sf_dir)
+    valid, dlq = dlq_split(t.events, "props", "struct<k:bigint>")
+    v = valid.filter(F.col("__parsed.k").isNotNull()).select("event_id", F.lit("valid").alias("route"))
+    bad = valid.filter(F.col("__parsed.k").isNull()).select("event_id", F.lit("dlq").alias("route"))
+    d = dlq.select("event_id", F.lit("dlq").alias("route"))
+    return v.unionByName(bad).unionByName(d)
+
+
+alias("llm_dedup_latest", "sink_upsert_latest")

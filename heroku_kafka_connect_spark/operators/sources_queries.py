@@ -1,1 +1,128 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""§2.A — source-mode corpus queries, exercising sources/jdbc.py and
+sources/kafka.py against the fixtures with DuckDB oracles. The stored
+offsets below are fixed constants (a mid-keyspace watermark) so the
+incremental reads return a stable, non-trivial subset at every sf."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_tables
+from .common import ts_us
+from ..sources import jdbc
+from ..sources.kafka import envelope_from_events
+
+_INC_OFFSET = jdbc.Offset(incrementing=800)
+_TS_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00")
+_TSINC_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00", incrementing=800)
+
+
+@register(
+    "src_bulk_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(o_orderdate) AS o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def src_bulk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 mode=bulk: full snapshot per poll. (o_orderdate re-emitted
+    as epoch µs for cross-engine hashing.)"""
+    t = load_tables(spark, sf_dir)
+    return jdbc.bulk(t.orders).withColumn("o_orderdate", ts_us("o_orderdate"))
+
+
+@register(
+    "src_incrementing",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 800
+    """,
+)
+def src_incrementing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 mode=incrementing: id > stored offset; predicate reaches the
+    scan (JDBC pushdown / parquet row-group pruning)."""
+    t = load_tables(spark, sf_dir)
+    return jdbc.poll(t.orders, "incrementing", _INC_OFFSET, id_col="o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "src_timestamp",
+    oracle="""
+    SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-06-01 00:00:00'
+    """,
+)
+def src_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 mode=timestamp: ts column > last-seen watermark."""
+    t = load_tables(spark, sf_dir)
+    return jdbc.poll(t.orders, "timestamp", _TS_OFFSET, ts_col="o_orderdate").select(
+        "o_orderkey", ts_us("o_orderdate").alias("o_orderdate_us"), "o_totalprice"
+    )
+
+
+@register(
+    "src_ts_incrementing",
+    oracle="""
+    SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-06-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1999-06-01 00:00:00' AND o_orderkey > 800)
+    """,
+)
+def src_ts_incrementing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 mode=timestamp+incrementing: tie-safe compound watermark."""
+    t = load_tables(spark, sf_dir)
+    return jdbc.poll(
+        t.orders, "timestamp+incrementing", _TSINC_OFFSET, id_col="o_orderkey", ts_col="o_orderdate"
+    ).select("o_orderkey", ts_us("o_orderdate").alias("o_orderdate_us"))
+
+
+@register(
+    "src_query_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def src_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 query= mode: user SQL pushed to the source — expressed
+    declaratively so Catalyst pushes filter+projection into the scan
+    (the same SQL would ship to a remote DB via jdbc.read_query)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "src_kafka_envelope",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key_str,
+           props AS value_str,
+           'events' AS topic,
+           CAST(user_id % 8 AS INTEGER) AS partition,
+           event_id AS "offset",
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def src_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 Kafka source envelope: the batch fixture projected into the
+    exact (key, value, topic, partition, offset, timestamp) record
+    shape of spark.readStream.format('kafka') — binary key/value
+    decoded back to strings for hashing."""
+    t = load_tables(spark, sf_dir)
+    env = envelope_from_events(t.events)
+    return env.select(
+        F.decode("key", "UTF-8").alias("key_str"),
+        F.decode("value", "UTF-8").alias("value_str"),
+        "topic",
+        "partition",
+        "offset",
+        ts_us("timestamp").alias("ts_us"),
+    )

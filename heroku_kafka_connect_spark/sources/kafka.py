@@ -1,0 +1,107 @@
+"""Kafka source/sink configuration — §2.A6, §2.C3, §2.E2-E3.
+
+The reference's own bash (main.sh:38-58) does three things we
+re-express here: normalize the broker URL (main.sh:38), build SSL
+client options for worker/producer/consumer (main.sh:40-58), and
+materialize Heroku's PEM env vars into a JVM keystore
+(main.sh:25-33). The Spark analog: one option-dict builder for
+`spark.readStream/read.format("kafka")`, with PEM materialization
+as plain files (Spark's Kafka source accepts PEM-type stores).
+
+The record envelope Spark's Kafka source produces — key, value,
+headers, topic, partition, offset, timestamp — IS the ConnectRecord
+model (SURVEY.md §1.1); `envelope_from_events` builds the identical
+shape from the batch fixture so every envelope-level operator is
+testable without brokers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def normalize_bootstrap(url: str) -> str:
+    """Strip ssl:// (or any) scheme and whitespace from broker lists —
+    behavior of reference main.sh:38."""
+    parts = [re.sub(r"^[a-z+]+://", "", p.strip()) for p in url.split(",") if p.strip()]
+    return ",".join(parts)
+
+
+def write_pem_files(
+    client_cert: str, client_key: str, trusted_cert: str, dest_dir: str | None = None
+) -> dict[str, str]:
+    """Materialize PEM env-var contents to files (the reference turns
+    these into a PKCS12 keystore via openssl, main.sh:25-33; Spark's
+    Kafka client consumes PEM paths directly via ssl.keystore.type=PEM)."""
+    d = dest_dir or tempfile.mkdtemp(prefix="kafka-ssl-")
+    paths = {
+        "cert": os.path.join(d, "client.crt"),
+        "key": os.path.join(d, "client.key"),
+        "ca": os.path.join(d, "trusted.crt"),
+    }
+    for path, content in ((paths["cert"], client_cert), (paths["key"], client_key), (paths["ca"], trusted_cert)):
+        with open(path, "w") as f:
+            f.write(content)
+        os.chmod(path, 0o600)
+    return paths
+
+
+def kafka_options(
+    bootstrap: str,
+    *,
+    ssl: bool = True,
+    pem_paths: dict[str, str] | None = None,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """Shared option dict for all three client roles (the reference
+    exports the same SSL settings for worker, producer and consumer —
+    main.sh:40-58; one dict here serves read and write)."""
+    opts = {"kafka.bootstrap.servers": normalize_bootstrap(bootstrap)}
+    if ssl:
+        opts["kafka.security.protocol"] = "SSL"
+        opts["kafka.ssl.endpoint.identification.algorithm"] = ""
+        if pem_paths:
+            opts.update(
+                {
+                    "kafka.ssl.keystore.type": "PEM",
+                    "kafka.ssl.keystore.location": pem_paths["cert"],
+                    "kafka.ssl.key.location": pem_paths["key"],
+                    "kafka.ssl.truststore.type": "PEM",
+                    "kafka.ssl.truststore.location": pem_paths["ca"],
+                }
+            )
+    if group_id_prefix:
+        opts["kafka.group.id.prefix"] = group_id_prefix
+    return opts
+
+
+def read_stream(spark: SparkSession, topics: str, options: dict[str, str], *, starting: str = "earliest") -> DataFrame:
+    """Streaming Kafka source. `maxOffsetsPerTrigger` bounds micro-batch
+    size — the back-pressure knob at scale."""
+    return (
+        spark.readStream.format("kafka")
+        .option("subscribe", topics)
+        .option("startingOffsets", starting)
+        .options(**options)
+        .load()
+    )
+
+
+def envelope_from_events(events: DataFrame, topic: str = "events", n_partitions: int = 8) -> DataFrame:
+    """Project the batch `events` fixture into the exact Kafka source
+    envelope schema, so envelope-level operators (SMTs, serde,
+    routing) run identically in batch tests and against brokers."""
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod("user_id", F.lit(n_partitions)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
