@@ -1,0 +1,79 @@
+"""Benchmark harness — runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute via the noop sink (full execution, no driver
+collect), which measures engine throughput rather than Arrow
+transfer. Run order is fixed; a warmup query initializes the JVM/
+codegen so timings reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from heroku_kafka_connect_spark.registry import all_queries  # noqa: E402
+from heroku_kafka_connect_spark.session import get_spark  # noqa: E402
+
+#: headline set: one per physical-plan family (scan+agg, star join,
+#: shuffle join, top-k, window, streaming window, text explode+agg,
+#: hash dedup, vector top-k, LSH near-dup, Arrow UDTF)
+HEADLINE = [
+    "rel_agg_pricing_summary",
+    "rel_join_broadcast_star",
+    "rel_join_inner",
+    "rel_topk",
+    "rel_window_running_sum",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "llm_text_wordcount",
+    "llm_dedup_exact",
+    "llm_sim_topk",
+    "llm_dedup_near",
+    "udf_explode_tokens",
+]
+
+
+def execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("hkc-bench")
+    qs = all_queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    execute(qs["rel_agg_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        execute(qs[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_corpus_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Vector math over array<float> embedding columns — §2.I4/I5.
+
+All JVM-side Column expressions (zip_with/aggregate fold) — no Python
+in the hot path. Inputs are cast to double before arithmetic so
+results match DuckDB's double math bit-for-bit modulo rounding
+(FIXTURES.md: round scores).
+
+Scale: brute-force cosine is O(n·d) per query vector and
+embarrassingly parallel — fine for one query vs 100 TB of vectors.
+For vector-vs-vector joins use the LSH path (llmops.py) — brute force
+is O(n²·d) and does not survive scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def to_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — left-to-right fold, same order DuckDB sums unnest."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_round: int = 4,
+) -> DataFrame:
+    """Top-k by cosine for each query row. The query side is
+    broadcast (it's small by construction); the vector side streams —
+    one narrow pass over the corpus, a per-partition top-k, then a
+    k·|queries|-row final merge. No full sort of the corpus."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"), to_double(vec_col).alias("__qv")
+        )
+    )
+    v = vectors.select(F.col(id_col), to_double(vec_col).alias("__v"))
+    scored = v.crossJoin(q).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__v"), F.col("__qv")), score_round).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "score", F.col("__rn").alias("rank"))
+    )

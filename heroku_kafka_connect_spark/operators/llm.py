@@ -1,1 +1,176 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""§2.I — dedup / similarity corpus queries (llmops.py + vectors.py).
+
+SQL-oracled where cross-engine determinism allows (exact dedup,
+n-gram Jaccard, cosine top-k, brute KNN); rows-only where sketch
+constants are engine-specific (MinHash LSH, SimHash, hyperplane
+ANN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import llmops
+from ..functions.vectors import brute_force_topk
+from ..registry import register
+from ..session import load_tables
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT lang, md5(text) AS text_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY lang, md5(text)
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 exact dedup: content-hash groupBy; canonical = min doc_id.
+    At scale: shuffle on the 128-bit hash, near-perfectly balanced."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang", F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+@register("llm_dedup_near", oracle=None)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 MinHash+LSH near-dup pairs (Jaccard>=0.5 on 3-shingles),
+    rows-only: minhash seeds are engine-specific."""
+    t = load_tables(spark, sf_dir)
+    return llmops.minhash_lsh_pairs(t.documents, threshold=0.5)
+
+
+@register("llm_dedup_simhash", oracle=None)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-SimHash near-dup pairs (Hamming<=12 on 64-bit signatures);
+    Arrow-vectorized signature UDF + JVM bit_count verify."""
+    t = load_tables(spark, sf_dir)
+    return llmops.simhash_pairs(t.documents, max_hamming=12)
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+      WHERE doc_id < 400
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ngram exact Jaccard on 3-token shingles, blocked by
+    (lang, source) and a doc_id cap — the oracle-checkable exact
+    counterpart of the LSH path (same shingle definition)."""
+    t = load_tables(spark, sf_dir)
+    sh = t.documents.filter(F.col("doc_id") < 400).select(
+        "doc_id", "lang", "source", llmops.shingles("text", 3).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), "lang", "source", F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"), F.col("source").alias("source_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.col("a") < F.col("b")),
+    )
+    jac = llmops.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.05)
+
+
+@register(
+    "llm_sim_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings e, q
+    ORDER BY rank LIMIT 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 cosine top-10 vs the vec_id=0 query vector: one narrow scan
+    + per-partition top-k (TakeOrdered), no corpus sort."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") == 0)
+    topk = brute_force_topk(t.embeddings, q, 10)
+    return topk.select("vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "llm_knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY score DESC, e.vec_id ASC) <= 3
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 exact KNN for a small query set (broadcast queries × corpus
+    scan). The all-pairs variant goes through LSH (llm_knn_lsh)."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 5)
+    topk = brute_force_topk(t.embeddings, q, 4)  # self + 3
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        topk.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank2", F.row_number().over(w))
+        .filter(F.col("rank2") <= 3)
+        .select("query_id", "vec_id", "score")
+    )
+
+
+@register("llm_knn_lsh", oracle=None)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 scale path: hyperplane-LSH bucketed approximate KNN
+    self-join (brute force only within buckets), rows-only."""
+    t = load_tables(spark, sf_dir)
+    return llmops.ann_lsh_join(t.embeddings, k=3, n_planes=8)
+
+
+@register(
+    "llm_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(LENGTH(MIN(embedding)) AS INTEGER) AS dim,
+           ROUND(SUM((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) t(x))), 3) AS sum_components,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 5) AS avg_first
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 embeddings as first-class columns: per-label stats."""
+    t = load_tables(spark, sf_dir)
+    comp_sum = F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x)
+    return t.embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.size(F.min("embedding")).alias("dim"),
+        F.round(F.sum(comp_sum), 3).alias("sum_components"),
+        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 5).alias("avg_first"),
+    )

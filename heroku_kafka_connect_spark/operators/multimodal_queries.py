@@ -1,0 +1,70 @@
+"""Multimodal corpus queries (functions/multimodal.py). The decode
+stub is deterministic arithmetic on byte length, so even the
+mapInPandas plumbing is SQL-oracle-checkable — the oracle recomputes
+the same dims from LENGTH(text) (ASCII fixture ⇒ bytes == chars)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as mm
+from ..registry import register
+from ..session import load_tables
+
+
+@register(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id, 'image/png' AS mime,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height,
+           CAST(LENGTH(text) % 16 + 1 AS INTEGER) AS n_frames,
+           'stub-deterministic' AS decoder
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9: binary payload + metadata struct → Arrow-batched decode
+    (stubbed codec, real plumbing)."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_payload(t.documents)
+    return mm.decode_images(with_payload)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) % 16 + 1 AS INTEGER) AS n_frames,
+           CAST(unnest(range(0, LENGTH(text) % 16 + 1, 4)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: stride-4 indices per decoded payload —
+    JVM-side sequence+explode, no Python."""
+    t = load_tables(spark, sf_dir)
+    decoded = mm.decode_images(mm.attach_payload(t.documents))
+    return mm.sample_frames(decoded, stride=4).withColumn(
+        "frame_idx", F.col("frame_idx").cast("int")
+    )
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height,
+           ROUND(LEAST(256.0 / (LENGTH(text) % 640 + 1),
+                       256.0 / (LENGTH(text) % 480 + 1), 1.0), 4) AS scale
+    FROM documents
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning on decoded metadata (metadata-only op)."""
+    t = load_tables(spark, sf_dir)
+    decoded = mm.decode_images(mm.attach_payload(t.documents))
+    return decoded.select("doc_id", "width", "height", mm.resize_meta(decoded).alias("scale"))

@@ -1,1 +1,162 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""§2.F — streaming semantics, batch-equivalent corpus queries.
+
+Each query applies the REAL streaming operator (window/session_window/
+dropDuplicates) on the batch fixture — Structured Streaming's unified
+model guarantees identical semantics on a stream — so DuckDB can
+oracle-check them. stream_resume runs an actual checkpointed
+micro-batch stream (rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_tables
+from ..streaming import windows
+from ..streaming.runner import read_events_stream, run_available_now
+from .common import dec
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+           (epoch_us(ts) // 600000000) * 600000000 + 600000000 AS window_end_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: 10-minute tumbling windows per event type (epoch-aligned,
+    identical on a stream with a watermark)."""
+    t = load_tables(spark, sf_dir)
+    return windows.tumbling(t.events, "ts", "10 minutes", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    ).select(*windows.window_bounds_us(), "event_type", "n", "sum_value")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start_us,
+           ws + 600000000 AS window_end_us,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT ((epoch_us(ts) // 300000000) - g.g) * 300000000 AS ws, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS g) g
+    )
+    GROUP BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: 10-minute windows sliding every 5 — each event lands in two
+    windows; oracle materializes both bucket assignments per row."""
+    t = load_tables(spark, sf_dir)
+    return windows.sliding(t.events, "ts", "10 minutes", "5 minutes").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    ).select(*windows.window_bounds_us(), "n", "sum_value")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: 30-minute-gap session windows per user (Spark session end =
+    last event + gap; oracle is the gaps-and-islands equivalent).
+    On a stream this REQUIRES a watermark — state merges sessions
+    incrementally and evicts closed ones."""
+    t = load_tables(spark, sf_dir)
+    return windows.session(t.events, "ts", "30 minutes", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 86400000000
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 batch-equivalent: watermark '1 day' — rows more than a day
+    behind the max observed event time are dropped."""
+    t = load_tables(spark, sf_dir)
+    kept = windows.late_data_filter(t.events, "ts", "1 DAY")
+    return kept.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC, event_id ASC) = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: keep-first dedup per (user, type). dropDuplicates keeps an
+    arbitrary row, so the deterministic engine path is first-by-
+    event-time — same state shape, oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        t.events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+        )
+    )
+
+
+@register("stream_resume", oracle=None)
+def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: REAL Structured Streaming run — file source over the events
+    fixture, watermarked tumbling count, checkpointed memory sink,
+    Trigger.AvailableNow. Resume-without-loss is asserted in
+    tests/test_streaming.py; here the driver smoke-checks the
+    streaming path end-to-end (rows-only)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        windows.tumbling(stream, "ts", "1 hour", "event_type", watermark="1 day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*windows.window_bounds_us(), "event_type", "n")
+    )
+    return run_available_now(agg, output_mode="append")

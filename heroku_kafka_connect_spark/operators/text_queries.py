@@ -1,1 +1,170 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""Text-analysis corpus queries (functions/text.py), all SQL-oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..registry import register
+from ..session import load_tables
+
+
+@register(
+    "llm_text_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def llm_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 tokenize + top-20 word count. Map-side partial agg shrinks
+    the shuffle to |vocab| regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "llm_text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def llm_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 per-(lang, source) corpus stats (integer-exact aggregates)."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "llm_text_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars BETWEEN 100 AND 400
+      AND lang IN ('en', 'de')
+      AND regexp_matches(text, '\\bspark\\b')
+    """,
+)
+def llm_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 content filter: length band + language + regex content."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.filter(
+        F.col("n_chars").between(100, 400)
+        & F.col("lang").isin("en", "de")
+        & F.col("text").rlike(r"\bspark\b")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_langid",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS en_stopword_ratio,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','that'))) > 0
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio (the fixture corpus
+    is English word-soup, so the en-list dominates; the library
+    computes the full argmax across 4 language lists)."""
+    t = load_tables(spark, sf_dir)
+    en_hits = F.size(F.filter(T.ws_tokens("text"), lambda tk: tk.isin(*T.STOPWORDS["en"])))
+    return t.documents.select(
+        "doc_id",
+        T.stopword_ratio("text", "en").alias("en_stopword_ratio"),
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+           ROUND(0.5 * ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                 + 0.5 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 4) AS quality
+    FROM tk
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity + length saturation."""
+    t = load_tables(spark, sf_dir)
+    toks = T.ws_tokens("text")
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        T.type_token_ratio("text").alias("ttr"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INTEGER) AS re_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + regex (BPE-ish) + char length."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.regex_token_count("text").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           SUBSTR(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set;
+    prefix bucket = shard key for fingerprint-based dedup."""
+    t = load_tables(spark, sf_dir)
+    fp = T.fingerprint("text")
+    return t.documents.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket"))

@@ -1,1 +1,118 @@
-"""placeholder — filled in build order (SURVEY.md §7.2)."""
+"""§2.H — UDF/UDAF/UDTF surface (the Spark analog of Connect's
+pluggable Transformation/Converter/Predicate classes, reference
+main.sh:83 CONNECT_PLUGIN_PATH).
+
+Hot-path discipline: every Python extension point here is
+Arrow-batched (pandas_udf / mapInPandas) — row-at-a-time Python UDFs
+are 10-100× slower and appear nowhere in this engine. Each query's
+oracle re-expresses the pure function in SQL, proving the UDF
+computes what it claims."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import register
+from ..session import load_tables
+
+
+@lru_cache(maxsize=1)
+def _tok_count():
+    """Vectorized scalar UDF: whitespace token count (lazy — needs an
+    active session to resolve the return type)."""
+
+    @pandas_udf("int")
+    def tok_count(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int32")
+
+    return tok_count
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS tok_count,
+           CAST(len(string_split(text, ' ')) * 2 AS INTEGER) AS tok_count_x2
+    FROM documents
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 Transformation analog: Arrow-batched scalar pandas UDF."""
+    t = load_tables(spark, sf_dir)
+    tc = _tok_count()
+    return t.documents.select(
+        "doc_id",
+        tc("text").alias("tok_count"),
+        (tc("text") * 2).cast("int").alias("tok_count_x2"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _weighted_sum():
+    """Vectorized grouped-agg UDF: Σ user_id·k (int64-exact)."""
+
+    @pandas_udf("long")
+    def weighted_sum(uid: pd.Series, k: pd.Series) -> int:
+        return int((uid * k).sum())
+
+    @pandas_udf("long")
+    def group_count(uid: pd.Series) -> int:
+        return len(uid)
+
+    return weighted_sum, group_count
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(user_id * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS uid_k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 stateful/grouped analog: GROUPED_AGG pandas UDF (partial
+    aggregation per Arrow batch, merged per group)."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    df = t.events.select("event_type", "user_id", k.alias("k"))
+    wsum, gcount = _weighted_sum()
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
+    # the count is a second pandas UDF over the same groups
+    return df.groupBy("event_type").agg(
+        wsum("user_id", "k").alias("uid_k_sum"),
+        gcount("user_id").alias("n"),
+    )
+
+
+def _explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDTF: 1 document row → N token rows."""
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ")
+        out = pdf[["doc_id"]].copy()
+        out["token"] = toks
+        yield out.explode("token")[["doc_id", "token"]]
+
+
+@register(
+    "udf_explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+)
+def udf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 record-explosion (UDTF) analog: mapInPandas 1→N expansion,
+    Arrow-batched both directions."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select("doc_id", "text").mapInPandas(
+        _explode_tokens, "doc_id bigint, token string"
+    )

@@ -70,6 +70,7 @@ def _load_corpus() -> None:
         return
     from .operators import (  # noqa: F401
         llm,
+        multimodal_queries,
         relational,
         sinks_queries,
         smt_queries,
