@@ -1,0 +1,331 @@
+"""Declarative pipeline control plane — §2.E, §3.2 (SURVEY.md).
+
+This is the one part of the reference we re-implement *behaviorally*
+rather than map to a Spark builtin: the ~100 lines of bash at
+reference main.sh:94-208 that turn `CONNECTOR_${NAME}` JSON env vars
+into running Kafka Connect connectors and keep the running set equal
+to the declared set.
+
+Mapping (reference → here):
+  - env validation / fail-fast          main.sh:10-15  → PipelineSpec.validate / validate_env
+  - connector JSON in CONNECTOR_${name} main.sh:148-151 → specs_from_env
+  - upsert via PUT /connectors/{name}   main.sh:156-159 → Reconciler.upsert (stop+restart on config change — Connect restarts tasks on config change too)
+  - list running GET /connectors        main.sh:117-128 → QueryRuntime.list_running
+  - prune unmanaged                     main.sh:171-195 → Reconciler.prune
+  - delete with retry (8 × 2s)          main.sh:130-141 → Reconciler._stop_with_retry
+  - readiness probe (60 × 2s)           main.sh:99-111  → wait_ready
+  - async reconcile at boot             main.sh:204-207 → Reconciler.run_background
+
+The runtime is abstracted behind ``QueryRuntime`` so the reconcile
+semantics are unit-testable without Spark (tests/test_controlplane.py
+uses a fake); ``SparkRuntime`` binds it to ``spark.streams`` with the
+spec compiler in this module.
+
+At scale the control plane is driver-side-only Python — it never
+touches the data path; each compiled pipeline is a Structured
+Streaming query whose parallelism comes from its source partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENV_PREFIX = "CONNECTOR_"
+NAMES_VAR = "CONNECTOR_NAMES"
+
+#: env vars the reference refuses to boot without (main.sh:10-15)
+REQUIRED_BOOT_VARS = (
+    "KAFKA_URL",
+    "KAFKA_CLIENT_CERT",
+    "KAFKA_CLIENT_CERT_KEY",
+    "KAFKA_TRUSTED_CERT",
+)
+
+
+class SpecError(ValueError):
+    """Invalid pipeline spec (the analog of Connect's 400 on PUT)."""
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    """One declarative pipeline — same shape as the reference's
+    per-connector JSON (README.md:24-25): a name plus a flat config
+    map with dotted keys (``source.format``, ``transforms`` ...)."""
+
+    name: str
+    config: Mapping[str, str]
+
+    REQUIRED = ("source.format", "sink.format")
+
+    def validate(self) -> None:
+        if not self.name or not self.name.replace("-", "").replace("_", "").isalnum():
+            raise SpecError(f"invalid pipeline name: {self.name!r}")
+        missing = [k for k in self.REQUIRED if not self.config.get(k)]
+        if missing:
+            raise SpecError(f"{self.name}: missing required config {missing}")
+
+    def fingerprint(self) -> str:
+        """Canonical hash of the config — drives restart-on-change."""
+        return json.dumps(dict(sorted(self.config.items())), separators=(",", ":"))
+
+
+def validate_env(env: Mapping[str, str] | None = None) -> None:
+    """Fail-fast boot validation (reference main.sh:10-15)."""
+    env = os.environ if env is None else env
+    missing = [v for v in REQUIRED_BOOT_VARS if not env.get(v)]
+    if missing:
+        raise SpecError(f"missing required environment: {missing}")
+
+
+def specs_from_env(env: Mapping[str, str] | None = None) -> list[PipelineSpec]:
+    """Desired state from env: ``CONNECTOR_NAMES="a b"`` names the
+    set; ``CONNECTOR_<NAME>`` holds each JSON config
+    (reference main.sh:148-151, README.md:24-25)."""
+    env = os.environ if env is None else env
+    names = (env.get(NAMES_VAR) or "").split()
+    specs = []
+    for name in names:
+        raw = env.get(f"{ENV_PREFIX}{name.upper()}") or env.get(f"{ENV_PREFIX}{name}")
+        if raw is None:
+            raise SpecError(f"{NAMES_VAR} lists {name!r} but {ENV_PREFIX}{name.upper()} is unset")
+        try:
+            cfg = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise SpecError(f"{name}: config is not valid JSON: {e}") from e
+        spec = PipelineSpec(name=name, config=cfg)
+        spec.validate()
+        specs.append(spec)
+    return specs
+
+
+# ---------------------------------------------------------------- runtime
+
+
+class QueryRuntime:
+    """What the reconciler needs from a runtime: the Connect REST
+    surface (list / upsert / delete, main.sh:113-166) reduced to
+    three methods."""
+
+    def list_running(self) -> dict[str, str]:
+        """name -> config fingerprint of every running pipeline."""
+        raise NotImplementedError
+
+    def start(self, spec: PipelineSpec) -> None:
+        raise NotImplementedError
+
+    def stop(self, name: str) -> None:
+        raise NotImplementedError
+
+    def is_ready(self) -> bool:
+        return True
+
+
+@dataclass
+class ReconcileReport:
+    started: list[str] = field(default_factory=list)
+    restarted: list[str] = field(default_factory=list)
+    unchanged: list[str] = field(default_factory=list)
+    pruned: list[str] = field(default_factory=list)
+    failed: dict[str, str] = field(default_factory=dict)
+
+
+class Reconciler:
+    """Make running state equal declared state (main.sh:146-196)."""
+
+    def __init__(
+        self,
+        runtime: QueryRuntime,
+        *,
+        stop_retries: int = 8,
+        retry_sleep_s: float = 2.0,
+        ready_tries: int = 60,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.runtime = runtime
+        self.stop_retries = stop_retries
+        self.retry_sleep_s = retry_sleep_s
+        self.ready_tries = ready_tries
+        self._sleep = sleep
+
+    def wait_ready(self) -> bool:
+        """Readiness probe: poll until the runtime answers
+        (main.sh:99-111, 60 tries × 2 s)."""
+        for _ in range(self.ready_tries):
+            if self.runtime.is_ready():
+                return True
+            self._sleep(self.retry_sleep_s)
+        return False
+
+    def _stop_with_retry(self, name: str) -> bool:
+        """DELETE with retries on conflict (main.sh:130-141)."""
+        for attempt in range(self.stop_retries):
+            try:
+                self.runtime.stop(name)
+                return True
+            except Exception:  # noqa: BLE001 — runtime may 409 mid-rebalance
+                if attempt == self.stop_retries - 1:
+                    return False
+                self._sleep(self.retry_sleep_s)
+        return False
+
+    def reconcile_once(self, desired: list[PipelineSpec]) -> ReconcileReport:
+        report = ReconcileReport()
+        running = self.runtime.list_running()
+        desired_names = {s.name for s in desired}
+
+        # upsert (main.sh:148-166): new → start; changed → restart;
+        # same fingerprint → leave alone (PUT of identical config is
+        # a no-op in Connect as well)
+        for spec in desired:
+            try:
+                current = running.get(spec.name)
+                if current is None:
+                    self.runtime.start(spec)
+                    report.started.append(spec.name)
+                elif current != spec.fingerprint():
+                    if not self._stop_with_retry(spec.name):
+                        report.failed[spec.name] = "stop-for-restart failed"
+                        continue
+                    self.runtime.start(spec)
+                    report.restarted.append(spec.name)
+                else:
+                    report.unchanged.append(spec.name)
+            except Exception as e:  # noqa: BLE001 — isolate per-pipeline failures
+                report.failed[spec.name] = str(e)
+
+        # prune unmanaged (main.sh:171-195)
+        for name in running:
+            if name not in desired_names:
+                if self._stop_with_retry(name):
+                    report.pruned.append(name)
+                else:
+                    report.failed[name] = "prune failed"
+        return report
+
+    def run_background(self, desired: list[PipelineSpec]) -> threading.Thread:
+        """Boot-time async reconcile (main.sh:204-207): readiness
+        probe then one reconcile pass, off the caller's thread."""
+
+        def _run() -> None:
+            if self.wait_ready():
+                self.reconcile_once(desired)
+
+        t = threading.Thread(target=_run, name="hkc-reconcile", daemon=True)
+        t.start()
+        return t
+
+
+# ------------------------------------------------------- spec compiler
+
+
+class SparkRuntime(QueryRuntime):
+    """Binds the reconciler to Structured Streaming: compiles a
+    PipelineSpec into a named StreamingQuery (the analog of Connect
+    validating a config and spawning tasks, §3.2)."""
+
+    def __init__(self, spark: SparkSession, *, checkpoint_root: str) -> None:
+        self.spark = spark
+        self.checkpoint_root = checkpoint_root
+        self._fingerprints: dict[str, str] = {}
+
+    # -- runtime surface
+    def list_running(self) -> dict[str, str]:
+        active = {q.name for q in self.spark.streams.active if q.name}
+        # forget fingerprints of queries that died outside our control
+        self._fingerprints = {n: fp for n, fp in self._fingerprints.items() if n in active}
+        return dict(self._fingerprints)
+
+    def start(self, spec: PipelineSpec) -> None:
+        spec.validate()
+        df = self.compile(spec)
+        # Durable sinks checkpoint per NAME — restarts resume the
+        # stream exactly where it stopped, the offset-topic semantics
+        # of main.sh:63. The memory sink truncates on restart and
+        # cannot recover a checkpoint, so it gets a fresh one per
+        # start (its state is ephemeral by definition).
+        cp = os.path.join(self.checkpoint_root, spec.name)
+        if spec.config["sink.format"] == "memory":
+            cp = os.path.join(self.checkpoint_root, f"{spec.name}-{uuid.uuid4().hex[:8]}")
+        writer = (
+            df.writeStream.queryName(spec.name)
+            .outputMode(spec.config.get("sink.outputMode", "append"))
+            .format(spec.config["sink.format"])
+            .option("checkpointLocation", cp)
+        )
+        for k, v in spec.config.items():
+            if k.startswith("sink.option."):
+                writer = writer.option(k.removeprefix("sink.option."), v)
+        if spec.config.get("sink.format") == "parquet":
+            writer = writer.option("path", spec.config["sink.path"])
+        if spec.config.get("trigger") == "availableNow":
+            writer = writer.trigger(availableNow=True)
+        writer.start()
+        self._fingerprints[spec.name] = spec.fingerprint()
+
+    def stop(self, name: str) -> None:
+        q = self.spark.streams.get(next(q.id for q in self.spark.streams.active if q.name == name))
+        q.stop()
+        q.awaitTermination(30)
+        self._fingerprints.pop(name, None)
+
+    def is_ready(self) -> bool:
+        try:
+            return self.spark.sparkContext._jsc is not None  # noqa: SLF001
+        except Exception:  # noqa: BLE001
+            return False
+
+    # -- compiler: spec → streaming DataFrame
+    def compile(self, spec: PipelineSpec) -> DataFrame:
+        cfg = spec.config
+        fmt = cfg["source.format"]
+        reader = self.spark.readStream.format(fmt)
+        if "source.schema" in cfg:
+            reader = reader.schema(cfg["source.schema"])
+        for k, v in cfg.items():
+            if k.startswith("source.option."):
+                reader = reader.option(k.removeprefix("source.option."), v)
+        df = reader.load(cfg["source.path"]) if "source.path" in cfg else reader.load()
+        return apply_transform_chain(df, cfg)
+
+
+def apply_transform_chain(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
+    """Apply the SMT chain declared in the spec — the analog of
+    Connect's ``transforms=a,b`` + ``transforms.a.type=...`` config
+    (§2.D). Each named transform maps to a Column-expression rewrite
+    from functions/smt.py; the chain is ordered and shuffle-free."""
+    from .functions import smt
+
+    chain = [t for t in (cfg.get("transforms") or "").split(",") if t]
+    for t in chain:
+        p = f"transforms.{t}."
+        kind = cfg.get(p + "type")
+        if kind == "cast":
+            df = smt.cast_fields(df, json.loads(cfg[p + "spec"]))
+        elif kind == "filter":
+            df = df.filter(cfg[p + "predicate"])
+        elif kind == "insertField":
+            df = smt.insert_field(df, cfg[p + "name"], F.expr(cfg[p + "value"]))
+        elif kind == "maskField":
+            df = smt.mask_field(df, cfg[p + "field"])
+        elif kind == "replaceField":
+            df = smt.replace_field(
+                df,
+                renames=json.loads(cfg.get(p + "renames", "{}")),
+                exclude=json.loads(cfg.get(p + "exclude", "[]")),
+            )
+        elif kind == "regexRouter":
+            df = smt.regex_router(df, cfg[p + "field"], cfg[p + "pattern"], cfg[p + "replacement"])
+        elif kind == "valueToKey":
+            df = smt.value_to_key(df, json.loads(cfg[p + "fields"]))
+        else:
+            raise SpecError(f"unknown transform type {kind!r} for {t!r}")
+    return df

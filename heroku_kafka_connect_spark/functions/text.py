@@ -43,14 +43,18 @@ def stopword_ratio(text: Column | str, lang: str = "en", scale: int = 4) -> Colu
     return F.round(hits.cast("double") / F.size(toks), scale)
 
 
+def _stopword_hits(toks: Column, stopwords: list[str]) -> Column:
+    # NB: the lambda must take exactly one parameter — F.filter passes
+    # one lambda variable per declared parameter, so the usual
+    # default-arg closure trick would receive a Column for it.
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
 def language_guess(text: Column | str) -> Column:
     """Heuristic language ID: argmax stopword-hit count across the
     known lists (ties broken by list order: en, de, es, fr)."""
     toks = ws_tokens(text)
-    counts = {
-        lang: F.size(F.filter(toks, lambda t, _sw=sw: t.isin(*_sw)))
-        for lang, sw in STOPWORDS.items()
-    }
+    counts = {lang: _stopword_hits(toks, sw) for lang, sw in STOPWORDS.items()}
     best = None
     for lang, cnt in counts.items():
         if best is None:

@@ -1,0 +1,160 @@
+"""Reconcile semantics vs a fake runtime — mirrors the behavior table
+of reference main.sh:146-196 (upsert-new, upsert-changed, no-op on
+same config, prune-unmanaged, delete-retry)."""
+
+from __future__ import annotations
+
+import pytest
+
+from heroku_kafka_connect_spark.controlplane import (
+    PipelineSpec,
+    QueryRuntime,
+    Reconciler,
+    SpecError,
+    specs_from_env,
+    validate_env,
+)
+
+
+class FakeRuntime(QueryRuntime):
+    def __init__(self, *, fail_stops: int = 0, ready_after: int = 0):
+        self.running: dict[str, str] = {}
+        self.events: list[tuple[str, str]] = []
+        self._fail_stops = fail_stops
+        self._ready_after = ready_after
+
+    def list_running(self):
+        return dict(self.running)
+
+    def start(self, spec: PipelineSpec):
+        self.running[spec.name] = spec.fingerprint()
+        self.events.append(("start", spec.name))
+
+    def stop(self, name: str):
+        if self._fail_stops > 0:
+            self._fail_stops -= 1
+            raise RuntimeError("409 rebalance in progress")
+        self.running.pop(name, None)
+        self.events.append(("stop", name))
+
+    def is_ready(self):
+        if self._ready_after > 0:
+            self._ready_after -= 1
+            return False
+        return True
+
+
+def spec(name: str, **extra) -> PipelineSpec:
+    cfg = {"source.format": "rate", "sink.format": "memory"}
+    cfg.update(extra)
+    return PipelineSpec(name=name, config=cfg)
+
+
+def reconciler(rt, **kw) -> Reconciler:
+    return Reconciler(rt, sleep=lambda _s: None, **kw)
+
+
+def test_upsert_new_starts_pipeline():
+    rt = FakeRuntime()
+    rep = reconciler(rt).reconcile_once([spec("a"), spec("b")])
+    assert rep.started == ["a", "b"] and rt.running.keys() == {"a", "b"}
+
+
+def test_same_config_is_noop():
+    rt = FakeRuntime()
+    r = reconciler(rt)
+    r.reconcile_once([spec("a")])
+    rep = r.reconcile_once([spec("a")])
+    assert rep.unchanged == ["a"] and rep.started == [] and rep.restarted == []
+
+
+def test_changed_config_restarts():
+    rt = FakeRuntime()
+    r = reconciler(rt)
+    r.reconcile_once([spec("a")])
+    rep = r.reconcile_once([spec("a", extra="1")])
+    assert rep.restarted == ["a"]
+    assert ("stop", "a") in rt.events and rt.events[-1] == ("start", "a")
+
+
+def test_prune_unmanaged():
+    rt = FakeRuntime()
+    r = reconciler(rt)
+    r.reconcile_once([spec("a"), spec("zombie")])
+    rep = r.reconcile_once([spec("a")])
+    assert rep.pruned == ["zombie"] and "zombie" not in rt.running
+
+
+def test_stop_retries_then_succeeds():
+    rt = FakeRuntime(fail_stops=3)
+    rep = reconciler(rt).reconcile_once([])  # nothing desired
+    assert rep.failed == {}  # no running either — trivially fine
+    rt.running["ghost"] = "x"
+    rep = reconciler(rt).reconcile_once([])
+    assert rep.pruned == ["ghost"]
+
+
+def test_stop_retry_exhaustion_reports_failure():
+    rt = FakeRuntime(fail_stops=99)
+    rt.running["stuck"] = "x"
+    rep = reconciler(rt, stop_retries=3).reconcile_once([])
+    assert rep.failed == {"stuck": "prune failed"}
+
+
+def test_per_pipeline_failure_is_isolated():
+    class Boom(FakeRuntime):
+        def start(self, s):
+            if s.name == "bad":
+                raise RuntimeError("no such source")
+            super().start(s)
+
+    rt = Boom()
+    rep = reconciler(rt).reconcile_once([spec("bad"), spec("good")])
+    assert "bad" in rep.failed and rep.started == ["good"]
+
+
+def test_wait_ready_polls():
+    rt = FakeRuntime(ready_after=5)
+    assert reconciler(rt).wait_ready() is True
+    rt2 = FakeRuntime(ready_after=99)
+    assert reconciler(rt2, ready_tries=3).wait_ready() is False
+
+
+def test_specs_from_env_roundtrip():
+    env = {
+        "CONNECTOR_NAMES": "orders events",
+        "CONNECTOR_ORDERS": '{"source.format": "kafka", "sink.format": "parquet"}',
+        "CONNECTOR_EVENTS": '{"source.format": "rate", "sink.format": "memory"}',
+    }
+    specs = specs_from_env(env)
+    assert [s.name for s in specs] == ["orders", "events"]
+    assert specs[0].config["source.format"] == "kafka"
+
+
+def test_specs_from_env_missing_config():
+    with pytest.raises(SpecError, match="ORDERS is unset"):
+        specs_from_env({"CONNECTOR_NAMES": "orders"})
+
+
+def test_specs_from_env_bad_json():
+    env = {"CONNECTOR_NAMES": "a", "CONNECTOR_A": "{nope"}
+    with pytest.raises(SpecError, match="not valid JSON"):
+        specs_from_env(env)
+
+
+def test_spec_validation_requires_source_and_sink():
+    with pytest.raises(SpecError, match="missing required config"):
+        PipelineSpec("x", {"source.format": "rate"}).validate()
+
+
+def test_validate_env_fail_fast():
+    with pytest.raises(SpecError, match="missing required environment"):
+        validate_env({"KAFKA_URL": "ssl://h:9096"})
+    validate_env(
+        {
+            "KAFKA_URL": "ssl://h:9096",
+            "KAFKA_CLIENT_CERT": "pem",
+            "KAFKA_CLIENT_CERT_KEY": "pem",
+            "KAFKA_TRUSTED_CERT": "pem",
+        }
+    )

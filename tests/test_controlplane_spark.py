@@ -1,0 +1,105 @@
+"""End-to-end declarative pipeline: spec JSON → compiled streaming
+query → reconcile against the live SparkSession (§3.2)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from heroku_kafka_connect_spark.controlplane import PipelineSpec, Reconciler, SparkRuntime
+
+
+def _wait_done(spark, name: str, timeout_s: float = 60.0) -> None:
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not any(q.name == name for q in spark.streams.active):
+            return
+        time.sleep(0.2)
+    raise TimeoutError(name)
+
+
+def test_spec_compiles_and_runs_pipeline(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 5.0)],
+        "id int, name string, amount double",
+    ).write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p1",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, name string, amount double",
+            "transforms": "big,tag",
+            "transforms.big.type": "filter",
+            "transforms.big.predicate": "amount >= 10.0",
+            "transforms.tag.type": "insertField",
+            "transforms.tag.name": "pipeline",
+            "transforms.tag.value": "'p1'",
+            "sink.format": "memory",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p1"] and not rep.failed
+    _wait_done(spark, "p1")
+    out = spark.table("p1").collect()
+    assert sorted(r.id for r in out) == [1, 2]
+    assert all(r.pipeline == "p1" for r in out)
+
+
+def test_reconcile_prunes_spark_query(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    spark.range(5).write.parquet(src)
+    spec = PipelineSpec(
+        name="p2",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id bigint",
+            "sink.format": "memory",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp2"))
+    r = Reconciler(rt, sleep=lambda _s: None)
+    r.reconcile_once([spec])
+    assert "p2" in rt.list_running()
+    rep = r.reconcile_once([])  # desired set now empty → prune
+    assert rep.pruned == ["p2"]
+    assert "p2" not in rt.list_running()
+
+
+def test_spec_fingerprint_change_restarts(spark, tmp_path):
+    src = str(tmp_path / "in3")
+    spark.range(3).write.parquet(src)
+
+    def mk(predicate: str) -> PipelineSpec:
+        return PipelineSpec(
+            name="p3",
+            config={
+                "source.format": "parquet",
+                "source.path": src,
+                "source.schema": "id bigint",
+                "transforms": "f",
+                "transforms.f.type": "filter",
+                "transforms.f.predicate": predicate,
+                "sink.format": "memory",
+            },
+        )
+
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp3"))
+    r = Reconciler(rt, sleep=lambda _s: None)
+    r.reconcile_once([mk("id > 0")])
+    rep = r.reconcile_once([mk("id > 1")])
+    assert rep.restarted == ["p3"]
+    r.reconcile_once([])  # cleanup
+
+
+def test_spec_json_shape_matches_reference_config():
+    """The spec is a flat JSON map exactly like CONNECTOR_${name}."""
+    raw = json.dumps({"source.format": "kafka", "sink.format": "parquet", "sink.path": "/x"})
+    spec = PipelineSpec("k1", json.loads(raw))
+    spec.validate()
+    assert spec.fingerprint() == PipelineSpec("k1", json.loads(raw)).fingerprint()

@@ -1,0 +1,111 @@
+"""LLM-pipeline operator tests: dedup recall on planted near-dups,
+similarity ranking sanity, text-function correctness (SURVEY.md §2.I)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from heroku_kafka_connect_spark import llmops
+from heroku_kafka_connect_spark.functions import text as T
+from heroku_kafka_connect_spark.functions import vectors as V
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one-token edit → high Jaccard
+    far = "completely different content about spark engines and parquet files"
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)],  # 3 == exact dup of 0
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t"))
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = docs.select("doc_id", llmops.shingles("text", 3).alias("sh"))
+    a = sh.filter("doc_id = 0").select(F.col("sh").alias("a"))
+    b = sh.filter("doc_id = 1").select(F.col("sh").alias("b"))
+    j = a.crossJoin(b).select(llmops.jaccard(F.col("a"), F.col("b")).alias("j")).first().j
+    assert 0.5 < j < 1.0
+    # identical docs → jaccard 1
+    jj = a.crossJoin(a.select(F.col("a").alias("b"))).select(
+        llmops.jaccard(F.col("a"), F.col("b")).alias("j")
+    ).first().j
+    assert jj == 1.0
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = llmops.minhash_lsh_pairs(docs, threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got or (1, 0) in got  # near-dup found
+    assert (0, 3) in got or (3, 0) in got  # exact dup found
+    assert not any({2} & {x, y} for x, y in got)  # unrelated doc not paired
+
+
+def test_simhash_pairs_finds_planted_pair(docs):
+    pairs = llmops.simhash_pairs(docs, max_hamming=16)
+    got = {frozenset((r.a, r.b)) for r in pairs.collect()}
+    assert frozenset((0, 3)) in got  # identical → hamming 0
+    assert all(2 not in p for p in got)
+
+
+def test_cosine_topk_self_is_best(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    top = V.brute_force_topk(emb, q, 3).orderBy("rank").collect()
+    assert [r.vec_id for r in top] == [0, 1, 2]
+    assert top[0].score == pytest.approx(1.0, abs=1e-4)
+    assert top[1].score == pytest.approx(0.9939, abs=1e-3)
+
+
+def test_ann_lsh_buckets_group_similar(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(50):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x + rng.gauss(0, 0.01)) for x in base]))  # near-twin
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = llmops.ann_lsh_join(emb, k=1, n_planes=6, dim=8)
+    got = {r.a: r.b for r in out.collect()}
+    # near-twins share every hyperplane side with high probability:
+    # most vectors' nearest ANN hit is their twin
+    hits = sum(1 for q, v in got.items() if v == q ^ 1)
+    assert hits >= 0.8 * len(got) > 0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("the cat sat on the mat",)], "text string")
+    row = df.select(
+        T.token_count("text").alias("n"),
+        T.type_token_ratio("text").alias("ttr"),
+        T.stopword_ratio("text", "en").alias("swr"),
+        T.fingerprint("text").alias("fp"),
+        T.language_guess("text").alias("lang"),
+    ).first()
+    assert row.n == 6
+    assert row.ttr == pytest.approx(5 / 6, abs=1e-3)
+    assert row.swr == pytest.approx(2 / 6, abs=1e-3)  # 'the' twice
+    assert len(row.fp) == 32
+    assert row.lang == "en"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame([("b a c",), ("c b a",)], "text string")
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_dedup_idempotent(spark, docs):
+    once = docs.dropDuplicates(["text"])
+    twice = once.dropDuplicates(["text"])
+    assert once.count() == twice.count() == 3

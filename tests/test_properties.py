@@ -1,0 +1,62 @@
+"""Property-based invariants (SURVEY.md §5.2.6) — hypothesis generates
+small frames; we assert engine algebra that must hold at any scale."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from heroku_kafka_connect_spark.functions import smt
+from heroku_kafka_connect_spark.sinks import writers
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.text("abc", max_size=3)),
+    min_size=0,
+    max_size=25,
+)
+
+CFG = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string") if rows else spark.createDataFrame([], "k int, ts int, v string")
+
+
+@given(rows=ROWS)
+@CFG
+def test_latest_per_key_is_idempotent_and_one_row_per_key(spark, rows):
+    df = _df(spark, rows)
+    once = writers.latest_per_key(df, ["k"], [F.col("ts").desc(), F.col("v").desc()])
+    twice = writers.latest_per_key(once, ["k"], [F.col("ts").desc(), F.col("v").desc()])
+    n_keys = df.select("k").distinct().count()
+    assert once.count() == n_keys == twice.count()
+
+
+@given(rows=ROWS)
+@CFG
+def test_filter_output_subset_of_input(spark, rows):
+    df = _df(spark, rows)
+    out = smt.filter_records(df, F.col("ts") > 50)
+    assert out.count() <= df.count()
+    assert out.filter(F.col("ts") <= 50).count() == 0
+
+
+@given(rows=ROWS)
+@CFG
+def test_union_count_additive(spark, rows):
+    df = _df(spark, rows)
+    assert df.unionAll(df).count() == 2 * df.count()
+
+
+@given(rows=ROWS)
+@CFG
+def test_dedup_exact_leaves_distinct_rows(spark, rows):
+    df = _df(spark, rows)
+    dd = df.dropDuplicates()
+    assert dd.count() == df.distinct().count()
+    assert dd.dropDuplicates().count() == dd.count()

@@ -1,0 +1,46 @@
+"""Registry + driver-contract invariants: unique names, oracle
+discipline (every SQL-oracled query aliases its columns), and the
+flagship entry smoke test."""
+
+from __future__ import annotations
+
+import pytest
+
+from heroku_kafka_connect_spark import registry
+
+
+def test_registry_loads_and_is_stable():
+    qs = registry.queries()
+    assert len(qs) >= 80
+    assert registry.queries().keys() == qs.keys()  # idempotent load
+
+
+def test_oracles_subset_of_queries():
+    qs, osql = registry.queries(), registry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH")) for s in osql.values())
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 6  # 3 returnflag × 2 linestatus on the fixture
+    assert "sum_qty" in df.columns
+
+
+def test_flagship_query_plan_is_sane(spark):
+    """The flagship must push its filter into the parquet scan and
+    keep the agg whole-stage-codegen'd — the sf-independent plan
+    properties that matter at 100 TB."""
+    import __spark_entry__ as e
+
+    plan = e.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize("name", ["rel_agg_pricing_summary", "rel_join_broadcast_star"])
+def test_query_runs_at_smoke_sf(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    assert df.count() > 0

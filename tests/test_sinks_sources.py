@@ -1,0 +1,118 @@
+"""Sink batch semantics (B1-B5) and JDBC source modes (A1-A5) on tiny
+frames; file-sink roundtrip through a tmp dir."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heroku_kafka_connect_spark.sinks import writers
+from heroku_kafka_connect_spark.sources import jdbc, kafka
+
+
+def _changes(spark):
+    # (pk, ts, payload, tombstone?)
+    return spark.createDataFrame(
+        [
+            (1, 10, "v1", False),
+            (1, 20, "v2", False),
+            (2, 10, "w1", False),
+            (2, 30, None, True),
+            (3, 5, "x1", False),
+        ],
+        "pk int, ts int, payload string, tomb boolean",
+    )
+
+
+def test_latest_per_key(spark):
+    out = writers.latest_per_key(_changes(spark), ["pk"], [F.col("ts").desc()])
+    got = {r.pk: r.payload for r in out.collect()}
+    assert got == {1: "v2", 2: None, 3: "x1"}
+
+
+def test_upsert_batch_merges_state(spark):
+    existing = spark.createDataFrame([(1, 1, "old", False)], "pk int, ts int, payload string, tomb boolean")
+    out = writers.upsert_batch(existing, _changes(spark), ["pk"], [F.col("ts").desc()])
+    got = {r.pk: r.payload for r in out.collect()}
+    assert got[1] == "v2"  # batch beats older existing row
+
+
+def test_apply_tombstones(spark):
+    out = writers.apply_tombstones(_changes(spark), ["pk"], [F.col("ts").desc()], F.col("tomb"))
+    assert {r.pk for r in out.collect()} == {1, 3}  # pk=2's latest is a tombstone
+
+
+def test_cdc_apply(spark):
+    env = spark.createDataFrame(
+        [
+            (1, 10, "c", "a1"),
+            (1, 20, "u", "a2"),
+            (2, 10, "c", "b1"),
+            (2, 20, "d", None),
+            (3, 10, "r", "c1"),
+        ],
+        "pk int, ts int, op string, after string",
+    )
+    out = writers.cdc_apply(env, ["pk"], [F.col("ts").desc()])
+    got = {r.pk: (r.op, r.after) for r in out.collect()}
+    assert got == {1: ("u", "a2"), 3: ("r", "c1")}  # pk=2 deleted
+
+
+def test_file_sink_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "out")
+    writers.write_files(df, path, fmt="parquet", partition_by=["bucket"])
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).first()[0] == 4950
+
+
+def test_jdbc_poll_modes(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"), (3, "2024-01-02 00:00:00")],
+        "id int, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+
+    assert jdbc.poll(df, "bulk", jdbc.Offset()).count() == 3
+    assert jdbc.poll(df, "incrementing", jdbc.Offset(incrementing=1), id_col="id").count() == 2
+    assert (
+        jdbc.poll(df, "timestamp", jdbc.Offset(timestamp="2024-01-01 00:00:00"), ts_col="ts").count()
+        == 2
+    )
+    # tie on ts=Jan-2: compound watermark must pick only id>2
+    got = jdbc.poll(
+        df,
+        "timestamp+incrementing",
+        jdbc.Offset(timestamp="2024-01-02 00:00:00", incrementing=2),
+        id_col="id",
+        ts_col="ts",
+    ).collect()
+    assert [r.id for r in got] == [3]
+    # fresh offset = everything
+    assert jdbc.poll(df, "timestamp+incrementing", jdbc.Offset(), id_col="id", ts_col="ts").count() == 3
+
+
+def test_normalize_bootstrap():
+    assert kafka.normalize_bootstrap(" ssl://h1:9096, ssl://h2:9096 ") == "h1:9096,h2:9096"
+    assert kafka.normalize_bootstrap("kafka+ssl://h:1") == "h:1"
+    assert kafka.normalize_bootstrap("h:9092") == "h:9092"
+
+
+def test_kafka_options_ssl(tmp_path):
+    paths = kafka.write_pem_files("CERT", "KEY", "CA", dest_dir=str(tmp_path))
+    opts = kafka.kafka_options("ssl://broker:9096", pem_paths=paths)
+    assert opts["kafka.bootstrap.servers"] == "broker:9096"
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.keystore.type"] == "PEM"
+    # PEM files materialized (the reference's main.sh:25-33 analog)
+    assert (tmp_path / "client.crt").read_text() == "CERT"
+    assert (tmp_path / "client.key").read_text() == "KEY"
+
+
+def test_envelope_from_events(spark, sf_dir):
+    from heroku_kafka_connect_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    env = kafka.envelope_from_events(t.events.limit(10))
+    cols = set(env.columns)
+    assert {"key", "value", "topic", "partition", "offset", "timestamp"} <= cols
+    assert dict(env.dtypes)["value"] == "binary"

@@ -1,0 +1,116 @@
+"""Structured Streaming semantics: checkpoint resume without loss or
+duplication (F1/F2 — the analog of Connect's offset topic,
+reference main.sh:63), watermark guard, and window helpers."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from heroku_kafka_connect_spark.streaming import windows
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "k int, v int").coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src, cp, out):
+    """One availableNow run into a DURABLE (parquet) sink — the memory
+    sink cannot recover a checkpoint, exactly like Connect's offset
+    topic only matters for durable targets."""
+    stream = spark.readStream.schema("k int, v int").parquet(src)
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_checkpoint_resume_no_loss_no_dup(spark, tmp_path):
+    """Run → stop → append more input → restart with the SAME
+    checkpoint: the sink must hold the full input EXACTLY once (the
+    resumed run processed only the new file); a fresh checkpoint over
+    the same sink duplicates the history, proving the checkpoint was
+    what prevented reprocessing."""
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+    _write_batch(spark, src, [(1, 10), (2, 20)])
+    got1 = _run_once(spark, src, cp, out).collect()
+    assert sorted(r.k for r in got1) == [1, 2]
+
+    _write_batch(spark, src, [(3, 30)])
+    got2 = _run_once(spark, src, cp, out).collect()
+    assert sorted(r.k for r in got2) == [1, 2, 3]  # no loss, no dup
+
+    # A fresh checkpoint into a fresh sink replays ALL input — proving
+    # it was the checkpoint (not the sink) that prevented reprocessing.
+    # (Same sink would hide the dup: the file-sink _spark_metadata log
+    # is batch-id-keyed, so batch 0 of a restarted query overwrites it.)
+    shutil.rmtree(cp)
+    got3 = _run_once(spark, src, cp, str(tmp_path / "out2")).collect()
+    assert sorted(r.k for r in got3) == [1, 2, 3]
+
+
+def test_streaming_windowed_agg_end_to_end(spark, sf_dir):
+    """Real micro-batch run of a watermarked tumbling window over the
+    events fixture — equals the batch computation of the same window."""
+    from heroku_kafka_connect_spark.session import load_tables
+    from heroku_kafka_connect_spark.streaming.runner import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        windows.tumbling(stream, "ts", "1 hour", watermark="1 hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*windows.window_bounds_us(), "n")
+    )
+    got = {
+        (r.window_start_us, r.window_end_us, r.n)
+        for r in run_available_now(agg, output_mode="append").collect()
+    }
+
+    events = load_tables(spark, sf_dir).events
+    batch = (
+        windows.tumbling(events, "ts", "1 hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*windows.window_bounds_us(), "n")
+    )
+    want = {(r.window_start_us, r.window_end_us, r.n) for r in batch.collect()}
+    # append mode emits a window once the watermark (max event time -
+    # 1 hour) passes its end: that is every batch window except those
+    # touching the final hour of the fixture
+    max_us = events.agg(F.unix_micros(F.max("ts"))).first()[0]
+    want_final = {w for w in want if w[1] <= max_us - 3_600_000_000}
+    assert want_final and want_final <= got <= want
+
+
+def test_watermark_guard_requires_watermark_on_streams(spark, tmp_path):
+    """Unbounded state is a 100 TB outage: session windows on a stream
+    without a watermark must be rejected by our API."""
+    stream = spark.readStream.schema("k int, v int").parquet(str(tmp_path))
+    ts = stream.withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="watermark"):
+        windows.session(ts, "ts", "30 minutes", "k")
+    # batch frames need no watermark
+    batch = spark.createDataFrame([(1,)], "k int").withColumn("ts", F.current_timestamp())
+    windows.session(batch, "ts", "30 minutes", "k")
+
+
+def test_dedup_stream_semantics(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    out = windows.dedup_stream(df, ["k"])
+    assert out.count() == 2
+
+
+def test_late_data_filter(spark):
+    df = spark.createDataFrame(
+        [("2024-01-10 00:00:00",), ("2024-01-01 00:00:00",), ("2024-01-09 12:00:00",)],
+        "s string",
+    ).withColumn("ts", F.to_timestamp("s"))
+    kept = windows.late_data_filter(df, "ts", "1 DAY")
+    assert sorted(r.s for r in kept.collect()) == ["2024-01-09 12:00:00", "2024-01-10 00:00:00"]
