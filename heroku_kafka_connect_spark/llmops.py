@@ -56,7 +56,13 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
 def band_keys(signature: Column, bands: int, rows: int) -> Column:
     """LSH banding: hash each r-row slice of the signature to one
     bucket key per band; docs sharing any band key become candidates.
-    Single expression for the same projection-collapse reason."""
+    Single expression for the same projection-collapse reason.
+
+    NB: ``signature`` appears ``bands`` times in the expression tree;
+    only pass a cheap column reference (a materialized signature), not
+    the ``minhash_signature`` expression itself — projection collapse
+    would recompute every minhash per band. The fused
+    ``minhash_band_keys`` below avoids the hazard entirely."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -66,6 +72,48 @@ def band_keys(signature: Column, bands: int, rows: int) -> Column:
                 ",",
             ),
         ),
+    )
+
+
+def minhash_band_keys(shingle_col: Column, bands: int, rows: int) -> Column:
+    """Fused minhash + banding: one expression in which every minhash
+    (seed ``b*rows + r``) is computed exactly once, because each seed
+    belongs to exactly one band. Equivalent to
+    ``band_keys(minhash_signature(sh), bands, rows)`` (same seeds, same
+    bucket keys) but immune to projection collapse inlining the shingle
+    + signature computation once per band (measured 8× blowup)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(rows - 1)),
+                    lambda r: F.array_min(
+                        F.transform(shingle_col, lambda s: F.xxhash64(s, b * rows + r))
+                    ).cast("string"),
+                ),
+                ",",
+            ),
+        ),
+    )
+
+
+def ordered_pairs(members: Column) -> Column:
+    """All (x, y) element pairs with x strictly before y in ``members``
+    (pass a SORTED array column for deterministic x < y pairs). The
+    in-bucket pair generator shared by every LSH family below: candidate
+    pairs are emitted from ONE groupBy of the banded/bucketed rows
+    instead of a self-join, which would shuffle — and recompute — the
+    signature lineage twice."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
     )
 
 
@@ -88,26 +136,36 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """I3 near-duplicate pairs via MinHash+LSH, Jaccard-verified.
 
-    Plan shape: one narrow pass computes signatures; explode to
-    (band, key) — 'bands' rows per doc carrying ONLY the id (never the
-    shingle arrays — shuffling arrays per band multiplies IO by
-    bands×); self-join on the band key finds candidate id pairs (the
-    bucket-keyed shuffle); the shingle sets are joined back just for
-    the pairs that need exact-Jaccard verification. At 100 TB the
-    band-key join replaces an impossible O(n²) cross join."""
-    sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
+    Plan shape: one narrow pass computes shingles → fused
+    minhash-band keys (each minhash evaluated once — see
+    ``minhash_band_keys``); explode to (band, key) rows carrying ONLY
+    the id (never the shingle arrays — shuffling arrays per band
+    multiplies IO by bands×); ONE shuffle groups ids per bucket and
+    emits candidate pairs in-bucket (a self-join would shuffle — and
+    recompute — the banded set twice); the shingle sets are joined
+    back just for the pairs that need exact-Jaccard verification. At
+    100 TB the bucket grouping replaces an impossible O(n²) cross
+    join; a pathological hot bucket (boilerplate/empty docs) is an
+    LSH-inherent O(|bucket|²) — cap upstream via a min-length filter.
+
+    The repartition spreads the signature computation across the
+    cluster even when the source scan yields few input splits (one
+    small parquet file = one task = 1/32 of local[32])."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
     banded = sh.select(
         "__id",
-        F.posexplode(band_keys(minhash_signature(F.col("__sh")), bands, rows)).alias(
-            "band", "key"
-        ),
+        F.explode(minhash_band_keys(F.col("__sh"), bands, rows)).alias("key"),
     )
-    left = banded.select(F.col("__id").alias("a"), "band", "key")
-    right = banded.select(F.col("__id").alias("b"), "band", "key")
+    # ids sharing a (band, key) bucket → all in-bucket pairs, a < b
     cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        banded.groupBy("key")
+        .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     verified = (
@@ -130,20 +188,24 @@ def simhash64():
 
         import numpy as np
 
+        cache: dict[str, int] = {}
+
+        def token_hash(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                cache[tok] = v
+            return v
+
+        shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in (t or "").split(" "):
-                h = np.uint64(
-                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            # wrap to signed 64-bit
+            toks = (t or "").split(" ")
+            hs = np.fromiter((token_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+            ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+            # bit b set iff majority of tokens have bit b set (acc > 0)
+            mask = ones * 2 > len(toks)
+            sig = int(((np.uint64(1) << shifts)[mask]).sum(dtype=np.uint64))
             out[i] = sig - (1 << 64) if sig >= 1 << 63 else sig
         return pd.Series(out)
 
@@ -161,20 +223,34 @@ def simhash_pairs(
     Banded by the four 16-bit chunks (pigeonhole: any pair within
     Hamming 8 shares at least one exact chunk only heuristically —
     standard SimHash banding recall tradeoff). Verification uses
-    JVM bit_count(a XOR b)."""
-    sig = docs.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sig"))
+    JVM bit_count(a XOR b). One UDF pass, one shuffle: signatures are
+    computed once (repartitioned for parallelism on few-split scans),
+    bucketed by (band, chunk), and pairs emitted in-bucket via
+    ``ordered_pairs`` — sigs travel with the ids so verification needs
+    no join back."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("__id"), simhash64()(F.col(text_col)).alias("sig")
+    )
     chunks = sig.select(
-        id_col,
+        "__id",
         "sig",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.shiftright("sig", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk")) for b in range(4)])
         ).alias("bc"),
-    ).select(id_col, "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    left = chunks.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "chunk")
-    right = chunks.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "chunk")
+    ).select("__id", "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    members = F.sort_array(F.collect_set(F.struct(F.col("__id").alias("id"), F.col("sig").alias("sig"))))
     cand = (
-        left.join(right, ["band", "chunk"])
-        .filter(F.col("a") < F.col("b"))
+        chunks.groupBy("band", "chunk")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(ordered_pairs(F.col("ms"))).alias("p"))
+        .select(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.col("p.x.sig").alias("sig_a"),
+            F.col("p.y.sig").alias("sig_b"),
+        )
         .dropDuplicates(["a", "b"])
     )
     return (
@@ -229,18 +305,40 @@ def ann_lsh_join(
     dim: int = 64,
 ) -> DataFrame:
     """I5: approximate KNN self-join — brute-force cosine only within
-    LSH buckets. The bucket join is the single shuffle; candidate
-    count ≈ n²/2^planes, tunable to the cluster."""
+    LSH buckets. Candidate count ≈ n²/2^planes, tunable to the
+    cluster. One shuffle: each vector hashes to exactly ONE bucket, so
+    a single groupBy collects bucket members and emits every directed
+    in-bucket pair once (no self-join → the hyperplane projections are
+    computed once, and no dedup pass is needed)."""
     from pyspark.sql import Window
 
     from .functions.vectors import cosine
 
-    b = hyperplane_lsh_buckets(vectors, vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim)
-    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"), "bucket")
-    right = b.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"), "bucket")
-    cand = left.join(right, "bucket").filter(F.col("a") != F.col("b"))
-    scored = cand.select(
-        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("score")
-    ).dropDuplicates(["a", "b"])
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    b = hyperplane_lsh_buckets(
+        vectors.repartition(par, F.col(id_col)),
+        vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim,
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"), "bucket")
+    ms = F.col("ms")
+    directed = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.transform(
+                F.filter(ms, lambda y: y["id"] != x["id"]),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    scored = (
+        b.groupBy("bucket")
+        .agg(F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__v").alias("v"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(directed).alias("p"))
+        .select(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.round(cosine(F.col("p.x.v"), F.col("p.y.v")), 4).alias("score"),
+        )
+    )
     w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
