@@ -22,6 +22,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def parallelize_scan(df, key: str | None = None):
+    """Round-robin/hash repartition to the session's default
+    parallelism. Use ONLY in front of compute-heavy narrow stages
+    (Arrow/pandas UDFs, per-row hashing): a small-file scan yields
+    fewer input splits than cores, serializing the Python stage. At
+    cluster scale the scan has ample splits and this is a no-op-cost
+    shuffle of the projected columns — keep the projection narrow
+    before calling."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.col(key)) if key else df.repartition(par)
+
+
 def dec(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(18,{scale})")

@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..registry import register
 from ..session import load_tables
+from .common import parallelize_scan
 
 
 @lru_cache(maxsize=1)
@@ -113,6 +114,5 @@ def udf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 record-explosion (UDTF) analog: mapInPandas 1→N expansion,
     Arrow-batched both directions."""
     t = load_tables(spark, sf_dir)
-    return t.documents.select("doc_id", "text").mapInPandas(
-        _explode_tokens, "doc_id bigint, token string"
-    )
+    docs = parallelize_scan(t.documents.select("doc_id", "text"), "doc_id")
+    return docs.mapInPandas(_explode_tokens, "doc_id bigint, token string")

@@ -1,0 +1,97 @@
+"""Plan-hygiene gate — the 100 TB design rules as assertions
+(SURVEY.md §4.2, §7.2 step 10; BASELINE.md "plan hygiene" row).
+
+Correctness tests prove the numbers; these prove the SHAPE of the
+physical plan is the one that survives a 1000-executor scale-up:
+filters and projections reach the parquet scan, dimension joins
+broadcast, top-k never sorts the corpus, per-record SMT pipelines
+stay shuffle-free, and nothing anywhere falls back to a cartesian
+product or a row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from heroku_kafka_connect_spark.registry import all_queries
+
+
+def plan_of(spark, name, sf_dir):
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushdown_and_partial_agg(spark, sf_dir):
+    p = plan_of(spark, "rel_agg_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine before the shuffle
+    assert p.count("Exchange") == 1  # exactly the one agg shuffle
+    # column pruning: only the 7 needed columns reach the scan
+    assert "ReadSchema: struct<l_quantity" in p and "l_orderkey" not in p
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    p = plan_of(spark, "rel_join_broadcast_star", sf_dir)
+    assert p.count("BroadcastHashJoin") == 3  # supplier, nation, region
+    assert "SortMergeJoin" not in p
+    # the fact table never shuffles for the joins — only the final agg
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_never_sorts_the_corpus(spark, sf_dir):
+    p = plan_of(spark, "rel_topk", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort operator
+
+
+def test_smt_pipelines_are_shuffle_free(spark, sf_dir):
+    """Connect's SMT chain is embarrassingly parallel; ours must stay
+    a single narrow codegen stage too (SURVEY.md §3.3)."""
+    for name in ["smt_cast", "smt_mask_field", "smt_flatten", "smt_regex_router",
+                 "smt_timestamp_converter", "smt_value_to_key"]:
+        p = plan_of(spark, name, sf_dir)
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        # '*(n)' prefixes mark whole-stage-codegen stages in toString
+        assert "*(1)" in p, f"{name} left codegen:\n{p}"
+
+
+def test_incremental_source_modes_push_predicates(spark, sf_dir):
+    """A2-A4: the incrementing/timestamp offset predicates must reach
+    the scan — at 100 TB this is the difference between reading new
+    rows and re-reading the table."""
+    for name, col in [("src_incrementing", "o_orderkey"),
+                      ("src_timestamp", "o_orderdate"),
+                      ("src_ts_incrementing", "o_orderdate")]:
+        p = plan_of(spark, name, sf_dir)
+        assert f"PushedFilters: [" in p and col in p.split("PushedFilters:")[1].split("]")[0], (
+            f"{name} does not push its offset predicate:\n{p}"
+        )
+
+
+#: queries where a BroadcastNestedLoopJoin is the CORRECT plan: the
+#: build side is tiny (a handful of query vectors, a 3-row banding
+#: relation, a 1-row scalar aggregate), so the "nested loop" is one
+#: linear probe pass over the big side — never quadratic in the corpus.
+BNLJ_OK = {
+    "rel_join_cross",     # declared cross join of two tiny dims
+    "rel_join_range",     # inequality join vs 3-row banding relation
+    "llm_sim_topk",       # corpus scan x 1 broadcast query vector
+    "llm_knn_join",       # corpus scan x 5 broadcast query vectors
+    "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
+}
+
+
+@pytest.mark.slow
+def test_corpus_wide_physical_bans(spark, sf_dir):
+    """No query may cartesian-join two large inputs or use a
+    row-at-a-time Python UDF (BatchEvalPython); Python stages must be
+    Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas)."""
+    for name, q in all_queries().items():
+        p = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, f"{name} cartesian-joins:\n{p}"
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, (
+                f"{name} degenerates to a nested-loop join:\n{p}"
+            )
+        assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF:\n{p}"
