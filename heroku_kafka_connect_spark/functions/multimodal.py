@@ -67,6 +67,40 @@ def decode_images(df: DataFrame) -> DataFrame:
     return flat.mapInPandas(decode, DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas — the
+    embed-the-image step of a training pipeline. Stub features are
+    deterministic byte arithmetic (length, first/last byte, a mixed
+    residue), each divided by a power of two so every component is
+    exactly representable in binary FP — bit-identical across engines
+    with no rounding step. Real model inference drops into the same
+    batch loop (load the model once per Python worker, infer per
+    Arrow batch)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not _STUB_DECODERS:  # pragma: no cover - requires a model runtime
+                raise NotImplementedError("real featurizer requires an inference lib")
+            b = pdf["payload"]
+            n = b.str.len().astype("int64")
+            first = b.str[0].fillna(0).astype("int64")
+            last = b.str[-1].fillna(0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [
+                        [ni / 1024.0, fi / 256.0, li / 256.0, (ni * 7 % 256) / 256.0]
+                        for ni, fi, li in zip(n, first, last)
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)
+
+
 def sample_frames(decoded: DataFrame, stride: int = 4) -> DataFrame:
     """Frame sampling: one row per sampled frame index (video path).
     Pure JVM explode — no Python."""

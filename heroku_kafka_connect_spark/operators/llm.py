@@ -144,6 +144,37 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                4) >= 0.35
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-embedding near-dup: exact cosine pairs >= threshold within a
+    blocking key (label) — the semantic-dedup step of a training
+    pipeline. Blocking bounds the pair count (sum of block² instead
+    of n²); at 100 TB the blocking key comes from hyperplane LSH
+    (ann_lsh_join) instead of a label, same verify-join shape."""
+    from ..functions.vectors import cosine
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
+
+
 @register("llm_knn_lsh", oracle=None)
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 scale path: hyperplane-LSH bucketed approximate KNN

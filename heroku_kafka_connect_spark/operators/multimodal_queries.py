@@ -53,6 +53,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS DOUBLE) / 1024.0 AS f_len,
+           ascii(substr(text, 1, 1)) / 256.0 AS f_first,
+           ascii(substr(text, -1, 1)) / 256.0 AS f_last,
+           CAST(LENGTH(text) * 7 % 256 AS DOUBLE) / 256.0 AS f_mix
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (stub model, real Arrow plumbing):
+    payload → array<double> feature vector, parallelized past the
+    single-split scan. The corpus surface flattens the vector to
+    scalar columns so the cross-engine hash compares scalars."""
+    from .common import parallelize_scan
+
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_payload(t.documents).select("doc_id", "payload")
+    feats = mm.extract_features(parallelize_scan(with_payload, "doc_id"))
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        f[0].alias("f_len"), f[1].alias("f_first"), f[2].alias("f_last"), f[3].alias("f_mix"),
+    )
+
+
+@register(
     "mm_resize_plan",
     oracle="""
     SELECT doc_id,

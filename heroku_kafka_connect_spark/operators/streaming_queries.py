@@ -146,6 +146,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals on a REAL checkpointed stream. The fixture arrives
+    as one micro-batch, so the cumulative emission equals the batch
+    aggregate — which is exactly what the oracle checks; cross-batch
+    state accumulation is exercised in tests/test_streaming.py."""
+    from ..streaming.stateful import running_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(running_totals(stream), output_mode="update")
+
+
 @register("stream_resume", oracle=None)
 def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: REAL Structured Streaming run — file source over the events

@@ -101,6 +101,50 @@ def test_watermark_guard_requires_watermark_on_streams(spark, tmp_path):
     windows.session(batch, "ts", "30 minutes", "k")
 
 
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must survive micro-batch
+    boundaries AND restarts (checkpointed state store). Two separate
+    availableNow runs over a growing source directory — the second run
+    processes ONLY the new file yet emits cumulative totals."""
+    from pyspark.sql import functions as F
+
+    from heroku_kafka_connect_spark.streaming.stateful import running_totals
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+
+    def run(name):
+        # memory sink can't recover a checkpoint; foreachBatch can
+        captured = []
+        stream = (
+            spark.readStream.schema("user_id bigint, ts_s long, value double")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+        )
+        q = (
+            running_totals(stream)
+            .writeStream.foreachBatch(lambda df, _bid: captured.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.user_id: r for r in captured}
+
+    spark.createDataFrame([(1, 100, 1.25), (1, 200, 2.25), (2, 50, 5.0)],
+                          "user_id bigint, ts_s long, value double").write.parquet(src)
+    got1 = run("totals_run1")
+    assert got1[1].n_events == 2 and got1[1].sum_value == 3.5
+    assert got1[1].last_ts_us == 200_000_000
+
+    spark.createDataFrame([(1, 300, 0.50)], "user_id bigint, ts_s long, value double")\
+        .write.mode("append").parquet(src)
+    got2 = run("totals_run2")
+    assert got2[1].n_events == 3 and got2[1].sum_value == 4.0  # state resumed
+    assert got2[1].last_ts_us == 300_000_000
+    assert 2 not in got2  # update mode: untouched keys are not re-emitted
+
+
 def test_dedup_stream_semantics(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
     out = windows.dedup_stream(df, ["k"])

@@ -38,6 +38,11 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-valued cells (numpy arrays / lists) are unhashable and
+    # unsortable — canonicalize to tuples first
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v) if v is not None and not isinstance(v, (str, bytes)) else v)
     # canonical row order for value diffing (driver hashes order-insensitively)
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last", ignore_index=True)
