@@ -33,6 +33,22 @@ def latest_per_key(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column
     )
 
 
+def latest_per_key_agg(df: DataFrame, keys: Sequence[str], order_col: Column) -> DataFrame:
+    """Partial-aggregation variant of ``latest_per_key`` for when only
+    the latest row's CONTENT is needed (no ranks): ``max_by`` over a
+    total-order column. The aggregate combines map-side, so each
+    map partition shuffles ONE candidate row per key instead of every
+    version of every key — at CDC-compaction scale (many updates per
+    key) this is the difference between shuffling the changelog and
+    shuffling the table. ``order_col`` must be a unique total order
+    (e.g. ``struct(ts, seq)``) or ties pick an arbitrary winner."""
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*others), order_col).alias("__latest")
+    )
+    return packed.select(*keys, "__latest.*")
+
+
 def upsert_batch(
     existing: DataFrame | None, batch: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
 ) -> DataFrame:

@@ -29,6 +29,22 @@ def test_latest_per_key(spark):
     assert got == {1: "v2", 2: None, 3: "x1"}
 
 
+def test_latest_per_key_agg_matches_window_variant(spark):
+    """The max_by partial-agg shape must pick the same rows as the
+    row_number shape (given a unique total order), and its plan must
+    show map-side partial aggregation (the point of the variant)."""
+    df = _changes(spark)
+    out = writers.latest_per_key_agg(df, ["pk"], F.struct("ts"))
+    got = {r.pk: (r.ts, r.payload) for r in out.collect()}
+    want = {
+        r.pk: (r.ts, r.payload)
+        for r in writers.latest_per_key(df, ["pk"], [F.col("ts").desc()]).collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan and "Window" not in plan
+
+
 def test_upsert_batch_merges_state(spark):
     existing = spark.createDataFrame([(1, 1, "old", False)], "pk int, ts int, payload string, tomb boolean")
     out = writers.upsert_batch(existing, _changes(spark), ["pk"], [F.col("ts").desc()])
