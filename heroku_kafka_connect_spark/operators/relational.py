@@ -304,6 +304,36 @@ def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_join_skew_salted",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_items, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation surface: the same fact⋈dim join routed through
+    ``salted_join`` (hot supplier keys spread over 16 salts) — results
+    must be identical to the plain join, which is exactly what the
+    oracle checks. Locally the dims would broadcast anyway; the salted
+    path exists for the cluster case where the build side exceeds the
+    broadcast threshold AND one probe key dominates (SCALE.md)."""
+    from ..functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    dim = t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name"
+    )
+    fact = t.lineitem.select(F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice")
+    joined = salted_join(fact, dim, ["s_suppkey"], salts=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
 # ---------------------------------------------------------------- G13 (range join)
 
 
