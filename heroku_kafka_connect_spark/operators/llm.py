@@ -175,6 +175,19 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
 
 
+@register("llm_knn_ivf", oracle=None)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 scale path #2: IVF-flat approximate top-k — coarse-quantize
+    the corpus into centroid buckets, probe only the nearest buckets
+    per query (rows-only: recall depends on probe count by design;
+    the nprobe=ncentroids ⇒ exact invariant is unit-tested)."""
+    from ..functions.vectors import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 5)
+    return ivf_topk(t.embeddings, q, 3, n_centroids=16, n_probe=4)
+
+
 @register("llm_knn_lsh", oracle=None)
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 scale path: hyperplane-LSH bucketed approximate KNN

@@ -65,6 +65,29 @@ def test_cosine_topk_self_is_best(spark):
     assert top[1].score == pytest.approx(0.9939, abs=1e-3)
 
 
+def test_ivf_exhaustive_probe_is_exact(spark):
+    """nprobe == ncentroids probes every bucket → IVF must equal brute
+    force exactly; fewer probes still yields k rows per query (the
+    recall/cost dial, SCALE.md)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.filter("vec_id < 3")
+    exact = {(r.query_id, r.rank): r.vec_id for r in V.brute_force_topk(emb, q, 3).collect()}
+    ivf_all = {
+        (r.query_id, r.rank): r.vec_id
+        for r in V.ivf_topk(emb, q, 3, n_centroids=4, n_probe=4).collect()
+    }
+    assert ivf_all == exact
+    few = V.ivf_topk(emb, q, 3, n_centroids=4, n_probe=1)
+    counts = {r.query_id: 0 for r in few.collect()}
+    for r in few.collect():
+        counts[r.query_id] += 1
+    assert all(c == 3 for c in counts.values())
+
+
 def test_ann_lsh_buckets_group_similar(spark):
     import random
 
