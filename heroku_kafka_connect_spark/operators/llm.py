@@ -164,14 +164,24 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Blocking bounds the pair count (sum of block² instead
     of n²); at 100 TB the blocking key comes from hyperplane LSH
     (ann_lsh_join) instead of a label, same verify-join shape."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     t = load_tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    # norms are computed ONCE per row in the projection below the join
+    # exchange (O(n·d)), not per pair (O(pairs·d)) — the arithmetic
+    # stays dot/(sqrt·sqrt), bit-identical to the oracle's formula
+    e = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
 
 
