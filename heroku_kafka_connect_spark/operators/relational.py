@@ -845,3 +845,112 @@ def rel_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
         """
     )
+
+
+# ---------------------------------------------------------------- beyond-inventory analytics (SURVEY §2.J)
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). Exact percentile sorts within each group; at
+    100 TB switch to `approx_percentile` (t-digest, mergeable map-side
+    — but engine-specific constants, so the oracle-checked corpus uses
+    the exact form)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "rel_stats_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd,
+           ROUND(var_samp(o_totalprice), 2) AS var,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           ROUND(covar_samp(o_totalprice, o_custkey), 2) AS price_cust_covar
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar) — all
+    mergeable sketches (sum/sumsq/count triples), so they combine
+    map-side like any partial aggregate."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("price_cust_covar"),
+    )
+
+
+@register(
+    "rel_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with deterministic order: collect_list is
+    order-nondeterministic under parallel merge, so sort before
+    joining — the only way listagg hashes stably across engines AND
+    cluster topologies."""
+    t = load_tables(spark, sf_dir)
+    j = t.nation.join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
+    "rel_time_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS bucket_month,
+           CASE WHEN GROUPING(date_trunc('week', o_orderdate)) = 1 THEN NULL
+                ELSE CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) END AS bucket_week,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((date_trunc('month', o_orderdate)),
+                            (date_trunc('month', o_orderdate), date_trunc('week', o_orderdate)))
+    """,
+)
+def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: month + week
+    aggregates in ONE grouping-sets pass over the fact table (one
+    scan, one shuffle — the continuous-aggregate pattern at scale).
+    """
+    t = load_tables(spark, sf_dir)
+    # groupingSets matches grouping columns by NAME — computed
+    # expressions must be materialized as named columns first
+    buckets = t.orders.withColumn("m", F.date_trunc("month", "o_orderdate")).withColumn(
+        "w", F.date_trunc("week", "o_orderdate")
+    )
+    rolled = buckets.groupingSets(
+        [[F.col("m")], [F.col("m"), F.col("w")]], "m", "w"
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    return rolled.select(
+        F.col("m").cast("date").cast("string").alias("bucket_month"),
+        F.col("w").cast("date").cast("string").alias("bucket_week"),
+        "n_orders",
+        "sum_price",
+    )

@@ -78,6 +78,7 @@ BNLJ_OK = {
     "llm_sim_topk",       # corpus scan x 1 broadcast query vector
     "llm_knn_join",       # corpus scan x 5 broadcast query vectors
     "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
+    "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
 }
 
 
