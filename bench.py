@@ -51,8 +51,11 @@ def main() -> None:
     spark = get_spark("hkc-bench")
     qs = all_queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches + Python/Arrow
+    # worker pool (pandas-UDF queries otherwise pay ~3s one-time
+    # worker fork+import inside their first timing)
     execute(qs["rel_agg_pricing_summary"].fn(spark, sf_dir))
+    execute(qs["udf_scalar_pandas"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
