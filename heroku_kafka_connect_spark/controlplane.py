@@ -326,6 +326,21 @@ def apply_transform_chain(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
             df = smt.regex_router(df, cfg[p + "field"], cfg[p + "pattern"], cfg[p + "replacement"])
         elif kind == "valueToKey":
             df = smt.value_to_key(df, json.loads(cfg[p + "fields"]))
+        elif kind == "flatten":
+            df = smt.flatten(df, cfg[p + "field"], cfg.get(p + "delimiter", "_"))
+        elif kind == "hoistField":
+            df = smt.hoist_field(df, json.loads(cfg[p + "fields"]), cfg[p + "name"])
+        elif kind == "extractField":
+            df = smt.extract_field(df, cfg[p + "field"].split(".")[0], cfg[p + "field"].split(".", 1)[1])
+        elif kind == "timestampConverter":
+            df = smt.timestamp_converter(
+                df, cfg[p + "field"], cfg[p + "target"],
+                fmt=cfg.get(p + "format", "yyyy-MM-dd HH:mm:ss"),
+            )
+        elif kind == "timestampRouter":
+            df = smt.timestamp_router(
+                df, cfg[p + "field"], cfg[p + "ts"], fmt=cfg.get(p + "format", "yyyyMMdd")
+            )
         else:
             raise SpecError(f"unknown transform type {kind!r} for {t!r}")
     return df

@@ -103,3 +103,42 @@ def test_spec_json_shape_matches_reference_config():
     spec = PipelineSpec("k1", json.loads(raw))
     spec.validate()
     assert spec.fingerprint() == PipelineSpec("k1", json.loads(raw)).fingerprint()
+
+
+def test_transform_chain_full_smt_coverage(spark):
+    """Every compiler-dispatchable SMT type in one declared chain,
+    applied to a batch frame (the chain is source-agnostic)."""
+    from pyspark.sql import functions as F
+
+    from heroku_kafka_connect_spark.controlplane import apply_transform_chain
+
+    df = spark.createDataFrame(
+        [(1, "u1", 5.5, "2024-03-01 10:00:00", "t-a")],
+        "id int, user string, amount double, ts_s string, route string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    cfg = {
+        "transforms": "h,fl,conv,rt,mask,key",
+        "transforms.h.type": "hoistField",
+        "transforms.h.fields": '["user", "amount"]',
+        "transforms.h.name": "payload",
+        "transforms.fl.type": "flatten",
+        "transforms.fl.field": "payload",
+        "transforms.conv.type": "timestampConverter",
+        "transforms.conv.field": "ts",
+        "transforms.conv.target": "unix_micros",
+        "transforms.rt.type": "regexRouter",
+        "transforms.rt.field": "route",
+        "transforms.rt.pattern": "^t-",
+        "transforms.rt.replacement": "topic-",
+        "transforms.mask.type": "maskField",
+        "transforms.mask.field": "payload_user",
+        "transforms.key.type": "valueToKey",
+        "transforms.key.fields": '["id"]',
+    }
+    out = apply_transform_chain(df, cfg)
+    row = out.first()
+    assert row.payload_amount == 5.5
+    assert row.payload_user is None  # masked
+    assert row.ts == 1709287200000000  # 2024-03-01T10:00Z in micros
+    assert row.route == "topic-a"
+    assert row.key.id == 1
