@@ -1,0 +1,72 @@
+"""10× scale-up smoke (SCALE.md): replicate lineitem to ~6M rows and
+rerun the flagship + star-join shapes. Proves the plans hold their
+shape (pushdown, broadcast, partial agg) and their wall-clock grows
+~linearly — the local proxy for the 100×/1000× question the design
+targets."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from heroku_kafka_connect_spark.operators.common import dsum
+from heroku_kafka_connect_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+@pytest.fixture(scope="module")
+def big_lineitem(spark):
+    t = load_tables(spark, SF_DIR)
+    # union-replicate with perturbed keys: same value distribution,
+    # 10x the rows (~6M), no artificial duplicate-row collapse
+    parts = [
+        t.lineitem.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@pytest.mark.slow
+def test_flagship_shape_survives_10x(spark, big_lineitem):
+    t0 = time.time()
+    agg = (
+        big_lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = agg.collect()
+    wall = time.time() - t0
+    assert len(rows) == 6  # same groups as sf0.1
+    base_filtered = (
+        load_tables(spark, SF_DIR)
+        .lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .count()
+    )
+    assert sum(r.n for r in rows) == base_filtered * COPIES  # really 10x data
+    p = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in p and "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert wall < 60, f"flagship at 10x took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_star_join_still_broadcasts_at_10x(spark, big_lineitem):
+    t = load_tables(spark, SF_DIR)
+    joined = (
+        big_lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t0 = time.time()
+    assert joined.count() == 25
+    wall = time.time() - t0
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p
+    assert wall < 60, f"star join at 10x took {wall:.0f}s"
