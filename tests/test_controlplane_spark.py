@@ -142,3 +142,38 @@ def test_transform_chain_full_smt_coverage(spark):
     assert row.ts == 1709287200000000  # 2024-03-01T10:00Z in micros
     assert row.route == "topic-a"
     assert row.key.id == 1
+
+
+def test_continuous_source_compiles_and_streams(spark, tmp_path):
+    """A genuinely unbounded source (rate) through the declarative
+    compiler: the pipeline must come up as a live StreamingQuery and
+    produce rows — the no-brokers stand-in for the Kafka source path
+    (same reader surface, different format string)."""
+    spec = PipelineSpec(
+        name="p_rate",
+        config={
+            "source.format": "rate",
+            "source.option.rowsPerSecond": "50",
+            "transforms": "tag",
+            "transforms.tag.type": "insertField",
+            "transforms.tag.name": "src",
+            "transforms.tag.value": "'rate'",
+            "sink.format": "memory",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_rate"] and not rep.failed
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("p_rate").count()
+            if n > 0:
+                break
+            time.sleep(0.3)
+        assert n > 0
+        assert spark.table("p_rate").first().src == "rate"
+    finally:
+        Reconciler(rt, sleep=lambda _s: None).reconcile_once([])  # prune
+    assert not any(q.name == "p_rate" for q in spark.streams.active)

@@ -44,3 +44,16 @@ def test_flagship_query_plan_is_sane(spark):
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     df = registry.queries()[name](spark, sf_dir)
     assert df.count() > 0
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """G5 is rows-only at the driver (HLL constants differ across
+    engines); here we pin the Spark-side accuracy contract: rsd=0.02
+    must land within 5% of exact on every group."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    df = all_queries()["rel_approx_count_distinct"].fn(spark, sf_dir)
+    for r in df.collect():
+        assert abs(r.approx_parts - r.exact_parts) <= max(0.05 * r.exact_parts, 2), (
+            f"{r.l_returnflag}: approx {r.approx_parts} vs exact {r.exact_parts}"
+        )
