@@ -87,3 +87,32 @@ def read_query(spark: SparkSession, url: str, query: str, **options) -> DataFram
     the DB as a subquery — computation happens remotely, like the
     connector's query mode."""
     return spark.read.format("jdbc").option("url", url).option("query", query).options(**options).load()
+
+
+def stride_predicates(col: str, lower: int, upper: int, n: int) -> list[str]:
+    """Partition a numeric key range into `n` contiguous WHERE clauses
+    for `spark.read.jdbc(..., predicates=...)` — one DB connection per
+    clause. This is the engine's `tasks.max`: a single-connection JDBC
+    read is the classic 100 TB ingestion bottleneck (the Connect
+    source parallelizes the same way, one query span per task).
+    Clauses cover (-inf, +inf) so rows outside [lower, upper) are
+    never silently dropped — identical to Spark's own
+    partitionColumn/lowerBound/upperBound semantics."""
+    if n < 1 or upper <= lower:
+        raise ValueError("need n >= 1 and upper > lower")
+    if n == 1:
+        return ["1=1"]
+    stride = (upper - lower) / n
+    bounds = [lower + round(i * stride) for i in range(1, n)]
+    preds = [f"{col} < {bounds[0]} OR {col} IS NULL"]
+    preds += [f"{col} >= {bounds[i - 1]} AND {col} < {bounds[i]}" for i in range(1, n - 1)]
+    preds.append(f"{col} >= {bounds[-1]}")
+    return preds
+
+
+def read_partitioned(
+    spark: SparkSession, url: str, table: str, col: str, lower: int, upper: int, n: int, **options
+) -> DataFrame:
+    """Parallel JDBC table read: `n` concurrent range-partitioned
+    connections (A1 bulk mode at scale)."""
+    return spark.read.jdbc(url, table, predicates=stride_predicates(col, lower, upper, n), properties=options)

@@ -132,3 +132,21 @@ def test_envelope_from_events(spark, sf_dir):
     cols = set(env.columns)
     assert {"key", "value", "topic", "partition", "offset", "timestamp"} <= cols
     assert dict(env.dtypes)["value"] == "binary"
+
+
+def test_stride_predicates_cover_all_rows(spark):
+    """The generated clauses must partition the key domain: every row
+    (including NULL keys and out-of-range stragglers) matches exactly
+    one clause — the invariant that makes the parallel read lossless."""
+    preds = jdbc.stride_predicates("k", 0, 100, 4)
+    assert len(preds) == 4
+    df = spark.createDataFrame(
+        [(-5,), (0,), (24,), (25,), (50,), (99,), (100,), (1000,), (None,)], "k int"
+    )
+    total = df.count()
+    matched = sum(df.filter(p).count() for p in preds)
+    assert matched == total  # exactly-once coverage across clauses
+
+
+def test_stride_predicates_single_partition(spark):
+    assert jdbc.stride_predicates("k", 0, 10, 1) == ["1=1"]
