@@ -158,3 +158,40 @@ def test_late_data_filter(spark):
     ).withColumn("ts", F.to_timestamp("s"))
     kept = windows.late_data_filter(df, "ts", "1 DAY")
     assert sorted(r.s for r in kept.collect()) == ["2024-01-09 12:00:00", "2024-01-10 00:00:00"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """F10 on a REAL stream: dropDuplicatesWithinWatermark must drop a
+    key's reappearance in a later micro-batch (state persisted in the
+    checkpoint) — the Debezium-upsert-analog dedup the batch tests
+    can't prove."""
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("k int, ts_s long, v string")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+        )
+        deduped = windows.dedup_stream(stream, ["k"], ts_col="ts", watermark="1 hour")
+        q = (
+            deduped.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 100, "first"), (2, 100, "other")],
+                          "k int, ts_s long, v string").write.parquet(src)
+    run()
+    assert sorted(r.k for r in seen) == [1, 2]
+
+    # duplicate k=1 within the watermark + a fresh k=3
+    spark.createDataFrame([(1, 200, "dup"), (3, 200, "new")],
+                          "k int, ts_s long, v string").write.mode("append").parquet(src)
+    run()
+    assert sorted(r.k for r in seen) == [1, 2, 3]  # dup suppressed across batches
+    assert {r.v for r in seen if r.k == 1} == {"first"}
