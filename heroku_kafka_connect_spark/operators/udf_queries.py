@@ -95,6 +95,48 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=1)
+def _chunk_udtf():
+    """Arrow-optimized Python UDTF (Spark 3.5+): the table-function
+    extension point proper — consumed via LATERAL join. Lazy: @udtf
+    resolves its return type against the active session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            t = text or ""
+            for i in range(0, len(t), size):
+                yield i // size, t[i : i + size]
+
+    return ChunkText
+
+
+@register(
+    "udf_udtf_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(g AS INTEGER) AS chunk_idx,
+           substr(text, CAST(g * 256 + 1 AS BIGINT), 256) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(LENGTH(text) / 256.0) AS BIGINT))) AS g) t
+    """,
+)
+def udf_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3b true UDTF: context-window document chunking (1 doc → N
+    256-char chunks) as a LATERAL Python table function — the
+    LLM-pipeline chunking step AND the Connect record-explosion
+    extension point expressed as Spark's native UDTF surface."""
+    load_tables(spark, sf_dir)  # registers the documents view
+    spark.udtf.register("hkc_chunk_text", _chunk_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM documents d, LATERAL hkc_chunk_text(d.text, 256) c
+        """
+    )
+
+
 def _explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas UDTF: 1 document row → N token rows."""
     for pdf in batches:
