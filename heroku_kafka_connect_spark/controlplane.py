@@ -252,21 +252,41 @@ class SparkRuntime(QueryRuntime):
         # of main.sh:63. The memory sink truncates on restart and
         # cannot recover a checkpoint, so it gets a fresh one per
         # start (its state is ephemeral by definition).
+        cfg = spec.config
+        fmt = cfg["sink.format"]
         cp = os.path.join(self.checkpoint_root, spec.name)
-        if spec.config["sink.format"] == "memory":
+        if fmt == "memory":
             cp = os.path.join(self.checkpoint_root, f"{spec.name}-{uuid.uuid4().hex[:8]}")
-        writer = (
-            df.writeStream.queryName(spec.name)
-            .outputMode(spec.config.get("sink.outputMode", "append"))
-            .format(spec.config["sink.format"])
-            .option("checkpointLocation", cp)
-        )
-        for k, v in spec.config.items():
-            if k.startswith("sink.option."):
-                writer = writer.option(k.removeprefix("sink.option."), v)
-        if spec.config.get("sink.format") == "parquet":
-            writer = writer.option("path", spec.config["sink.path"])
-        if spec.config.get("trigger") == "availableNow":
+        if fmt in ("jdbc-upsert", "parquet-upsert"):
+            # the Connect JDBC sink's insert.mode=upsert + pk.mode
+            # (reference Dockerfile:28-40) — batch-dedup + idempotent
+            # merge inside foreachBatch (SURVEY §4.3.2)
+            from .sinks import writers as _writers
+
+            keys = cfg["sink.option.keys"].split(",")
+            order = cfg["sink.option.orderBy"].split(",")
+            if fmt == "jdbc-upsert":
+                fb = _writers.foreach_batch_upsert(
+                    cfg["sink.option.url"], cfg["sink.option.table"], keys, order
+                )
+            else:
+                fb = _writers.foreach_batch_upsert_parquet(cfg["sink.path"], keys, order)
+            writer = df.writeStream.queryName(spec.name).foreachBatch(fb).option(
+                "checkpointLocation", cp
+            )
+        else:
+            writer = (
+                df.writeStream.queryName(spec.name)
+                .outputMode(cfg.get("sink.outputMode", "append"))
+                .format(fmt)
+                .option("checkpointLocation", cp)
+            )
+            for k, v in cfg.items():
+                if k.startswith("sink.option."):
+                    writer = writer.option(k.removeprefix("sink.option."), v)
+            if fmt == "parquet":
+                writer = writer.option("path", cfg["sink.path"])
+        if cfg.get("trigger") == "availableNow":
             writer = writer.trigger(availableNow=True)
         writer.start()
         self._fingerprints[spec.name] = spec.fingerprint()
@@ -341,6 +361,12 @@ def apply_transform_chain(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
             df = smt.timestamp_router(
                 df, cfg[p + "field"], cfg[p + "ts"], fmt=cfg.get(p + "format", "yyyyMMdd")
             )
+        elif kind == "insertHeader":
+            df = smt.insert_header(df, cfg[p + "header"], F.expr(cfg[p + "value"]))
+        elif kind == "headerFrom":
+            df = smt.header_from(df, cfg[p + "field"], cfg[p + "header"])
+        elif kind == "dropHeaders":
+            df = smt.drop_headers(df, json.loads(cfg[p + "headers"]))
         else:
             raise SpecError(f"unknown transform type {kind!r} for {t!r}")
     return df

@@ -130,6 +130,33 @@ def foreach_batch_upsert(
     return write
 
 
+def foreach_batch_upsert_parquet(table_dir: str, keys: Sequence[str], order_by_cols: Sequence[str]):
+    """B2 upsert onto a parquet table: copy-on-write merge per
+    micro-batch (versioned state dirs + a `_current` manifest —
+    parquet can't MERGE in place). The no-database stand-in for
+    `foreach_batch_upsert`; production targets with native MERGE
+    (JDBC, lakehouse formats) swap the write step and keep the same
+    batch-dedup semantics."""
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = os.path.join(table_dir, "_current")
+        existing = None
+        if os.path.exists(cur):
+            with open(cur) as f:
+                existing = spark.read.parquet(f.read().strip())
+        order = [F.col(c).desc() for c in order_by_cols]
+        merged = upsert_batch(existing, batch_df, keys, order)
+        out = os.path.join(table_dir, f"state_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        os.makedirs(table_dir, exist_ok=True)
+        with open(cur, "w") as f:
+            f.write(out)
+
+    return write
+
+
 def write_files(df: DataFrame, path: str, fmt: str = "parquet", partition_by: Sequence[str] = (), mode: str = "overwrite") -> None:
     """B5 file sink (the engine half of the Camel SFTP sink — remote
     transport is an environment concern). partition_by gives the

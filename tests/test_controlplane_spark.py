@@ -177,3 +177,71 @@ def test_continuous_source_compiles_and_streams(spark, tmp_path):
     finally:
         Reconciler(rt, sleep=lambda _s: None).reconcile_once([])  # prune
     assert not any(q.name == "p_rate" for q in spark.streams.active)
+
+
+def test_transform_chain_header_smts(spark):
+    from heroku_kafka_connect_spark.controlplane import apply_transform_chain
+
+    df = spark.createDataFrame([(1, "x")], "id int, src string")
+    cfg = {
+        "transforms": "ih,hf,dh",
+        "transforms.ih.type": "insertHeader",
+        "transforms.ih.header": "pipeline",
+        "transforms.ih.value": "'p9'",
+        "transforms.hf.type": "headerFrom",
+        "transforms.hf.field": "src",
+        "transforms.hf.header": "origin",
+        "transforms.dh.type": "dropHeaders",
+        "transforms.dh.headers": '["pipeline"]',
+    }
+    out = apply_transform_chain(df, cfg)
+    headers = out.first().headers
+    assert headers == {"origin": "x"}  # inserted then dropped; copied stays
+
+
+def test_declared_upsert_pipeline_end_to_end(spark, tmp_path):
+    """The migration target shape (MIGRATION.md): a declared pipeline
+    with sink.format=parquet-upsert — change records stream in, the
+    table materializes latest-per-key, and a second reconcile run
+    (same checkpoint) applies only new batches."""
+    import os
+
+    src, tbl = str(tmp_path / "in"), str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    spark.createDataFrame(
+        [(1, 10, "v1"), (2, 10, "w1")], "id int, ts int, payload string"
+    ).write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p_upsert",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, ts int, payload string",
+            "sink.format": "parquet-upsert",
+            "sink.path": tbl,
+            "sink.option.keys": "id",
+            "sink.option.orderBy": "ts",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+
+    def state():
+        with open(os.path.join(tbl, "_current")) as f:
+            return {r.id: r.payload for r in spark.read.parquet(f.read().strip()).collect()}
+
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_upsert"] and not rep.failed
+    _wait_done(spark, "p_upsert")
+    assert state() == {1: "v1", 2: "w1"}
+
+    # update id=1 + insert id=3; restart the SAME spec (unchanged
+    # fingerprint would be a no-op, so bump a cosmetic option? no —
+    # the query finished; reconcile sees it gone and restarts it)
+    spark.createDataFrame([(1, 20, "v2"), (3, 20, "x1")], "id int, ts int, payload string")\
+        .write.mode("append").parquet(src)
+    rep2 = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep2.started == ["p_upsert"]  # availableNow query had terminated
+    _wait_done(spark, "p_upsert")
+    assert state() == {1: "v2", 2: "w1", 3: "x1"}
