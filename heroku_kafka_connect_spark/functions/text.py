@@ -90,3 +90,41 @@ def fingerprint(text: Column | str) -> Column:
     distinct token set — the classic 'fingerprint' dedup key."""
     toks = ws_tokens(text)
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def gram_hashes(text: Column | str, k: int = 5) -> Column:
+    """Rolling hash per k-token shingle (the winnowing input)."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+
+
+def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, w: int = 4):
+    """Winnowing fingerprints (the MOSS algorithm) → (id, fp) rows:
+    the MIN gram hash of each w-length window, deduplicated. A shared
+    token run of ≥ k+w-1 tokens GUARANTEES a shared fingerprint — the
+    substring-robust dedup key (`fingerprint` above breaks on any
+    edit; winnowing only misses edits inside every window).
+
+    Shape: posexplode the gram array (hashes computed ONCE — an
+    array-of-windows expression slicing the gram expression inside a
+    lambda re-evaluates the whole gram array per window element,
+    measured ~50× blowup), then the window min is an incremental
+    frame aggregate over pos. One shuffle on the id; O(tokens) rows of
+    (id, pos, hash) in flight — the formulation that scales."""
+    from pyspark.sql import Window
+
+    g = df.select(F.col(id_col), F.posexplode(gram_hashes(text_col, k)).alias("pos", "h"))
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    per_doc = Window.partitionBy(id_col)
+    return (
+        g.withColumn("fp", F.min("h").over(frame))
+        .withColumn("__n", F.count(F.lit(1)).over(per_doc))
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )

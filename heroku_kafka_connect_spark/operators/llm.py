@@ -185,6 +185,31 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
 
 
+@register("llm_dedup_winnow", oracle=None)
+def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-winnowing near-dup: docs sharing >= 3 winnowing fingerprints
+    (MOSS): any shared token run of >= k+w-1 tokens guarantees a
+    shared fingerprint, so this catches COPIED PASSAGES that
+    whole-document MinHash dilutes away. Same one-shuffle plan as the
+    other LSH families: explode (doc, fp), bucket-group by fp,
+    in-bucket pairs, count shared fps per pair. Rows-only (xxhash64
+    constants are engine-specific)."""
+    from ..functions.text import winnow_fingerprints
+    from ..llmops import ordered_pairs
+
+    t = load_tables(spark, sf_dir)
+    fps = winnow_fingerprints(t.documents)
+    return (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
 @register("llm_knn_ivf", oracle=None)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 scale path #2: IVF-flat approximate top-k — coarse-quantize

@@ -132,3 +132,24 @@ def test_dedup_idempotent(spark, docs):
     once = docs.dropDuplicates(["text"])
     twice = once.dropDuplicates(["text"])
     assert once.count() == twice.count() == 3
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """Winnowing's core property: a shared token run of >= k+w-1
+    tokens (here 8) MUST produce a shared fingerprint; disjoint texts
+    share none."""
+    from heroku_kafka_connect_spark.functions.text import winnow_fingerprints
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"intro words here {passage} closing remarks"),
+        (1, f"{passage} totally different tail content follows now"),
+        (2, "unrelated text with no overlap at all whatsoever here okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps: dict[int, set] = {r[0]: set() for r in rows}
+    for r in winnow_fingerprints(df).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1]          # shared passage → shared fingerprint
+    assert not (fps[0] & fps[2])    # disjoint text → disjoint fingerprints
+    assert not (fps[1] & fps[2])
