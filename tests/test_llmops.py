@@ -153,3 +153,15 @@ def test_winnowing_guarantee_shared_passage(spark):
     assert fps[0] & fps[1]          # shared passage → shared fingerprint
     assert not (fps[0] & fps[2])    # disjoint text → disjoint fingerprints
     assert not (fps[1] & fps[2])
+
+
+def test_custom_and_ml_minhash_agree(spark, sf_dir):
+    """The custom fused-band-key path and the spark.ml builtin path
+    must find the same near-dup pairs on the fixtures — mutual
+    cross-validation of two independent MinHash implementations."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    qs = all_queries()
+    custom = {(r.a, r.b) for r in qs["llm_dedup_near"].fn(spark, sf_dir).collect()}
+    ml = {(r.a, r.b) for r in qs["llm_dedup_near_ml"].fn(spark, sf_dir).collect()}
+    assert custom == ml and custom
