@@ -180,3 +180,11 @@ def drop_headers(df: DataFrame, keys: Sequence[str], headers_col: str = "headers
         headers_col,
         F.map_filter(F.col(headers_col), lambda k, _: ~k.isin(*dropped)),
     )
+
+
+def set_schema_metadata(df: DataFrame, name: str) -> DataFrame:
+    """D10 `SetSchemaMetadata`: rename the record schema. Spark plans
+    carry no user-facing schema name; the analog is a subquery alias —
+    zero data effect (asserted in tests), visible to SQL as the
+    relation name."""
+    return df.alias(name)

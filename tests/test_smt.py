@@ -89,3 +89,10 @@ def test_empty_input(spark):
     empty = spark.createDataFrame([], "id int, value string, topic string")
     assert smt.filter_records(empty, smt.topic_name_matches(".*")).count() == 0
     assert smt.mask_field(empty, "value").count() == 0
+
+
+def test_set_schema_metadata_no_data_effect(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    out = smt.set_schema_metadata(df, "renamed_schema")
+    assert out.schema == df.schema
+    assert out.collect() == df.collect()
