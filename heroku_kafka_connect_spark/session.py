@@ -65,7 +65,37 @@ def configure(spark: SparkSession) -> SparkSession:
     # events.parquet stores ns-precision timestamps (FIXTURES.md); Spark
     # has no ns type, so read as long and convert to µs in Tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python WORKERS.
+
+    cloudpickle serializes module-level functions (every mapInPandas /
+    pandas_udf / applyInPandasWithState callable in this engine) BY
+    REFERENCE — the worker must `import heroku_kafka_connect_spark` to
+    unpickle them. A host session launched from the repo root finds it
+    via cwd, but a session launched anywhere else (the round driver's,
+    a real cluster's executors) does not: ship the package as a zip
+    via addPyFile, which every worker prepends to sys.path."""
+    sc = spark.sparkContext
+    marker = "_hkc_package_shipped"
+    jvm_marker = sc.environment.get(marker) if hasattr(sc, "environment") else None
+    if getattr(sc, marker, None) or jvm_marker:
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    archive = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="hkc-pyfiles-"), "heroku_kafka_connect_spark"),
+        "zip",
+        root_dir=pkg_root,
+        base_dir="heroku_kafka_connect_spark",
+    )
+    sc.addPyFile(archive)
+    setattr(sc, marker, True)
 
 
 class Tables:
