@@ -257,7 +257,26 @@ class SparkRuntime(QueryRuntime):
         cp = os.path.join(self.checkpoint_root, spec.name)
         if fmt == "memory":
             cp = os.path.join(self.checkpoint_root, f"{spec.name}-{uuid.uuid4().hex[:8]}")
-        if fmt in ("jdbc-upsert", "parquet-upsert"):
+        if fmt == "dlq-split":
+            # errors.tolerance=all + dead-letter topic (Connect worker
+            # config, reference Dockerfile:4 [stack]): parse the
+            # payload; valid rows → sink.path, corrupt → sink.dlqPath,
+            # both written in the same foreachBatch transaction scope
+            from .serde import jsonserde
+
+            json_col = cfg["sink.option.jsonColumn"]
+            schema = cfg["sink.option.schema"]
+            good_path, dlq_path = cfg["sink.path"], cfg["sink.dlqPath"]
+
+            def split(batch_df: DataFrame, batch_id: int) -> None:
+                valid, dlq = jsonserde.dlq_split(batch_df, json_col, schema)
+                valid.withColumn("__parsed", F.to_json("__parsed")).write.mode("append").parquet(good_path)
+                dlq.write.mode("append").parquet(dlq_path)
+
+            writer = df.writeStream.queryName(spec.name).foreachBatch(split).option(
+                "checkpointLocation", cp
+            )
+        elif fmt in ("jdbc-upsert", "parquet-upsert"):
             # the Connect JDBC sink's insert.mode=upsert + pk.mode
             # (reference Dockerfile:28-40) — batch-dedup + idempotent
             # merge inside foreachBatch (SURVEY §4.3.2)

@@ -245,3 +245,40 @@ def test_declared_upsert_pipeline_end_to_end(spark, tmp_path):
     assert rep2.started == ["p_upsert"]  # availableNow query had terminated
     _wait_done(spark, "p_upsert")
     assert state() == {1: "v2", 2: "w1", 3: "x1"}
+
+
+def test_declared_dlq_pipeline_splits_corrupt_records(spark, tmp_path):
+    """errors.tolerance=all as a declared pipeline: valid payloads land
+    in the main sink, corrupt ones in the DLQ sink — neither poisons
+    the stream (the Connect DLQ-topic analog)."""
+    import os
+
+    src = str(tmp_path / "in")
+    good, dlq = str(tmp_path / "good"), str(tmp_path / "dlq")
+    spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, "{broken"), (3, '{"k": 3}'), (4, None)],
+        "id int, payload string",
+    ).write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p_dlq",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, payload string",
+            "sink.format": "dlq-split",
+            "sink.path": good,
+            "sink.dlqPath": dlq,
+            "sink.option.jsonColumn": "payload",
+            "sink.option.schema": "k int",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_dlq"] and not rep.failed
+    _wait_done(spark, "p_dlq")
+    ok = {r.id for r in spark.read.parquet(good).collect()}
+    bad = {r.id: r["__error"] for r in spark.read.parquet(dlq).collect()}
+    assert ok == {1, 3}
+    assert set(bad) == {2, 4} and all(v == "json-parse-failed" for v in bad.values())
