@@ -147,6 +147,48 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch-equivalent): every click
+    within the hour before a purchase by the same user — attribution,
+    the canonical stream-stream join. On streams both sides carry
+    watermarks and the interval condition bounds join state to one
+    hour per side (tested live in tests/test_streaming.py). At 100 TB
+    the time bound IS the scalability: without it, stream-stream join
+    state grows without limit."""
+    t = load_tables(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+
+
+@register(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

@@ -195,3 +195,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     run()
     assert sorted(r.k for r in seen) == [1, 2, 3]  # dup suppressed across batches
     assert {r.v for r in seen if r.k == 1} == {"first"}
+
+
+def test_stream_stream_interval_join_live(spark, tmp_path):
+    """REAL stream-stream inner join: two watermarked file streams,
+    interval condition bounding state. Late-arriving matches in a
+    second batch still join (state held within the watermark)."""
+    psrc, csrc, cp = str(tmp_path / "p"), str(tmp_path / "c"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        p = (
+            spark.readStream.schema("pid int, user int, ts_s long").parquet(psrc)
+            .withColumn("p_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            spark.readStream.schema("cid int, cuser int, ts_s long").parquet(csrc)
+            .withColumn("c_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("user") == F.col("cuser"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        q = (
+            j.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # purchase at t=1000; matching click at t=700 (within 10 min)
+    spark.createDataFrame([(1, 7, 1000)], "pid int, user int, ts_s long").write.parquet(psrc)
+    spark.createDataFrame([(10, 7, 700), (11, 7, 100)], "cid int, cuser int, ts_s long").write.parquet(csrc)
+    run()
+    assert {(r.pid, r.cid) for r in seen} == {(1, 10)}  # t=100 outside window
+
+    # second batch: new purchase matching the OLD click (state held)
+    spark.createDataFrame([(2, 7, 1100)], "pid int, user int, ts_s long").write.mode("append").parquet(psrc)
+    run()
+    assert {(r.pid, r.cid) for r in seen} == {(1, 10), (2, 10)}
