@@ -60,3 +60,51 @@ def test_dedup_exact_leaves_distinct_rows(spark, rows):
     dd = df.dropDuplicates()
     assert dd.count() == df.distinct().count()
     assert dd.dropDuplicates().count() == dd.count()
+
+
+@given(rows=ROWS, salts=st.integers(2, 6))
+@CFG
+def test_salted_join_equals_plain_join(spark, rows, salts):
+    """Salting must never change join results — only shuffle layout."""
+    from heroku_kafka_connect_spark.functions.skew import salted_join
+
+    big = _df(spark, rows)
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(3)], "k int, name string")
+    plain = sorted(map(tuple, big.join(small, ["k"]).collect()))
+    salted = sorted(map(tuple, salted_join(big, small, ["k"], salts=salts).collect()))
+    assert salted == plain
+
+
+@given(rows=ROWS)
+@CFG
+def test_latest_per_key_agg_equals_window_variant(spark, rows):
+    """Both latest-per-key physical shapes must agree given a unique
+    total order (ts, v)."""
+    df = _df(spark, rows)
+    win = {
+        (r.k, r.ts, r.v)
+        for r in writers.latest_per_key(df, ["k"], [F.col("ts").desc(), F.col("v").desc()]).collect()
+    }
+    agg = {
+        (r.k, r.ts, r.v)
+        for r in writers.latest_per_key_agg(df, ["k"], F.struct("ts", "v")).collect()
+    }
+    assert win == agg
+
+
+@given(toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30))
+@CFG
+def test_winnowing_deterministic_and_bounded(spark, toks):
+    """Fingerprint count never exceeds window count; identical texts →
+    identical fingerprint sets (determinism across rows)."""
+    from heroku_kafka_connect_spark.functions.text import winnow_fingerprints
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text), (1, text)], "doc_id int, text string")
+    out = winnow_fingerprints(df, k=3, w=2)
+    by_doc: dict[int, set] = {0: set(), 1: set()}
+    for r in out.collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[0] == by_doc[1]
+    n_windows = max(len(toks) - 3 - 2 + 2, 1)
+    assert 1 <= len(by_doc[0]) <= n_windows
