@@ -954,3 +954,28 @@ def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "sum_price",
     )
+
+
+@register(
+    "rel_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist): one
+    exchange on the partition key + in-partition sort, same frame
+    machinery as ranking windows."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
