@@ -260,8 +260,13 @@ class SparkRuntime(QueryRuntime):
         if fmt == "dlq-split":
             # errors.tolerance=all + dead-letter topic (Connect worker
             # config, reference Dockerfile:4 [stack]): parse the
-            # payload; valid rows → sink.path, corrupt → sink.dlqPath,
-            # both written in the same foreachBatch transaction scope
+            # payload; valid rows → sink.path, corrupt → sink.dlqPath.
+            # foreachBatch gives NO cross-write transaction — these are
+            # two at-least-once parquet appends. A replayed batch after
+            # partial failure re-appends rows, so each row carries its
+            # __batch_id: readers needing exactly-once dedup on
+            # (__batch_id, natural key) — the same contract Connect's
+            # DLQ topic offers (at-least-once + record headers).
             from .serde import jsonserde
 
             json_col = cfg["sink.option.jsonColumn"]
@@ -270,8 +275,11 @@ class SparkRuntime(QueryRuntime):
 
             def split(batch_df: DataFrame, batch_id: int) -> None:
                 valid, dlq = jsonserde.dlq_split(batch_df, json_col, schema)
-                valid.withColumn("__parsed", F.to_json("__parsed")).write.mode("append").parquet(good_path)
-                dlq.write.mode("append").parquet(dlq_path)
+                bid = F.lit(batch_id).alias("__batch_id")
+                valid.withColumn("__parsed", F.to_json("__parsed")).select(
+                    "*", bid
+                ).write.mode("append").parquet(good_path)
+                dlq.select("*", bid).write.mode("append").parquet(dlq_path)
 
             writer = df.writeStream.queryName(spec.name).foreachBatch(split).option(
                 "checkpointLocation", cp
@@ -311,7 +319,16 @@ class SparkRuntime(QueryRuntime):
         self._fingerprints[spec.name] = spec.fingerprint()
 
     def stop(self, name: str) -> None:
-        q = self.spark.streams.get(next(q.id for q in self.spark.streams.active if q.name == name))
+        qid = next((q.id for q in self.spark.streams.active if q.name == name), None)
+        if qid is None:
+            # Already stopped (died or finished on its own). The
+            # reference treats a 404 on DELETE as success
+            # (main.sh:130-141 retries only on real errors) — raising
+            # here would make _stop_with_retry burn its 8×2s budget on
+            # a query that is already gone.
+            self._fingerprints.pop(name, None)
+            return
+        q = self.spark.streams.get(qid)
         q.stop()
         q.awaitTermination(30)
         self._fingerprints.pop(name, None)

@@ -124,6 +124,24 @@ def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
     return F.round(inter / union, scale)
 
 
+def _lsh_shingle_buckets(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int, bands: int, rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: (per-doc shingle sets, per-bucket sorted
+    id arrays). ONE shuffle (the groupBy on the band key); the banded
+    rows carry only ids."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
+    banded = sh.select(
+        "__id",
+        F.explode(minhash_band_keys(F.col("__sh"), bands, rows)).alias("key"),
+    )
+    buckets = banded.groupBy("key").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+    return sh, buckets
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -133,6 +151,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """I3 near-duplicate pairs via MinHash+LSH, Jaccard-verified.
 
@@ -145,25 +164,22 @@ def minhash_lsh_pairs(
     recompute — the banded set twice); the shingle sets are joined
     back just for the pairs that need exact-Jaccard verification. At
     100 TB the bucket grouping replaces an impossible O(n²) cross
-    join; a pathological hot bucket (boilerplate/empty docs) is an
-    LSH-inherent O(|bucket|²) — cap upstream via a min-length filter.
+    join.
+
+    ``max_bucket`` is the hot-bucket guard: a pathological bucket
+    (boilerplate/empty docs all sharing a band key) is an LSH-inherent
+    O(|bucket|²), and ONE such bucket at corpus scale can exceed every
+    other bucket combined. Buckets larger than the cap emit no pairs
+    here — inspect them via ``minhash_lsh_overflow`` (same keys, same
+    plan front half) and handle them out-of-band (exact-dedup them:
+    near-identical boilerplate is better served by the exact path).
 
     The repartition spreads the signature computation across the
     cluster even when the source scan yields few input splits (one
     small parquet file = one task = 1/32 of local[32])."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
-    )
-    banded = sh.select(
-        "__id",
-        F.explode(minhash_band_keys(F.col("__sh"), bands, rows)).alias("key"),
-    )
-    # ids sharing a (band, key) bucket → all in-bucket pairs, a < b
+    sh, buckets = _lsh_shingle_buckets(docs, id_col, text_col, shingle_n, bands, rows)
     cand = (
-        banded.groupBy("key")
-        .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .dropDuplicates(["a", "b"])
@@ -174,6 +190,26 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
     )
     return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def minhash_lsh_overflow(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Side output for ``minhash_lsh_pairs``'s hot-bucket cap: the
+    (key, n_ids, ids) of every bucket the cap excluded, so capped
+    groups are observable and routable (e.g. into exact dedup) rather
+    than silently dropped."""
+    _, buckets = _lsh_shingle_buckets(docs, id_col, text_col, shingle_n, bands, rows)
+    return buckets.filter(F.size("ids") > max_bucket).select(
+        "key", F.size("ids").alias("n_ids"), "ids"
+    )
 
 
 @lru_cache(maxsize=1)

@@ -86,23 +86,26 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
       FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
-      WHERE doc_id < 400
+      WHERE doc_id < 800
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.01
     """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-ngram exact Jaccard on 3-token shingles, blocked by
     (lang, source) and a doc_id cap — the oracle-checkable exact
-    counterpart of the LSH path (same shingle definition)."""
+    counterpart of the LSH path (same shingle definition). Threshold
+    0.01 / cap 800 keep ~46 result rows at sf0.01 so the hash check
+    actually discriminates; both sides filter on the ROUNDED value so
+    the boundary is identical."""
     t = load_tables(spark, sf_dir)
-    sh = t.documents.filter(F.col("doc_id") < 400).select(
+    sh = t.documents.filter(F.col("doc_id") < 800).select(
         "doc_id", "lang", "source", llmops.shingles("text", 3).alias("shingles")
     )
     a = sh.select(F.col("doc_id").alias("a"), "lang", "source", F.col("shingles").alias("sh_a"))
@@ -114,7 +117,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a") < F.col("b")),
     )
     jac = llmops.jaccard(F.col("sh_a"), F.col("sh_b"))
-    return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.05)
+    return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.01)
 
 
 @register(

@@ -293,13 +293,19 @@ def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G12: left-anti — customers without orders."""
+    """G12: left-anti — customers with no high-value (>400k) order.
+
+    The filtered build side keeps the result discriminating (~200 of
+    1500 customers at sf0.01; the unfiltered variant returns 0 rows
+    because every customer has at least one order)."""
     t = load_tables(spark, sf_dir)
-    return t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -131,7 +131,11 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine half), read it back, prove losslessness — the oracle is the
     original table, so any write/read corruption fails the hash."""
     t = load_tables(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "hkc_file_sink_roundtrip")
+    # Per-run tmpdir: a fixed path would race two concurrent harnesses
+    # (and leave one reading the other's half-written files).
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="hkc_file_sink_"), "roundtrip"
+    )
     df = t.events.select("event_id", "user_id", "event_type", "value")
     writers.write_files(df, out, fmt="parquet", partition_by=["event_type"])
     back = spark.read.parquet(out)
@@ -146,10 +150,10 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 Confluent wire format: frame each payload as
+    """C1 Confluent wire format (framing half): frame each payload as
     [0x00][schema-id=7][body], then unframe and prove the id and body
-    survive. (Body codec = UTF-8 here; the avro body codec needs the
-    external spark-avro jar — serde/avro_wire.py gates it.)"""
+    survive. Pure JVM Column expressions. (The avro BODY codec is
+    covered by `avro_body_roundtrip` / `avro_schema_evolution`.)"""
     t = load_tables(spark, sf_dir)
     framed = t.events.select(
         "event_id",
@@ -162,6 +166,91 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode("payload", "UTF-8").alias("payload_str"),
         F.when(avro_wire.is_wire_format(F.col("value")), 1).otherwise(0).alias("frame_ok"),
     )
+
+
+_EVENT_V1 = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+_EVENT_V2 = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "source", "type": "string", "default": "unknown"},
+    ],
+}
+
+
+@register(
+    "avro_body_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def avro_body_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 Avro body codec (reference main.sh:72-75 — AvroConverter is
+    the default serde for EVERY record): encode each event as a real
+    Avro binary record, frame it with the registry-assigned schema id,
+    then decode by resolving that id back through the registry. The
+    oracle is the source table, so any encode/decode corruption fails
+    the hash. Arrow-batched pandas UDFs (serde/avro_codec.py); on a
+    cluster with the spark-avro jar the JVM from_avro/to_avro swap in
+    (serde/avro_wire.py:from_avro_body)."""
+    from ..serde.schema_registry import SchemaRegistry
+
+    t = load_tables(spark, sf_dir)
+    reg = SchemaRegistry()
+    sid = reg.register("event", _EVENT_V1)
+    enc = avro_wire.to_avro_body_py(_EVENT_V1)
+    framed = t.events.select(
+        avro_wire.frame(enc(F.struct("event_id", "event_type", "value")), sid).alias("wire")
+    )
+    dec = avro_wire.from_avro_framed_py(reg.schemas_by_id(), _EVENT_V1)
+    return framed.select(dec("wire").alias("r")).select("r.*")
+
+
+@register(
+    "avro_schema_evolution",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE 'fixture' END AS source
+    FROM events
+    """,
+)
+def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3.1 registry-driven evolution: one stream carries TWO writer
+    schema versions (even event_ids → v1, odd → v2 which adds
+    `source`), each framed with its own registry id; the consumer
+    decodes every record by its id and projects into reader schema v2
+    — v1 records take the reader default for the added field. This is
+    the schema-evolution contract the Connect AvroConverter provides
+    (backward-compatible reads across producer upgrades)."""
+    from ..serde.schema_registry import SchemaRegistry
+
+    t = load_tables(spark, sf_dir)
+    reg = SchemaRegistry()
+    id1 = reg.register("event", _EVENT_V1)
+    id2 = reg.register("event", _EVENT_V2)
+    enc1 = avro_wire.to_avro_body_py(_EVENT_V1)
+    enc2 = avro_wire.to_avro_body_py(_EVENT_V2)
+    ev = t.events.withColumn("source", F.lit("fixture"))
+    wire = F.when(
+        F.col("event_id") % 2 == 0,
+        avro_wire.frame(enc1(F.struct("event_id", "event_type", "value")), id1),
+    ).otherwise(
+        avro_wire.frame(enc2(F.struct("event_id", "event_type", "value", "source")), id2)
+    )
+    framed = ev.select(wire.alias("wire"))
+    dec = avro_wire.from_avro_framed_py(reg.schemas_by_id(), _EVENT_V2)
+    return framed.select(dec("wire").alias("r")).select("r.*")
 
 
 @register(

@@ -6,17 +6,27 @@ The AvroConverter configured at reference main.sh:72-75 emits
 framing, so the framing is the one genuinely custom serde piece:
 pure Column expressions (binary substring/concat — JVM-side, no UDF).
 
-The avro body codec itself needs the external spark-avro jar, which
-is not bundled with pip pyspark — `from_avro_body`/`to_avro_body`
-gate on its availability and raise a clear error otherwise. The
-framing (and the registry client protocol) is fully testable without
-it, which is what the corpus exercises.
+The avro *body* codec has two routes:
+  - the JVM route (`from_avro_body`/`to_avro_body`) needs the
+    external spark-avro jar, not bundled with pip pyspark — gated;
+  - the pure-Python route (`to_avro_body_py`/`from_avro_framed_py`,
+    backed by serde/avro_codec.py) is Arrow-batched pandas UDFs and
+    runs anywhere; it also does registry-driven decode (resolve the
+    header's schema id → writer schema, project into the reader
+    schema) which the JVM functions cannot do per-row.
 """
 
 from __future__ import annotations
 
+import json
+from typing import Any
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from . import avro_codec
 
 MAGIC_BYTE = 0x00
 HEADER_LEN = 5
@@ -84,3 +94,77 @@ def to_avro_body(data: Column, json_schema: str | None = None) -> Column:
             "ship org.apache.spark:spark-avro on a real cluster"
         ) from e
     return to_avro(data, json_schema) if json_schema else to_avro(data)
+
+
+# ------------------------------------------------------- pure-Python body codec
+
+
+def to_avro_body_py(schema: dict | str):
+    """Pandas-UDF Avro body encoder: struct column → binary column.
+    Arrow-batched (the jar-free fallback for `to_avro_body`; same
+    bytes on the wire)."""
+    from pyspark.sql.functions import pandas_udf
+
+    s = json.loads(schema) if isinstance(schema, str) else schema
+
+    @pandas_udf("binary")
+    def enc(batch: pd.DataFrame) -> pd.Series:
+        recs = batch.to_dict("records")
+        return pd.Series(
+            [avro_codec.encode_record(_none_nans(r), s) for r in recs], dtype=object
+        )
+
+    return enc
+
+
+def from_avro_body_py(writer_schema: dict | str, reader_schema: dict | str | None = None):
+    """Pandas-UDF Avro body decoder: binary column → struct column
+    (reader schema if given, else the writer's)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = json.loads(writer_schema) if isinstance(writer_schema, str) else writer_schema
+    r = json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema
+    out_schema = r if r is not None else w
+    names = [f["name"] for f in out_schema["fields"]]
+
+    @pandas_udf(avro_codec.avro_to_ddl(out_schema))
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = [avro_codec.decode_record(b, w, r) for b in vals]
+        return pd.DataFrame(rows, columns=names)
+
+    return dec
+
+
+def from_avro_framed_py(schemas_by_id: dict[int, Any], reader_schema: dict | str):
+    """Registry-driven decode of FULL wire-format records: parse the
+    5-byte header, resolve the writer schema by id from the (tiny,
+    closure-captured — effectively broadcast) registry snapshot, and
+    project into ``reader_schema`` per the Avro resolution rules. This
+    is the consumer half of main.sh:72-75: one stream can carry many
+    schema versions and every record decodes by ITS writer schema."""
+    from pyspark.sql.functions import pandas_udf
+
+    r = json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema
+    writers = {
+        sid: (json.loads(s) if isinstance(s, str) else s) for sid, s in schemas_by_id.items()
+    }
+    names = [f["name"] for f in r["fields"]]
+
+    @pandas_udf(avro_codec.avro_to_ddl(r))
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in vals:
+            sid = int.from_bytes(b[1:5], "big")
+            rows.append(avro_codec.decode_record(bytes(b[HEADER_LEN:]), writers[sid], r))
+        return pd.DataFrame(rows, columns=names)
+
+    return dec
+
+
+def _none_nans(rec: dict) -> dict:
+    """pandas surfaces Avro null as NaN/None; normalize scalars so the
+    encoder sees None (arrays/bytes pass through untouched)."""
+    return {
+        k: (None if (not isinstance(v, (list, tuple, dict, bytes, bytearray)) and pd.isna(v)) else v)
+        for k, v in rec.items()
+    }

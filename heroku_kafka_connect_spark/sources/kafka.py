@@ -37,16 +37,28 @@ def write_pem_files(
 ) -> dict[str, str]:
     """Materialize PEM env-var contents to files (the reference turns
     these into a PKCS12 keystore via openssl, main.sh:25-33; Spark's
-    Kafka client consumes PEM paths directly via ssl.keystore.type=PEM)."""
+    Kafka client consumes PEM paths directly via ssl.keystore.type=PEM).
+
+    A PEM *keystore* must hold BOTH the private key and the cert
+    chain in one file — Kafka has no separate client-side key-file
+    option — so ``keystore`` concatenates key + cert the same way the
+    reference's openssl pkcs12 export bundles them (main.sh:27-30)."""
     d = dest_dir or tempfile.mkdtemp(prefix="kafka-ssl-")
     paths = {
         "cert": os.path.join(d, "client.crt"),
         "key": os.path.join(d, "client.key"),
+        "keystore": os.path.join(d, "keystore.pem"),
         "ca": os.path.join(d, "trusted.crt"),
     }
-    for path, content in ((paths["cert"], client_cert), (paths["key"], client_key), (paths["ca"], trusted_cert)):
+    contents = {
+        "cert": client_cert,
+        "key": client_key,
+        "keystore": client_key.rstrip("\n") + "\n" + client_cert.rstrip("\n") + "\n",
+        "ca": trusted_cert,
+    }
+    for name, path in paths.items():
         with open(path, "w") as f:
-            f.write(content)
+            f.write(contents[name])
         os.chmod(path, 0o600)
     return paths
 
@@ -56,11 +68,17 @@ def kafka_options(
     *,
     ssl: bool = True,
     pem_paths: dict[str, str] | None = None,
+    key_password: str | None = None,
     group_id_prefix: str | None = None,
 ) -> dict[str, str]:
     """Shared option dict for all three client roles (the reference
     exports the same SSL settings for worker, producer and consumer —
-    main.sh:40-58; one dict here serves read and write)."""
+    main.sh:40-58; one dict here serves read and write).
+
+    The PEM keystore is the single combined key+cert file (Kafka's
+    only client key mechanism — there is no ssl.key.location config);
+    ``key_password`` carries SSL_KEY_PASSWORD (main.sh:29) through as
+    ``ssl.key.password`` for encrypted private keys."""
     opts = {"kafka.bootstrap.servers": normalize_bootstrap(bootstrap)}
     if ssl:
         opts["kafka.security.protocol"] = "SSL"
@@ -69,12 +87,13 @@ def kafka_options(
             opts.update(
                 {
                     "kafka.ssl.keystore.type": "PEM",
-                    "kafka.ssl.keystore.location": pem_paths["cert"],
-                    "kafka.ssl.key.location": pem_paths["key"],
+                    "kafka.ssl.keystore.location": pem_paths["keystore"],
                     "kafka.ssl.truststore.type": "PEM",
                     "kafka.ssl.truststore.location": pem_paths["ca"],
                 }
             )
+            if key_password:
+                opts["kafka.ssl.key.password"] = key_password
     if group_id_prefix:
         opts["kafka.group.id.prefix"] = group_id_prefix
     return opts

@@ -10,6 +10,7 @@ it stopped — exercised by tests/test_streaming.py::test_resume.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -27,9 +28,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file streaming source requires a directory; expose the single
     # fixture file through a symlinked temp dir (no data copy)
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(tempfile.gettempdir(), f"hkc-stream-src-{abs(hash(sf_dir))}")
+    # Stable digest, not hash(): Python string hashing is salted per
+    # process, which would mint a fresh tmp dir every run (and could
+    # collide across different sf_dirs within one).
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"hkc-stream-src-{digest}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.remove(link)  # stale link from a colliding/moved fixture
     if not os.path.exists(link):
         os.symlink(src, link)
     schema = (

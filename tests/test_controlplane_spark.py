@@ -50,6 +50,16 @@ def test_spec_compiles_and_runs_pipeline(spark, tmp_path):
     assert all(r.pipeline == "p1" for r in out)
 
 
+def test_stop_missing_query_is_success(spark, tmp_path):
+    """DELETE on an already-gone query is success, not an error to
+    retry (the reference treats 404 the same way, main.sh:130-141) —
+    stop() must return immediately and drop the stale fingerprint."""
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rt._fingerprints["ghost"] = "deadbeef"
+    rt.stop("ghost")  # must not raise
+    assert "ghost" not in rt._fingerprints
+
+
 def test_reconcile_prunes_spark_query(spark, tmp_path):
     src = str(tmp_path / "in2")
     spark.range(5).write.parquet(src)

@@ -43,6 +43,27 @@ def test_minhash_lsh_finds_planted_pair(docs):
     assert not any({2} & {x, y} for x, y in got)  # unrelated doc not paired
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """Adversarial corpus: 60 identical boilerplate docs would emit
+    60·59/2 = 1770 pairs per band without the guard. With
+    max_bucket=16 the hot buckets emit ZERO pairs (pair budget held),
+    the overflow side output reports them, and a planted normal-sized
+    near-dup pair elsewhere in the corpus still comes through."""
+    boiler = [(i, "the same boilerplate footer text repeated " * 3) for i in range(60)]
+    planted = [
+        (100, "a unique document about distributed query engines and shuffles"),
+        (101, "a unique document about distributed query engines and sorting"),
+    ]
+    docs = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    pairs = llmops.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=16).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (100, 101) in got  # small buckets unaffected
+    assert not any(x < 100 and y < 100 for x, y in got)  # capped bucket emitted nothing
+    over = llmops.minhash_lsh_overflow(docs, max_bucket=16).collect()
+    assert over and all(r.n_ids == 60 for r in over)
+    assert set(over[0].ids) == set(range(60))
+
+
 def test_simhash_pairs_finds_planted_pair(docs):
     pairs = llmops.simhash_pairs(docs, max_hamming=16)
     got = {frozenset((r.a, r.b)) for r in pairs.collect()}

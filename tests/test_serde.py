@@ -44,6 +44,127 @@ def test_unframe_dataframe_helper(spark):
     assert row.schema_id == 42 and bytes(row.payload) == b"body"
 
 
+# ------------------------------------------------------- avro binary codec
+
+
+_REC = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+def test_avro_codec_roundtrip_all_types():
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    rec = {
+        "id": -123456789,
+        "name": "héllo",
+        "score": 2.5,
+        "ok": True,
+        "blob": b"\x00\x01\xff",
+        "maybe": None,
+        "tags": ["a", "b"],
+        "attrs": {"x": 1, "y": -2},
+    }
+    back = avro_codec.decode_record(avro_codec.encode_record(rec, _REC), _REC)
+    assert back == rec
+    rec2 = dict(rec, maybe="set")
+    assert avro_codec.decode_record(avro_codec.encode_record(rec2, _REC), _REC) == rec2
+
+
+def test_avro_codec_spec_bytes():
+    """Pin the encoding to the public Avro spec's own examples:
+    zigzag longs (1→0x02, -1→0x01, 64→0x80 0x01) and length-prefixed
+    strings ("foo" → 0x06 f o o)."""
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    enc = lambda v, s: avro_codec.encode_record({"f": v}, {"type": "record", "name": "t", "fields": [{"name": "f", "type": s}]})  # noqa: E731
+    assert enc(1, "long") == b"\x02"
+    assert enc(-1, "long") == b"\x01"
+    assert enc(64, "long") == b"\x80\x01"
+    assert enc("foo", "string") == b"\x06foo"
+    assert enc(None, ["null", "long"]) == b"\x00"  # union index 0, no body
+    assert enc(1, ["null", "long"]) == b"\x02\x02"  # index 1, then zigzag 1
+
+
+def test_avro_schema_resolution():
+    """Reader-only field takes its default; writer-only field is
+    skipped; int promotes to double."""
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "dropped", "type": "string"},
+            {"name": "n", "type": "int"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "n", "type": "double"},
+            {"name": "added", "type": "string", "default": "dflt"},
+        ],
+    }
+    buf = avro_codec.encode_record({"a": 7, "dropped": "gone", "n": 3}, writer)
+    got = avro_codec.decode_record(buf, writer, reader)
+    assert got == {"a": 7, "n": 3.0, "added": "dflt"}
+    assert isinstance(got["n"], float)
+
+
+def test_schema_registry_contract():
+    from heroku_kafka_connect_spark.serde.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    v1 = {"type": "record", "name": "e", "fields": [{"name": "a", "type": "long"}]}
+    v2 = {"type": "record", "name": "e", "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string", "default": ""}]}
+    id1 = reg.register("e", v1)
+    assert reg.register("e", v1) == id1  # idempotent re-register
+    id2 = reg.register("e", v2)
+    assert id2 != id1
+    assert reg.get(id1)["fields"][0]["name"] == "a"
+    assert reg.latest("e")[0] == id2
+    assert set(reg.schemas_by_id()) == {id1, id2}
+
+
+def test_avro_body_pandas_udfs(spark):
+    """Spark-side encode → frame → registry decode round-trip, with a
+    nullable field, matches the input exactly."""
+    from heroku_kafka_connect_spark.serde import avro_wire
+    from heroku_kafka_connect_spark.serde.schema_registry import SchemaRegistry
+
+    schema = {
+        "type": "record",
+        "name": "m",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "label", "type": ["null", "string"]},
+        ],
+    }
+    reg = SchemaRegistry()
+    sid = reg.register("m", schema)
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, label string")
+    enc = avro_wire.to_avro_body_py(schema)
+    framed = df.select(avro_wire.frame(enc(F.struct("id", "label")), sid).alias("wire"))
+    dec = avro_wire.from_avro_framed_py(reg.schemas_by_id(), schema)
+    got = {r.id: r.label for r in framed.select(dec("wire").alias("r")).select("r.*").collect()}
+    assert got == {1: "x", 2: None}
+
+
 def test_json_parse_permissive(spark):
     """PERMISSIVE from_json: malformed → struct of nulls (not null);
     null input → null. dlq_split exists precisely because of this."""

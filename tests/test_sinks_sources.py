@@ -73,6 +73,46 @@ def test_cdc_apply(spark):
     assert got == {1: ("u", "a2"), 3: ("r", "c1")}  # pk=2 deleted
 
 
+def test_merge_sql_shape():
+    sql = writers.merge_sql("target", "target__stage", ["pk", "ts", "v"], ["pk"])
+    assert sql == (
+        "MERGE INTO target t USING target__stage s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (pk, ts, v) VALUES (s.pk, s.ts, s.v)"
+    )
+    # all-key table degenerates to insert-if-absent
+    assert "WHEN MATCHED" not in writers.merge_sql("t", "s", ["pk"], ["pk"])
+
+
+def test_foreach_batch_upsert_dbapi_replay_idempotent(spark, tmp_path):
+    """The declared jdbc-upsert sink semantics (Connect
+    insert.mode=upsert, reference Dockerfile:28-31): cross-batch key
+    updates overwrite in place, and replaying a micro-batch — the
+    at-least-once case foreachBatch actually produces after a failure
+    between sink write and checkpoint commit — converges to the same
+    table state instead of duplicating PK rows."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE target (pk INTEGER PRIMARY KEY, ts INTEGER, v TEXT)")
+
+    def connect(_db=db):
+        return sqlite3.connect(_db, timeout=30)
+
+    write = writers.foreach_batch_upsert_dbapi(connect, "target", ["pk"], ["ts"])
+    b1 = spark.createDataFrame([(1, 10, "a1"), (1, 20, "a2"), (2, 10, "b1")], "pk int, ts int, v string")
+    b2 = spark.createDataFrame([(2, 30, "b2"), (3, 10, "c1")], "pk int, ts int, v string")
+    write(b1, 0)
+    write(b2, 1)
+    write(b2, 1)  # replayed batch
+    with sqlite3.connect(db) as conn:
+        got = {pk: (ts, v) for pk, ts, v in conn.execute("SELECT pk, ts, v FROM target")}
+    # in-batch dedup picked ts=20 for pk=1; batch 2 UPDATED pk=2 in
+    # place; the replay changed nothing
+    assert got == {1: (20, "a2"), 2: (30, "b2"), 3: (10, "c1")}
+
+
 def test_file_sink_roundtrip(spark, tmp_path):
     df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
     path = str(tmp_path / "out")
@@ -115,13 +155,20 @@ def test_normalize_bootstrap():
 
 def test_kafka_options_ssl(tmp_path):
     paths = kafka.write_pem_files("CERT", "KEY", "CA", dest_dir=str(tmp_path))
-    opts = kafka.kafka_options("ssl://broker:9096", pem_paths=paths)
+    opts = kafka.kafka_options("ssl://broker:9096", pem_paths=paths, key_password="pw")
     assert opts["kafka.bootstrap.servers"] == "broker:9096"
     assert opts["kafka.security.protocol"] == "SSL"
     assert opts["kafka.ssl.keystore.type"] == "PEM"
     # PEM files materialized (the reference's main.sh:25-33 analog)
     assert (tmp_path / "client.crt").read_text() == "CERT"
     assert (tmp_path / "client.key").read_text() == "KEY"
+    # the keystore the client actually loads holds key + cert chain in
+    # one file (Kafka has no separate client key-file config), and the
+    # key passphrase rides along as ssl.key.password
+    assert opts["kafka.ssl.keystore.location"] == str(tmp_path / "keystore.pem")
+    assert (tmp_path / "keystore.pem").read_text() == "KEY\nCERT\n"
+    assert opts["kafka.ssl.key.password"] == "pw"
+    assert "kafka.ssl.key.location" not in opts  # not a valid Kafka config
 
 
 def test_envelope_from_events(spark, sf_dir):
