@@ -57,19 +57,24 @@ def main() -> None:
     execute(qs["rel_agg_pricing_summary"].fn(spark, sf_dir))
     execute(qs["udf_scalar_pandas"].fn(spark, sf_dir))
 
+    # headline first (steady-state, fixed order — comparable across
+    # rounds), then the REST of the corpus so per-query regressions
+    # anywhere are visible round-over-round.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + sorted(n for n in qs if n not in HEADLINE):
         t0 = time.time()
         execute(qs[name].fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    headline_total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_corpus_wall_sec",
-                "value": total,
+                "value": headline_total,
                 "unit": "sec",
+                "full_corpus_wall_sec": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
             }

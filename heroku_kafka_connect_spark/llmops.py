@@ -378,3 +378,56 @@ def ann_lsh_join(
     )
     w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", *, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node,
+    component) with component = min node id in the component. The
+    final stage of every dedup pipeline: pairwise near-dup matches
+    become duplicate CLUSTERS, from which one canonical doc per
+    cluster survives.
+
+    Algorithm: distributed min-label propagation — each round every
+    node takes the min label among itself and its neighbors (one
+    shuffle per round: an edge⋈label join + a groupBy-min, both
+    map-side-combinable). Converges in O(graph diameter) rounds; dup
+    clusters are near-cliques (diameter ≤ ~3), so 3-4 rounds in
+    practice — ``max_iter`` is a runaway bound, and convergence is
+    checked with a cheap anti-join count per round. Each round's
+    result is localCheckpoint'ed: iterative plans otherwise grow
+    lineage exponentially and re-execute every prior round. At
+    100 TB with adversarial long-path graphs, swap the propagation
+    loop for the alternating large-star/small-star rounds of
+    Kiveris et al. "Connected Components in MapReduce" (O(log² n)
+    rounds) — same per-round shuffle shape, same output contract.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

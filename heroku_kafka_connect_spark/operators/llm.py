@@ -105,7 +105,13 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually discriminates; both sides filter on the ROUNDED value so
     the boundary is identical."""
     t = load_tables(spark, sf_dir)
-    sh = t.documents.filter(F.col("doc_id") < 800).select(
+    return _ngram_pairs(t.documents)
+
+
+def _ngram_pairs(documents: DataFrame, cap: int = 800, threshold: float = 0.01) -> DataFrame:
+    """Blocked exact-Jaccard pair generation shared by
+    `llm_ngram_jaccard` and `llm_dedup_clusters` (edges)."""
+    sh = documents.filter(F.col("doc_id") < cap).select(
         "doc_id", "lang", "source", llmops.shingles("text", 3).alias("shingles")
     )
     a = sh.select(F.col("doc_id").alias("a"), "lang", "source", F.col("shingles").alias("sh_a"))
@@ -117,7 +123,57 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a") < F.col("b")),
     )
     jac = llmops.jaccard(F.col("sh_a"), F.col("sh_b"))
-    return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.01)
+    return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+      WHERE doc_id < 800
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.01
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY u
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 final stage: near-dup PAIRS → duplicate CLUSTERS via
+    distributed connected components (llmops.connected_components:
+    min-label propagation, one shuffle per round, O(cluster diameter)
+    rounds), with the canonical survivor per cluster flagged
+    (keep=1 ⇔ doc is its cluster's min id). Edges here are the
+    oracle-checkable exact-Jaccard pairs (same definition as
+    `llm_ngram_jaccard`); the production pipeline feeds the MinHash
+    LSH pairs in instead — the component step is edge-source-
+    agnostic. Oracle: recursive-CTE transitive closure (tractable at
+    oracle scale; the Spark side is what scales)."""
+    t = load_tables(spark, sf_dir)
+    edges = _ngram_pairs(t.documents).select("a", "b")
+    comp = llmops.connected_components(edges, "a", "b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
 
 
 @register(
@@ -282,4 +338,108 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.min("embedding")).alias("dim"),
         F.round(F.sum(comp_sum), 3).alias("sum_components"),
         F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 5).alias("avg_first"),
+    )
+
+
+# ------------------------------------------------------- training-data pipeline (§2.J)
+
+
+@register(
+    "llm_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 20
+    """,
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: deterministic hash sampling — the reproducible substitute
+    for `df.sample()` in training-data pipelines: membership depends
+    only on the key (md5 prefix mod 100 < rate), so the same 20%
+    sample falls out on every rerun, on every engine, at every
+    cluster size, and samples of different tables stay aligned on the
+    key. Narrow (no shuffle, no RNG state); the predicate pushes to
+    the scan."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 100
+    )
+    return t.documents.filter(bucket < 20).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(len(string_split(text, ' ')))
+                         OVER (PARTITION BY lang ORDER BY doc_id)
+                       - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: sequence packing (concat-and-chunk, the GPT-pretraining
+    shape): documents in deterministic order are assigned to
+    fixed-token-budget packs by cumulative token count — pack_id =
+    floor(tokens-before-this-doc / budget). One shuffle (the window
+    partition on lang); budget 2048. This is offset-based packing,
+    not bin packing: a doc can straddle a boundary and packs close
+    slightly over budget, which is exactly what a chunked pretraining
+    loader consumes."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    docs = t.documents.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)).alias("pack_id"),
+    )
+
+
+@register(
+    "llm_contamination",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                                   FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)])) AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT e.doc_id AS eval_doc_id,
+           COUNT(DISTINCT t.doc_id) AS n_train_docs,
+           COUNT(DISTINCT e.gram) AS n_shared_grams
+    FROM g e JOIN g t ON e.gram = t.gram
+    WHERE e.source = 'src1' AND t.source <> 'src1'
+    GROUP BY e.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: eval-set decontamination — for each doc in the held-out
+    split (source='src1' stands in for the benchmark), find training
+    docs sharing any 4-token gram, reporting how many train docs and
+    how many distinct grams collide. Scale shape: explode BOTH sides
+    to (gram, id) — ids only, never texts — and join on the gram;
+    the eval side is tiny (benchmarks are KBs vs TBs of train), so
+    Spark broadcasts it and the train side never shuffles. The gram
+    explode is the same shingle definition as the dedup family."""
+    t = load_tables(spark, sf_dir)
+    grams = t.documents.select(
+        "doc_id", "source", F.explode(llmops.shingles("text", 4)).alias("gram")
+    )
+    ev = grams.filter(F.col("source") == "src1").select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    tr = grams.filter(F.col("source") != "src1").select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    joined = F.broadcast(ev).join(tr, "gram")
+    return joined.groupBy("eval_doc_id").agg(
+        F.count_distinct("train_doc_id").alias("n_train_docs"),
+        F.count_distinct("gram").alias("n_shared_grams"),
     )

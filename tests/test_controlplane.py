@@ -158,3 +158,36 @@ def test_validate_env_fail_fast():
             "KAFKA_TRUSTED_CERT": "pem",
         }
     )
+
+
+# ---------------------------------------------------------------- E10 REST
+
+
+def test_status_server_surface():
+    """E10: the read-only Connect REST analog (GET /connectors,
+    GET /connectors/<name>, readiness at /) over a runtime."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from heroku_kafka_connect_spark.rest import StatusServer
+
+    rt = FakeRuntime()
+    rt.start(PipelineSpec(name="p1", config={"source.format": "parquet", "sink.format": "memory"}))
+    srv = StatusServer(rt)
+    port = srv.start()
+    try:
+        get = lambda p: _json.loads(  # noqa: E731
+            urllib.request.urlopen(f"http://127.0.0.1:{port}{p}").read()
+        )
+        assert get("/") == {"ready": True}
+        assert get("/connectors") == ["p1"]
+        one = get("/connectors/p1")
+        assert one["name"] == "p1" and one["state"] == "RUNNING" and one["fingerprint"]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/connectors/ghost")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
