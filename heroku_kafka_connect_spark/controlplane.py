@@ -350,7 +350,40 @@ class SparkRuntime(QueryRuntime):
             if k.startswith("source.option."):
                 reader = reader.option(k.removeprefix("source.option."), v)
         df = reader.load(cfg["source.path"]) if "source.path" in cfg else reader.load()
+        df = apply_converter(df, cfg)
         return apply_transform_chain(df, cfg)
+
+
+def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
+    """Connect's per-connector ``value.converter`` (main.sh:72-81),
+    applied before the SMT chain exactly as Connect converts bytes →
+    structured record before transforms run.
+
+    ``value.converter: avro`` decodes a wire-format binary column
+    (5-byte header + Avro body) by registry id:
+      - ``value.converter.schemas``: JSON map id → writer schema
+      - ``value.converter.reader``: JSON reader schema
+      - ``value.converter.column``: binary col (default ``value``)
+    ``value.converter: json`` parses a JSON string column with
+    ``value.converter.schema`` (DDL). Decoded fields replace the raw
+    column at the top level, so downstream SMTs address them by name.
+    """
+    kind = cfg.get("value.converter")
+    if not kind:
+        return df
+    col = cfg.get("value.converter.column", "value")
+    others = [c for c in df.columns if c != col]
+    if kind == "avro":
+        from .serde import avro_wire
+
+        schemas = {int(k): v for k, v in json.loads(cfg["value.converter.schemas"]).items()}
+        reader_schema = json.loads(cfg["value.converter.reader"])
+        dec = avro_wire.from_avro_framed_py(schemas, reader_schema)
+        return df.select(*others, dec(F.col(col)).alias("__rec")).select(*others, "__rec.*")
+    if kind == "json":
+        parsed = F.from_json(F.col(col), cfg["value.converter.schema"])
+        return df.select(*others, parsed.alias("__rec")).select(*others, "__rec.*")
+    raise SpecError(f"unknown value.converter {kind!r}")
 
 
 def apply_transform_chain(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:

@@ -292,3 +292,61 @@ def test_declared_dlq_pipeline_splits_corrupt_records(spark, tmp_path):
     bad = {r.id: r["__error"] for r in spark.read.parquet(dlq).collect()}
     assert ok == {1, 3}
     assert set(bad) == {2, 4} and all(v == "json-parse-failed" for v in bad.values())
+
+
+def test_declared_avro_converter_pipeline(spark, tmp_path):
+    """value.converter=avro in a declared pipeline: wire-format binary
+    records (mixed writer schema versions) decode by registry id
+    before the SMT chain runs — the Connect converter-then-transforms
+    order (main.sh:72-75)."""
+    import json as _json
+
+    from heroku_kafka_connect_spark.serde import avro_codec, avro_wire
+    from heroku_kafka_connect_spark.serde.schema_registry import SchemaRegistry
+
+    v1 = {"type": "record", "name": "e", "fields": [{"name": "id", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "e",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string", "default": "old"},
+        ],
+    }
+    reg = SchemaRegistry()
+    id1, id2 = reg.register("e", v1), reg.register("e", v2)
+
+    def wire(rec, schema, sid):
+        body = avro_codec.encode_record(rec, schema)
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    rows = [
+        (1, wire({"id": 1}, v1, id1)),
+        (2, wire({"id": 2, "tag": "new"}, v2, id2)),
+        (3, wire({"id": 3}, v1, id1)),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "k int, value binary").write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p_avro",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "k int, value binary",
+            "value.converter": "avro",
+            "value.converter.schemas": _json.dumps({id1: v1, id2: v2}),
+            "value.converter.reader": _json.dumps(v2),
+            "transforms": "big",
+            "transforms.big.type": "filter",
+            "transforms.big.predicate": "id >= 2",
+            "sink.format": "memory",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_avro"] and not rep.failed
+    _wait_done(spark, "p_avro")
+    got = {(r.id, r.tag) for r in spark.table("p_avro").collect()}
+    assert got == {(2, "new"), (3, "old")}  # v1 record took the reader default

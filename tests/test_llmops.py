@@ -186,3 +186,16 @@ def test_custom_and_ml_minhash_agree(spark, sf_dir):
     custom = {(r.a, r.b) for r in qs["llm_dedup_near"].fn(spark, sf_dir).collect()}
     ml = {(r.a, r.b) for r in qs["llm_dedup_near_ml"].fn(spark, sf_dir).collect()}
     assert custom == ml and custom
+
+
+def test_connected_components_shapes(spark):
+    """Path graph (worst diameter), two components, and pair — all
+    converge to min-id labels; nodes in no edge never appear (they
+    are their own trivial clusters by definition)."""
+    edges = spark.createDataFrame(
+        # path 1-2-3-4 (diameter 3) + separate pair 10-11
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "a long, b long",
+    )
+    got = {r.node: r.component for r in llmops.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

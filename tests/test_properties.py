@@ -108,3 +108,44 @@ def test_winnowing_deterministic_and_bounded(spark, toks):
     assert by_doc[0] == by_doc[1]
     n_windows = max(len(toks) - 3 - 2 + 2, 1)
     assert 1 <= len(by_doc[0]) <= n_windows
+
+
+# ------------------------------------------------------- avro codec (pure python, no spark)
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "p",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "o", "type": ["null", "long"]},
+        {"name": "t", "type": {"type": "array", "items": "string"}},
+    ],
+}
+
+
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "s": st.text(max_size=40),
+                "d": st.floats(allow_nan=False),
+                "o": st.none() | st.integers(-(2**40), 2**40),
+                "t": st.lists(st.text("xyz", max_size=4), max_size=4),
+            }
+        ),
+        max_size=10,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_codec_roundtrip_property(recs):
+    """decode(encode(r)) == r for any record of the supported types —
+    the full int64 range (zigzag varint edges), unicode strings,
+    arbitrary doubles, null unions, arrays."""
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    for rec in recs:
+        buf = avro_codec.encode_record(rec, _AVRO_SCHEMA)
+        assert avro_codec.decode_record(buf, _AVRO_SCHEMA) == rec

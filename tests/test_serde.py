@@ -192,3 +192,23 @@ def test_dlq_split(spark):
 def test_to_json_value(spark):
     df = spark.createDataFrame([(1, "x")], "a int, b string")
     assert df.select(jsonserde.to_json_value("a", "b").alias("j")).first().j == '{"a":1,"b":"x"}'
+
+
+def test_from_avro_body_py_unframed(spark):
+    """Body-only decode (no wire header), reader projection applied."""
+    from heroku_kafka_connect_spark.serde import avro_codec, avro_wire
+
+    writer = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string", "default": "x"},
+        ],
+    }
+    raw = [(avro_codec.encode_record({"a": i}, writer),) for i in range(3)]
+    df = spark.createDataFrame(raw, "body binary")
+    dec = avro_wire.from_avro_body_py(writer, reader)
+    rows = df.select(dec("body").alias("r")).select("r.*").collect()
+    assert {(r.a, r.b) for r in rows} == {(0, "x"), (1, "x"), (2, "x")}
