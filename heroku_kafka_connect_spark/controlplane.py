@@ -378,7 +378,13 @@ def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
 
         schemas = {int(k): v for k, v in json.loads(cfg["value.converter.schemas"]).items()}
         reader_schema = json.loads(cfg["value.converter.reader"])
-        dec = avro_wire.from_avro_framed_py(schemas, reader_schema)
+        # errors.tolerance=all at the converter: corrupt records keep
+        # flowing with null fields + `_corrupt_record`, ready for a
+        # downstream dlq-split filter instead of a poisoned stream
+        tolerant = cfg.get("value.converter.tolerant", "false").lower() == "true"
+        dec = avro_wire.from_avro_framed_py(
+            schemas, reader_schema, corrupt_col="_corrupt_record" if tolerant else None
+        )
         return df.select(*others, dec(F.col(col)).alias("__rec")).select(*others, "__rec.*")
     if kind == "json":
         parsed = F.from_json(F.col(col), cfg["value.converter.schema"])

@@ -135,13 +135,27 @@ def from_avro_body_py(writer_schema: dict | str, reader_schema: dict | str | Non
     return dec
 
 
-def from_avro_framed_py(schemas_by_id: dict[int, Any], reader_schema: dict | str):
+def from_avro_framed_py(
+    schemas_by_id: dict[int, Any],
+    reader_schema: dict | str,
+    *,
+    corrupt_col: str | None = None,
+):
     """Registry-driven decode of FULL wire-format records: parse the
     5-byte header, resolve the writer schema by id from the (tiny,
     closure-captured — effectively broadcast) registry snapshot, and
     project into ``reader_schema`` per the Avro resolution rules. This
     is the consumer half of main.sh:72-75: one stream can carry many
-    schema versions and every record decodes by ITS writer schema."""
+    schema versions and every record decodes by ITS writer schema.
+
+    With ``corrupt_col`` set, decode is PERMISSIVE (Connect's
+    errors.tolerance=all applied at the converter): a record that
+    fails — bad magic byte, unregistered schema id, truncated body —
+    yields null fields plus the error in that sidecar column (the
+    same convention ``from_json`` + columnNameOfCorruptRecord uses,
+    so the dlq-split machinery applies unchanged). Without it, a bad
+    record raises and fails the task — fail-fast, Connect's
+    errors.tolerance=none default."""
     from pyspark.sql.functions import pandas_udf
 
     r = json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema
@@ -149,14 +163,35 @@ def from_avro_framed_py(schemas_by_id: dict[int, Any], reader_schema: dict | str
         sid: (json.loads(s) if isinstance(s, str) else s) for sid, s in schemas_by_id.items()
     }
     names = [f["name"] for f in r["fields"]]
+    ddl = avro_codec.avro_to_ddl(r)
+    if corrupt_col is not None:
+        ddl = ddl[: -len(">")] + f", {corrupt_col}: string>"
 
-    @pandas_udf(avro_codec.avro_to_ddl(r))
+    def decode_one(b: bytes):
+        if b is None:
+            raise ValueError("null record")
+        if len(b) < HEADER_LEN or b[0] != MAGIC_BYTE:
+            raise ValueError("not confluent wire format")
+        sid = int.from_bytes(b[1:5], "big")
+        if sid not in writers:
+            raise KeyError(f"schema id {sid} not registered")
+        return avro_codec.decode_record(bytes(b[HEADER_LEN:]), writers[sid], r)
+
+    @pandas_udf(ddl)
     def dec(vals: pd.Series) -> pd.DataFrame:
         rows = []
         for b in vals:
-            sid = int.from_bytes(b[1:5], "big")
-            rows.append(avro_codec.decode_record(bytes(b[HEADER_LEN:]), writers[sid], r))
-        return pd.DataFrame(rows, columns=names)
+            if corrupt_col is None:
+                rec = decode_one(b)
+                rows.append([rec[n] for n in names])
+            else:
+                try:
+                    rec = decode_one(b)
+                    rows.append([rec[n] for n in names] + [None])
+                except Exception as e:  # noqa: BLE001 — any decode failure routes to DLQ
+                    rows.append([None] * len(names) + [f"avro-decode-failed: {e}"])
+        cols = names if corrupt_col is None else [*names, corrupt_col]
+        return pd.DataFrame(rows, columns=cols)
 
     return dec
 

@@ -68,6 +68,31 @@ def test_incremental_source_modes_push_predicates(spark, sf_dir):
         )
 
 
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """J31: the eval (benchmark) side must broadcast — the train scan
+    joins map-side with no shuffle of the big side — and both source
+    filters must reach the parquet scan."""
+    p = plan_of(spark, "llm_contamination", sf_dir)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" in p
+    assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src1))]" in p
+
+
+def test_hash_sampling_is_narrow(spark, sf_dir):
+    """J29: deterministic sampling is a pure filter — zero exchanges,
+    scan-level pushdown of the residual IsNotNull."""
+    p = plan_of(spark, "llm_sample_hash", sf_dir)
+    assert "Exchange" not in p
+    assert "PushedFilters: [" in p
+
+
+def test_sequence_packing_single_window_shuffle(spark, sf_dir):
+    """J30: one hash exchange (the window partition), nothing else."""
+    p = plan_of(spark, "llm_pack_sequences", sf_dir)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in p and "SortMergeJoin" not in p
+
+
 #: queries where a BroadcastNestedLoopJoin is the CORRECT plan: the
 #: build side is tiny (a handful of query vectors, a 3-row banding
 #: relation, a 1-row scalar aggregate), so the "nested loop" is one

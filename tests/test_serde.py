@@ -212,3 +212,33 @@ def test_from_avro_body_py_unframed(spark):
     dec = avro_wire.from_avro_body_py(writer, reader)
     rows = df.select(dec("body").alias("r")).select("r.*").collect()
     assert {(r.a, r.b) for r in rows} == {(0, "x"), (1, "x"), (2, "x")}
+
+
+def test_from_avro_framed_py_tolerant(spark):
+    """PERMISSIVE avro decode: bad magic, unknown schema id and a
+    truncated body all yield null fields + _corrupt_record instead of
+    failing the task; valid records decode normally alongside."""
+    from heroku_kafka_connect_spark.serde import avro_codec, avro_wire
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    good = b"\x00" + (7).to_bytes(4, "big") + avro_codec.encode_record({"a": 42}, schema)
+    bad_magic = b"\x01zzzzzz"
+    unknown_id = b"\x00" + (99).to_bytes(4, "big") + b"\x02"
+    truncated = b"\x00" + (7).to_bytes(4, "big")  # header only, long field missing
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_magic), (3, unknown_id), (4, truncated)], "k int, v binary"
+    )
+    dec = avro_wire.from_avro_framed_py({7: schema}, schema, corrupt_col="_corrupt_record")
+    out = {r.k: (r.a, r["_corrupt_record"]) for r in
+           df.select("k", dec("v").alias("r")).select("k", "r.*").collect()}
+    assert out[1] == (42, None)
+    assert out[2][0] is None and "wire format" in out[2][1]
+    assert out[3][0] is None and "not registered" in out[3][1]
+    assert out[4][0] is None and out[4][1].startswith("avro-decode-failed")
+    # strict mode still fails fast on the same input
+    strict = avro_wire.from_avro_framed_py({7: schema}, schema)
+    try:
+        df.select(strict("v")).collect()
+        raise AssertionError("expected strict decode to raise")
+    except Exception:
+        pass
