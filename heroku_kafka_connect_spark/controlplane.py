@@ -368,6 +368,28 @@ def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
     ``value.converter.schema`` (DDL). Decoded fields replace the raw
     column at the top level, so downstream SMTs address them by name.
     """
+    # key.converter first (Connect converts key and value independently);
+    # the decoded key stays a single `key` struct column — the envelope
+    # keeps its shape and valueToKey-style SMTs still address `key.*`.
+    key_kind = cfg.get("key.converter")
+    if key_kind:
+        kcol = cfg.get("key.converter.column", "key")
+        if key_kind == "avro":
+            from .serde import avro_wire
+
+            kschemas = {int(k): v for k, v in json.loads(cfg["key.converter.schemas"]).items()}
+            kreader = json.loads(cfg["key.converter.reader"])
+            kdec = avro_wire.from_avro_framed_py(kschemas, kreader)
+            df = df.withColumn(kcol, kdec(F.col(kcol)))
+        elif key_kind == "json":
+            # JsonConverter consumes BYTES (Kafka keys/values are
+            # binary); the cast is a UTF-8 decode and a no-op on string
+            df = df.withColumn(
+                kcol, F.from_json(F.col(kcol).cast("string"), cfg["key.converter.schema"])
+            )
+        else:
+            raise SpecError(f"unknown key.converter {key_kind!r}")
+
     kind = cfg.get("value.converter")
     if not kind:
         return df
@@ -387,7 +409,7 @@ def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
         )
         return df.select(*others, dec(F.col(col)).alias("__rec")).select(*others, "__rec.*")
     if kind == "json":
-        parsed = F.from_json(F.col(col), cfg["value.converter.schema"])
+        parsed = F.from_json(F.col(col).cast("string"), cfg["value.converter.schema"])
         return df.select(*others, parsed.alias("__rec")).select(*others, "__rec.*")
     raise SpecError(f"unknown value.converter {kind!r}")
 

@@ -239,16 +239,16 @@ def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = SchemaRegistry()
     id1 = reg.register("event", _EVENT_V1)
     id2 = reg.register("event", _EVENT_V2)
-    enc1 = avro_wire.to_avro_body_py(_EVENT_V1)
-    enc2 = avro_wire.to_avro_body_py(_EVENT_V2)
-    ev = t.events.withColumn("source", F.lit("fixture"))
-    wire = F.when(
-        F.col("event_id") % 2 == 0,
-        avro_wire.frame(enc1(F.struct("event_id", "event_type", "value")), id1),
-    ).otherwise(
-        avro_wire.frame(enc2(F.struct("event_id", "event_type", "value", "source")), id2)
+    enc = avro_wire.to_avro_body_multi_py(reg.schemas_by_id())
+    ev = t.events.withColumn("source", F.lit("fixture")).withColumn(
+        "sid", F.when(F.col("event_id") % 2 == 0, id1).otherwise(id2)
     )
-    framed = ev.select(wire.alias("wire"))
+    framed = ev.select(
+        avro_wire.frame(
+            enc(F.col("sid"), F.struct("event_id", "event_type", "value", "source")),
+            F.col("sid"),
+        ).alias("wire")
+    )
     dec = avro_wire.from_avro_framed_py(reg.schemas_by_id(), _EVENT_V2)
     return framed.select(dec("wire").alias("r")).select("r.*")
 

@@ -117,6 +117,36 @@ def to_avro_body_py(schema: dict | str):
     return enc
 
 
+def to_avro_body_multi_py(schemas_by_id: dict[int, Any]):
+    """Per-record multi-schema encoder: (schema_id column, struct
+    column) → Avro body encoded with THAT record's schema. This is
+    the producer half of a mixed-version stream (a fleet mid-upgrade
+    emits v1 and v2 side by side): one Arrow pass, no
+    per-schema-branch UDF duplication — a `when(...)` over two
+    encoder UDFs would evaluate BOTH for every batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    writers = {
+        sid: (json.loads(s) if isinstance(s, str) else s) for sid, s in schemas_by_id.items()
+    }
+
+    @pandas_udf("binary")
+    def enc(sids: pd.Series, batch: pd.DataFrame) -> pd.Series:
+        recs = batch.to_dict("records")
+        out = []
+        for sid, rec in zip(sids, recs):
+            schema = writers[int(sid)]
+            fields = {f["name"] for f in schema["fields"]}
+            out.append(
+                avro_codec.encode_record(
+                    {k: v for k, v in _none_nans(rec).items() if k in fields}, schema
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return enc
+
+
 def from_avro_body_py(writer_schema: dict | str, reader_schema: dict | str | None = None):
     """Pandas-UDF Avro body decoder: binary column → struct column
     (reader schema if given, else the writer's)."""

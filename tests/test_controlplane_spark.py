@@ -350,3 +350,38 @@ def test_declared_avro_converter_pipeline(spark, tmp_path):
     _wait_done(spark, "p_avro")
     got = {(r.id, r.tag) for r in spark.table("p_avro").collect()}
     assert got == {(2, "new"), (3, "old")}  # v1 record took the reader default
+
+
+def test_declared_key_and_value_converters(spark, tmp_path):
+    """key.converter + value.converter together: the key decodes into
+    a `key` struct (envelope shape preserved), the value's fields
+    flatten to the top level — Connect's independent key/value
+    converter model."""
+    import json as _json
+
+    spec_cfg_rows = [
+        (b'{"uid": 7}', '{"amount": 1.5}'),
+        (b'{"uid": 8}', '{"amount": 2.5}'),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(spec_cfg_rows, "key binary, value string").write.parquet(src)
+    spec = PipelineSpec(
+        name="p_kv",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "key binary, value string",
+            "key.converter": "json",
+            "key.converter.schema": "uid bigint",
+            "value.converter": "json",
+            "value.converter.schema": "amount double",
+            "sink.format": "memory",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_kv"] and not rep.failed
+    _wait_done(spark, "p_kv")
+    got = {(r.key.uid, r.amount) for r in spark.table("p_kv").collect()}
+    assert got == {(7, 1.5), (8, 2.5)}
