@@ -224,6 +224,38 @@ class Reconciler:
         return t
 
 
+def boot(
+    spark: SparkSession,
+    *,
+    checkpoint_root: str,
+    env: Mapping[str, str] | None = None,
+    status_port: int = 0,
+    require_kafka_env: bool = True,
+):
+    """The reference's entire main() (main.sh:10-208) as one call:
+
+      1. fail-fast env validation            (main.sh:10-15)
+      2. compile desired state from env      (main.sh:148-151)
+      3. serve the status REST endpoint      (main.sh:85-89)
+      4. reconcile asynchronously at boot    (main.sh:204-207)
+
+    Returns ``(runtime, status_server, reconcile_thread)``; the
+    caller's thread stays free — Spark's streaming queries are the
+    \"foreground worker\" the reference exec's. ``require_kafka_env=
+    False`` skips step 1 for broker-less deployments (file→file
+    pipelines need no Kafka credentials)."""
+    from .rest import StatusServer
+
+    if require_kafka_env:
+        validate_env(env)
+    specs = specs_from_env(env)
+    runtime = SparkRuntime(spark, checkpoint_root=checkpoint_root)
+    server = StatusServer(runtime, port=status_port)
+    server.start()
+    thread = Reconciler(runtime).run_background(specs)
+    return runtime, server, thread
+
+
 # ------------------------------------------------------- spec compiler
 
 

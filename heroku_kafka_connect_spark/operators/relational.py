@@ -985,3 +985,71 @@ def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------- J32 (gap-fill)
+
+
+@register(
+    "rel_time_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT priority, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    cal AS (SELECT priority, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds)
+    SELECT c.priority, CAST(c.day AS VARCHAR) AS day,
+           COALESCE(d.n, 0) AS n_orders,
+           last_value(d.s IGNORE NULLS) OVER (
+             PARTITION BY c.priority ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS locf_sum
+    FROM cal c LEFT JOIN daily d ON c.priority = d.priority AND c.day = d.day
+    """,
+)
+def rel_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J32: time-series gap-fill — the TSDB rollup companion: per-key
+    daily buckets densified to a complete calendar (zero-filled
+    counts) with last-observation-carried-forward for the summed
+    measure. Shape: one agg shuffle to daily buckets, a per-key
+    `sequence(min, max)` explode builds the calendar WITHOUT a
+    generator table scan, the left join back is on the same key so
+    AQE keeps it local, and LOCF is one window pass (the same single
+    shuffle partition key throughout — day rows for a key never
+    leave their partition)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("s"))
+    )
+    cal = (
+        daily.groupBy("priority")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "priority",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["priority", "day"], "left")
+        .select(
+            "priority",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.last("s", ignorenulls=True).over(w).alias("locf_sum"),
+        )
+    )

@@ -385,3 +385,55 @@ def test_declared_key_and_value_converters(spark, tmp_path):
     _wait_done(spark, "p_kv")
     got = {(r.key.uid, r.amount) for r in spark.table("p_kv").collect()}
     assert got == {(7, 1.5), (8, 2.5)}
+
+
+def test_boot_end_to_end(spark, tmp_path):
+    """The whole main.sh sequence in one call: env validation →
+    specs-from-env → status REST up → async reconcile. The pipeline
+    declared in the env comes up; the status endpoint reports it."""
+    import json as _json
+    import urllib.request
+
+    from heroku_kafka_connect_spark.controlplane import boot
+
+    src = str(tmp_path / "in")
+    spark.range(4).write.parquet(src)
+    env = {
+        "CONNECTOR_NAMES": "pboot",
+        "CONNECTOR_PBOOT": _json.dumps(
+            {
+                "source.format": "parquet",
+                "source.path": src,
+                "source.schema": "id bigint",
+                "sink.format": "memory",
+                "trigger": "availableNow",
+            }
+        ),
+    }
+    runtime, server, thread = boot(
+        spark, checkpoint_root=str(tmp_path / "cp"), env=env, require_kafka_env=False
+    )
+    try:
+        thread.join(timeout=60)
+        assert not thread.is_alive()
+        _wait_done(spark, "pboot")
+        assert spark.table("pboot").count() == 4
+        listed = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{server.port}/connectors").read()
+        )
+        # availableNow query may have already finished (and been pruned
+        # from the fingerprint map) — the endpoint must answer either way
+        assert listed in ([], ["pboot"])
+    finally:
+        server.shutdown()
+        Reconciler(runtime, sleep=lambda _s: None).reconcile_once([])
+
+
+def test_boot_fail_fast_missing_env(spark, tmp_path):
+    from heroku_kafka_connect_spark.controlplane import SpecError, boot
+
+    try:
+        boot(spark, checkpoint_root=str(tmp_path / "cp"), env={})
+        raise AssertionError("expected SpecError")
+    except SpecError as e:
+        assert "KAFKA_URL" in str(e)
