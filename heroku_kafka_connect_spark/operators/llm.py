@@ -443,3 +443,32 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("train_doc_id").alias("n_train_docs"),
         F.count_distinct("gram").alias("n_shared_grams"),
     )
+
+
+@register(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: exact stratified sampling — exactly N docs per stratum
+    (lang), chosen by ranking on a key hash: deterministic like
+    `llm_sample_hash` but with a hard per-group quota, which is what
+    a balanced training mix needs (rate-based sampling only hits
+    quotas in expectation). One shuffle (the window partition);
+    Spark's WindowGroupLimit pushes the rank<=N cut map-side, so
+    only ~N rows per stratum per task reach the exchange."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.documents.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("doc_id", "lang", "source")
+    )

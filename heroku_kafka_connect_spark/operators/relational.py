@@ -1053,3 +1053,110 @@ def rel_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("s", ignorenulls=True).over(w).alias("locf_sum"),
         )
     )
+
+
+@register(
+    "rel_time_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT priority, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    cal AS (SELECT priority, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds),
+    joined AS (
+      SELECT c.priority, c.day, d.cents,
+             last_value(d.cents IGNORE NULLS) OVER w_back AS prev_c,
+             last_value(CASE WHEN d.cents IS NOT NULL THEN c.day END IGNORE NULLS) OVER w_back AS prev_day,
+             first_value(d.cents IGNORE NULLS) OVER w_fwd AS next_c,
+             first_value(CASE WHEN d.cents IS NOT NULL THEN c.day END IGNORE NULLS) OVER w_fwd AS next_day
+      FROM cal c LEFT JOIN daily d ON c.priority = d.priority AND c.day = d.day
+      WINDOW
+        w_back AS (PARTITION BY c.priority ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd  AS (PARTITION BY c.priority ORDER BY c.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT priority, CAST(day AS VARCHAR) AS day,
+           CASE
+             WHEN cents IS NOT NULL THEN cents
+             WHEN prev_c IS NULL THEN next_c
+             WHEN next_c IS NULL THEN prev_c
+             ELSE (prev_c * (date_diff('day', day, next_day))
+                   + next_c * (date_diff('day', prev_day, day)))
+                  // date_diff('day', prev_day, next_day)
+           END AS interp_cents
+    FROM joined
+    """,
+)
+def rel_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J33: linear interpolation over time-series gaps — the
+    `interpolate()` half of the TSDB gap-fill family
+    (`rel_time_gapfill` is the LOCF half). Missing days take the
+    straight line between the surrounding observations (edges fall
+    back to nearest). The measure is EXACT integer cents and the
+    interpolation is integer-weighted-average with floor division —
+    bit-identical on every engine, where double round-at-half-cent
+    diverges (observed: Spark/DuckDB disagree on x.xx5). Same
+    single-key plan as gapfill: one agg shuffle, calendar explode,
+    and TWO window frames over one partitioning (both evaluate in
+    one sort — no second exchange)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cal = (
+        daily.groupBy("priority")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "priority",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    back = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    j = (
+        cal.join(daily, ["priority", "day"], "left")
+        .withColumn("prev_c", F.last("cents", ignorenulls=True).over(back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("next_c", F.first("cents", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(
+            F.expr(
+                "(prev_c * datediff(next_day, day) + next_c * datediff(day, prev_day)) "
+                "div datediff(next_day, prev_day)"
+            )
+        )
+    )
+    return j.select(
+        "priority",
+        F.col("day").cast("string").alias("day"),
+        interp.alias("interp_cents"),
+    )
