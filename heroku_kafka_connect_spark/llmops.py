@@ -431,3 +431,48 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """True bin packing per group via first-fit-decreasing — the
+    sequential counterpart of offset-based sequence packing
+    (`llm_pack_sequences`): no doc straddles a boundary and bins stay
+    under budget (a doc longer than the budget gets a bin alone).
+
+    FFD is inherently sequential WITHIN a group, so it runs as an
+    ``applyInPandas`` grouped map: Spark distributes groups across
+    executors (one shuffle on the group key) and the Python loop only
+    ever sees one group's docs — the parallelism unit at 100 TB is
+    the (lang, date-bucket, shard) group, kept small enough that a
+    group's doc list fits one task. Deterministic: docs are ordered
+    by (tokens desc, id) before placement, so the assignment is a
+    pure function of the group's contents."""
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = sorted(
+            zip(pdf[tokens_col].tolist(), pdf[id_col].tolist()), key=lambda t: (-t[0], t[1])
+        )
+        remaining: list[int] = []
+        assigned: dict[int, int] = {}
+        for tokens, doc in order:
+            for i, cap in enumerate(remaining):
+                if tokens <= cap:
+                    remaining[i] = cap - tokens
+                    assigned[doc] = i
+                    break
+            else:
+                remaining.append(budget - tokens)
+                assigned[doc] = len(remaining) - 1
+        out = pdf[[id_col, group_col, tokens_col]].copy()
+        out["bin_id"] = out[id_col].map(assigned)
+        return out
+
+    schema = f"{id_col} long, {group_col} string, {tokens_col} long, bin_id long"
+    return docs.select(id_col, group_col, tokens_col).groupBy(group_col).applyInPandas(ffd, schema)

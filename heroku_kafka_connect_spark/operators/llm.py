@@ -472,3 +472,17 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 10)
         .select("doc_id", "lang", "source")
     )
+
+
+@register("llm_pack_bins", oracle=None)
+def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J35: true bin packing (first-fit-decreasing) per lang — the
+    no-straddle counterpart of `llm_pack_sequences`, as an
+    applyInPandas grouped map (FFD is sequential within a group; SQL
+    cannot express it, hence rows-only — the packing invariants are
+    pinned by tests/test_llmops.py::test_ffd_bin_packing_invariants)."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return llmops.pack_bins_ffd(docs, budget=2048)

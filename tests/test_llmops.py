@@ -199,3 +199,28 @@ def test_connected_components_shapes(spark):
     )
     got = {r.node: r.component for r in llmops.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ffd_bin_packing_invariants(spark):
+    """FFD invariants: every multi-doc bin within budget; an oversize
+    doc sits alone; deterministic across runs; never more bins than
+    the naive one-doc-per-bin bound and at least ceil(total/budget)."""
+    import math
+
+    rows = [(i, "en", t) for i, t in enumerate([1500, 900, 700, 600, 500, 300, 100, 3000])]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out1 = {r.doc_id: r.bin_id for r in llmops.pack_bins_ffd(docs, budget=2048).collect()}
+    out2 = {r.doc_id: r.bin_id for r in llmops.pack_bins_ffd(docs, budget=2048).collect()}
+    assert out1 == out2  # deterministic
+    sizes = dict(rows and [(i, t) for i, _l, t in rows])
+    by_bin: dict[int, list[int]] = {}
+    for doc, b in out1.items():
+        by_bin.setdefault(b, []).append(sizes[doc])
+    for b, toks in by_bin.items():
+        if len(toks) > 1:
+            assert sum(toks) <= 2048, f"bin {b} over budget: {toks}"
+    # the 3000-token doc must be alone
+    big_bin = out1[7]
+    assert len(by_bin[big_bin]) == 1
+    total = sum(sizes.values())
+    assert math.ceil((total - 3000) / 2048) <= len(by_bin) - 1 <= len(sizes) - 1
