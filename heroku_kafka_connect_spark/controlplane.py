@@ -299,6 +299,8 @@ class SparkRuntime(QueryRuntime):
             # __batch_id: readers needing exactly-once dedup on
             # (__batch_id, natural key) — the same contract Connect's
             # DLQ topic offers (at-least-once + record headers).
+            # NB sink dirs created before __batch_id existed hold
+            # mixed schemas: read those with mergeSchema=true.
             from .serde import jsonserde
 
             json_col = cfg["sink.option.jsonColumn"]
@@ -426,24 +428,42 @@ def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:
     if not kind:
         return df
     col = cfg.get("value.converter.column", "value")
-    others = [c for c in df.columns if c != col]
     if kind == "avro":
         from .serde import avro_wire
 
         schemas = {int(k): v for k, v in json.loads(cfg["value.converter.schemas"]).items()}
         reader_schema = json.loads(cfg["value.converter.reader"])
+        decoded_names = [f["name"] for f in reader_schema["fields"]]
         # errors.tolerance=all at the converter: corrupt records keep
         # flowing with null fields + `_corrupt_record`, ready for a
         # downstream dlq-split filter instead of a poisoned stream
         tolerant = cfg.get("value.converter.tolerant", "false").lower() == "true"
+        if tolerant:
+            decoded_names.append("_corrupt_record")
         dec = avro_wire.from_avro_framed_py(
             schemas, reader_schema, corrupt_col="_corrupt_record" if tolerant else None
         )
+        others = _non_colliding(df.columns, col, decoded_names)
         return df.select(*others, dec(F.col(col)).alias("__rec")).select(*others, "__rec.*")
     if kind == "json":
+        from pyspark.sql.types import StructType
+
+        decoded_names = [f.name for f in StructType.fromDDL(cfg["value.converter.schema"])]
         parsed = F.from_json(F.col(col).cast("string"), cfg["value.converter.schema"])
+        others = _non_colliding(df.columns, col, decoded_names)
         return df.select(*others, parsed.alias("__rec")).select(*others, "__rec.*")
     raise SpecError(f"unknown value.converter {kind!r}")
+
+
+def _non_colliding(columns: list[str], value_col: str, decoded_names: list[str]) -> list[str]:
+    """Envelope columns to keep alongside the flattened value fields.
+    A value field named like an envelope column (`timestamp` is the
+    classic) would otherwise produce duplicate column names and
+    AMBIGUOUS_REFERENCE in every downstream SMT — the decoded record
+    wins, matching Connect where the converted value REPLACES the raw
+    one rather than merging with the envelope."""
+    decoded = set(decoded_names)
+    return [c for c in columns if c != value_col and c not in decoded]
 
 
 def apply_transform_chain(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:

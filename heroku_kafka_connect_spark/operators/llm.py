@@ -38,7 +38,11 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_dedup_near", oracle=None)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 MinHash+LSH near-dup pairs (Jaccard>=0.5 on 3-shingles),
-    rows-only: minhash seeds are engine-specific."""
+    rows-only: minhash seeds are engine-specific. NB the default
+    hot-bucket cap (max_bucket=256) applies: a bucket beyond it emits
+    no pairs here and surfaces via `llmops.minhash_lsh_overflow` —
+    on corpora with heavy boilerplate route that side output through
+    exact dedup (SCALE.md)."""
     t = load_tables(spark, sf_dir)
     return llmops.minhash_lsh_pairs(t.documents, threshold=0.5)
 

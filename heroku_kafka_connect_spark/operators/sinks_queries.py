@@ -20,6 +20,13 @@ from ..sinks import writers
 
 _ORDER = lambda: [F.col("ts").desc(), F.col("event_id").desc()]  # noqa: E731
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=1)
+def _sink_dir() -> str:
+    return tempfile.mkdtemp(prefix="hkc_file_sink_")
+
 
 @register(
     "sink_insert_projection",
@@ -131,11 +138,11 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine half), read it back, prove losslessness — the oracle is the
     original table, so any write/read corruption fails the hash."""
     t = load_tables(spark, sf_dir)
-    # Per-run tmpdir: a fixed path would race two concurrent harnesses
-    # (and leave one reading the other's half-written files).
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="hkc_file_sink_"), "roundtrip"
-    )
+    # Per-PROCESS tmpdir: a fixed path would race concurrent
+    # harnesses, but a fresh mkdtemp per invocation leaks a parquet
+    # copy of events on every bench/correctness run — one cached dir
+    # per process (overwrite mode) bounds growth to a single copy.
+    out = os.path.join(_sink_dir(), "roundtrip")
     df = t.events.select("event_id", "user_id", "event_type", "value")
     writers.write_files(df, out, fmt="parquet", partition_by=["event_type"])
     back = spark.read.parquet(out)

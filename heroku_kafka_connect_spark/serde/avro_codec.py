@@ -91,14 +91,16 @@ def encode(value: Any, schema: Any, out: bytearray) -> None:
         for f in schema["fields"]:
             encode(value.get(f["name"], f.get("default")), f["type"], out)
     elif t == "array":
-        items = list(value or [])
+        # None-check explicitly: numpy arrays (how Arrow delivers
+        # array columns to pandas UDFs) raise on bare truth tests
+        items = [] if value is None else list(value)
         if items:
             out += _zigzag_encode(len(items))
             for it in items:
                 encode(it, schema["items"], out)
         out += _zigzag_encode(0)
     elif t == "map":
-        entries = dict(value or {})
+        entries = {} if value is None else dict(value)
         if entries:
             out += _zigzag_encode(len(entries))
             for k, v in entries.items():
@@ -109,16 +111,38 @@ def encode(value: Any, schema: Any, out: bytearray) -> None:
         raise NotImplementedError(f"avro type {t!r}")
 
 
+def _branch_accepts(t: str, value: Any) -> bool:
+    """Python-value ↔ Avro-type compatibility for union branch
+    selection (bool checked before int: bool is an int subclass)."""
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if t == "string":
+        return isinstance(value, str)
+    if t == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if t == "array":
+        return isinstance(value, (list, tuple))
+    if t in ("map", "record"):
+        return isinstance(value, dict)
+    return False
+
+
 def _union_branch(union: list, value: Any) -> int:
-    """Pick the union branch for a Python value (null first, then the
-    first type-compatible branch — the common [null, X] case)."""
+    """Pick the union branch for a Python value: null for None, else
+    the first TYPE-COMPATIBLE branch. Blind first-non-null selection
+    would silently corrupt multi-branch unions (a long routed through
+    the string branch encodes bytes(int) — NUL garbage, no error)."""
     for i, s in enumerate(union):
-        t = _schema_type(s)
-        if value is None and t == "null":
+        if value is None and _schema_type(s) == "null":
             return i
-        if value is not None and t != "null":
+    for i, s in enumerate(union):
+        if value is not None and _branch_accepts(_schema_type(s), value):
             return i
-    raise ValueError(f"no union branch for {value!r} in {union!r}")
+    raise ValueError(f"no union branch accepts {value!r} in {union!r}")
 
 
 # ---------------------------------------------------------------- decode

@@ -109,6 +109,7 @@ def to_avro_body_py(schema: dict | str):
 
     @pandas_udf("binary")
     def enc(batch: pd.DataFrame) -> pd.Series:
+        _int_precision_guard(s, batch)
         recs = batch.to_dict("records")
         return pd.Series(
             [avro_codec.encode_record(_none_nans(r), s) for r in recs], dtype=object
@@ -132,6 +133,8 @@ def to_avro_body_multi_py(schemas_by_id: dict[int, Any]):
 
     @pandas_udf("binary")
     def enc(sids: pd.Series, batch: pd.DataFrame) -> pd.Series:
+        for w in writers.values():
+            _int_precision_guard(w, batch)
         recs = batch.to_dict("records")
         out = []
         for sid, rec in zip(sids, recs):
@@ -198,8 +201,6 @@ def from_avro_framed_py(
         ddl = ddl[: -len(">")] + f", {corrupt_col}: string>"
 
     def decode_one(b: bytes):
-        if b is None:
-            raise ValueError("null record")
         if len(b) < HEADER_LEN or b[0] != MAGIC_BYTE:
             raise ValueError("not confluent wire format")
         sid = int.from_bytes(b[1:5], "big")
@@ -210,8 +211,15 @@ def from_avro_framed_py(
     @pandas_udf(ddl)
     def dec(vals: pd.Series) -> pd.DataFrame:
         rows = []
+        nulls = [None] * len(names)
         for b in vals:
-            if corrupt_col is None:
+            if b is None:
+                # Kafka tombstone (null value on a compacted topic) —
+                # a routine record, NOT corruption: null fields pass
+                # through in both modes, as Connect's AvroConverter
+                # does even with errors.tolerance=none.
+                rows.append(nulls if corrupt_col is None else [*nulls, None])
+            elif corrupt_col is None:
                 rec = decode_one(b)
                 rows.append([rec[n] for n in names])
             else:
@@ -219,7 +227,7 @@ def from_avro_framed_py(
                     rec = decode_one(b)
                     rows.append([rec[n] for n in names] + [None])
                 except Exception as e:  # noqa: BLE001 — any decode failure routes to DLQ
-                    rows.append([None] * len(names) + [f"avro-decode-failed: {e}"])
+                    rows.append([*nulls, f"avro-decode-failed: {e}"])
         cols = names if corrupt_col is None else [*names, corrupt_col]
         return pd.DataFrame(rows, columns=cols)
 
@@ -227,9 +235,44 @@ def from_avro_framed_py(
 
 
 def _none_nans(rec: dict) -> dict:
-    """pandas surfaces Avro null as NaN/None; normalize scalars so the
-    encoder sees None (arrays/bytes pass through untouched)."""
-    return {
-        k: (None if (not isinstance(v, (list, tuple, dict, bytes, bytearray)) and pd.isna(v)) else v)
-        for k, v in rec.items()
-    }
+    """Normalize one pandas record for the pure-Python encoder:
+    scalar NaN/NaT → None, numpy arrays (how Arrow delivers array
+    columns) → lists, numpy scalars → Python scalars. A bare
+    ``pd.isna`` on an ndarray raises ('truth value of an array is
+    ambiguous'), so containers are branch-checked first."""
+    import numpy as np
+
+    out = {}
+    for k, v in rec.items():
+        if isinstance(v, np.ndarray):
+            out[k] = v.tolist()
+        elif isinstance(v, (list, tuple, dict, bytes, bytearray)):
+            out[k] = v
+        elif v is None or pd.isna(v):
+            out[k] = None
+        elif isinstance(v, np.generic):
+            out[k] = v.item()
+        else:
+            out[k] = v
+    return out
+
+
+def _int_precision_guard(schema: dict, batch: pd.DataFrame) -> None:
+    """Refuse silent corruption of big ids: a nullable int/long column
+    that contains any null reaches pandas as float64, which is exact
+    only to 2^53 — beyond that, int(value) would round-trip the WRONG
+    id with no error. Raise loudly instead; the fixes are a non-null
+    column, the JVM spark-avro path, or a string carrier."""
+    for f in schema["fields"]:
+        t = f["type"]
+        kinds = [t] if isinstance(t, str) else ([b for b in t if b != "null"] if isinstance(t, list) else [])
+        if any(k in ("int", "long") for k in kinds if isinstance(k, str)):
+            name = f["name"]
+            if name in batch.columns and str(batch[name].dtype) == "float64":
+                bad = batch[name].dropna().abs() > 2**53
+                if bad.any():
+                    raise ValueError(
+                        f"field {name!r}: int values beyond 2^53 arrived as float64 "
+                        "(nullable column) — precision lost; make the column non-null "
+                        "or use the JVM avro path"
+                    )

@@ -71,9 +71,10 @@ class SchemaRegistry:
         """Load ``<id>.json`` fixture files (subject taken from the
         schema's record name)."""
         reg = cls()
-        for fname in sorted(os.listdir(path), key=lambda f: int(f.split(".")[0])):
-            if not fname.endswith(".json"):
-                continue
+        # filter BEFORE the int() sort key — a stray README/.DS_Store
+        # in the fixtures dir must not crash the load
+        fixture_files = [f for f in os.listdir(path) if f.endswith(".json")]
+        for fname in sorted(fixture_files, key=lambda f: int(f.split(".")[0])):
             sid = int(fname.split(".")[0])
             with open(os.path.join(path, fname)) as f:
                 schema = json.load(f)

@@ -437,3 +437,21 @@ def test_boot_fail_fast_missing_env(spark, tmp_path):
         raise AssertionError("expected SpecError")
     except SpecError as e:
         assert "KAFKA_URL" in str(e)
+
+
+def test_converter_value_field_shadows_envelope_column(spark, tmp_path):
+    """A value field named like an envelope column (`timestamp`) must
+    not produce duplicate columns — the decoded record wins, as in
+    Connect where the converted value replaces the raw one."""
+    from heroku_kafka_connect_spark.controlplane import apply_converter
+
+    df = spark.createDataFrame(
+        [(1, 111, '{"timestamp": 999, "x": "a"}')], "k int, timestamp long, value string"
+    )
+    out = apply_converter(
+        df,
+        {"value.converter": "json", "value.converter.schema": "timestamp bigint, x string"},
+    )
+    assert out.columns.count("timestamp") == 1
+    row = out.first()
+    assert row.timestamp == 999 and row.x == "a" and row.k == 1

@@ -242,3 +242,93 @@ def test_from_avro_framed_py_tolerant(spark):
         raise AssertionError("expected strict decode to raise")
     except Exception:
         pass
+
+
+def test_avro_encode_array_field_via_spark(spark):
+    """Array-typed fields reach the encoder as numpy arrays from
+    Arrow — the round-trip must survive them (regression: bare
+    pd.isna(ndarray) raised 'truth value is ambiguous')."""
+    from heroku_kafka_connect_spark.serde import avro_wire
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, [])], "id long, tags array<string>")
+    enc = avro_wire.to_avro_body_py(schema)
+    dec = avro_wire.from_avro_body_py(schema)
+    out = df.select(dec(enc(F.struct("id", "tags"))).alias("r")).select("r.*")
+    got = {r.id: list(r.tags) for r in out.collect()}
+    assert got == {1: ["a", "b"], 2: []}
+
+
+def test_avro_tombstone_null_passthrough(spark):
+    """A null value (Kafka tombstone on a compacted topic) is a
+    routine record, not corruption: null fields in BOTH strict and
+    tolerant modes, no _corrupt_record, no task failure."""
+    from heroku_kafka_connect_spark.serde import avro_codec, avro_wire
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    good = b"\x00" + (7).to_bytes(4, "big") + avro_codec.encode_record({"a": 1}, schema)
+    df = spark.createDataFrame([(1, good), (2, None)], "k int, v binary")
+    for corrupt_col in (None, "_corrupt_record"):
+        dec = avro_wire.from_avro_framed_py({7: schema}, schema, corrupt_col=corrupt_col)
+        rows = {r.k: r for r in df.select("k", dec("v").alias("r")).select("k", "r.*").collect()}
+        assert rows[1].a == 1 and rows[2].a is None
+        if corrupt_col:
+            assert rows[2]._corrupt_record is None  # tombstone != corrupt
+
+
+def test_avro_union_branch_type_aware():
+    """Multi-branch unions route by VALUE TYPE (regression: a long
+    through the string branch encoded bytes(int) NUL garbage); an
+    incompatible value raises instead of corrupting."""
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "f", "type": ["null", "string", "long"]}]}
+    for v in (None, "txt", 5):
+        buf = avro_codec.encode_record({"f": v}, sch)
+        assert avro_codec.decode_record(buf, sch) == {"f": v}
+    try:
+        avro_codec.encode_record({"f": [1, 2]}, sch)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "union branch" in str(e)
+
+
+def test_avro_int_precision_guard(spark):
+    """Nullable long columns holding ids beyond 2^53 arrive as
+    float64 — the encoder must refuse loudly rather than silently
+    round-trip a wrong id."""
+    from heroku_kafka_connect_spark.serde import avro_wire
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": ["null", "long"]}]}
+    # one partition: the null and the big id must share an Arrow batch
+    # for the float64 coercion (and the corruption risk) to occur
+    df = spark.createDataFrame([(2**60 + 1,), (None,)], "id bigint").coalesce(1)
+    enc = avro_wire.to_avro_body_py(schema)
+    try:
+        df.select(enc(F.struct("id"))).collect()
+        raise AssertionError("expected precision error")
+    except Exception as e:
+        assert "2^53" in str(e)
+
+
+def test_schema_registry_from_dir_ignores_stray_files(tmp_path):
+    import json as _json
+
+    from heroku_kafka_connect_spark.serde.schema_registry import SchemaRegistry
+
+    (tmp_path / "1.json").write_text(
+        _json.dumps({"type": "record", "name": "e", "fields": [{"name": "a", "type": "long"}]})
+    )
+    (tmp_path / "README.txt").write_text("not a schema")
+    (tmp_path / ".DS_Store").write_bytes(b"\x00")
+    reg = SchemaRegistry.from_dir(str(tmp_path))
+    assert reg.get(1)["name"] == "e"
