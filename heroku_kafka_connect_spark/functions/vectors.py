@@ -150,3 +150,32 @@ def brute_force_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", id_col, "score", F.col("__rn").alias("rank"))
     )
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> None:
+    """Materialize the IVF index as a parquet table PHYSICALLY
+    partitioned by centroid: `path/centroid_id=K/...`. This is the
+    100 TB layout SCALE.md promises — at query time only the probed
+    centroids' directories are read at all (partition pruning at the
+    file-listing level, before any IO), so probe cost scales with
+    nprobe/ncentroids of the corpus, not the corpus."""
+    assigned = ivf_assign(
+        vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+    ).select(id_col, F.col("__v").alias(vec_col), "centroid_id")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_read_probes(
+    spark, path: str, centroid_ids: list[int]
+) -> DataFrame:
+    """Open only the probed partitions of a written IVF index. The
+    `isin` filter is a PartitionFilter (visible in the scan node) —
+    unprobed centroid directories are never listed, opened or read."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))

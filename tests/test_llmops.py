@@ -224,3 +224,26 @@ def test_ffd_bin_packing_invariants(spark):
     assert len(by_bin[big_bin]) == 1
     total = sum(sizes.values())
     assert math.ceil((total - 3000) / 2048) <= len(by_bin) - 1 <= len(sizes) - 1
+
+
+def test_ivf_partitioned_index_prunes(spark, tmp_path):
+    """The IVF disk layout: index written partitionBy(centroid_id),
+    probe read shows a PartitionFilters entry (pruning happens at
+    file listing, before any IO) and returns exactly the probed
+    partitions' vectors."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    V.ivf_write_index(emb, path, n_centroids=4)
+
+    probed = V.ivf_read_probes(spark, path, [0, 2])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
+    got_centroids = {r.centroid_id for r in probed.select("centroid_id").distinct().collect()}
+    assert got_centroids <= {0, 2} and got_centroids
+    # full index round-trips every vector exactly once
+    full = spark.read.parquet(path)
+    assert full.count() == 80 and full.select("vec_id").distinct().count() == 80
