@@ -23,8 +23,13 @@ _ORDER = lambda: [F.col("ts").desc(), F.col("event_id").desc()]  # noqa: E731
 from functools import lru_cache  # noqa: E402
 
 
-@lru_cache(maxsize=1)
-def _sink_dir() -> str:
+@lru_cache(maxsize=None)
+def _sink_dir(sf_dir: str) -> str:
+    """One tmp dir per (process, fixture dir): bounded growth, no
+    cross-harness race, and a DataFrame returned for one sf_dir is
+    never invalidated by a later call for a different one (a single
+    shared dir would let the second call's overwrite delete files the
+    first call's lazy plan still references)."""
     return tempfile.mkdtemp(prefix="hkc_file_sink_")
 
 
@@ -138,11 +143,11 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine half), read it back, prove losslessness — the oracle is the
     original table, so any write/read corruption fails the hash."""
     t = load_tables(spark, sf_dir)
-    # Per-PROCESS tmpdir: a fixed path would race concurrent
-    # harnesses, but a fresh mkdtemp per invocation leaks a parquet
-    # copy of events on every bench/correctness run — one cached dir
-    # per process (overwrite mode) bounds growth to a single copy.
-    out = os.path.join(_sink_dir(), "roundtrip")
+    # Per-(process, sf_dir) tmpdir: a fixed path would race concurrent
+    # harnesses, a fresh mkdtemp per invocation leaks a parquet copy
+    # of events on every bench/correctness run — the cached dir
+    # (overwrite mode) bounds growth to one copy per fixture.
+    out = os.path.join(_sink_dir(sf_dir), "roundtrip")
     df = t.events.select("event_id", "user_id", "event_type", "value")
     writers.write_files(df, out, fmt="parquet", partition_by=["event_type"])
     back = spark.read.parquet(out)

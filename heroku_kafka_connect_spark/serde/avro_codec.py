@@ -135,13 +135,23 @@ def _union_branch(union: list, value: Any) -> int:
     """Pick the union branch for a Python value: null for None, else
     the first TYPE-COMPATIBLE branch. Blind first-non-null selection
     would silently corrupt multi-branch unions (a long routed through
-    the string branch encodes bytes(int) — NUL garbage, no error)."""
+    the string branch encodes bytes(int) — NUL garbage, no error).
+
+    Fallback: an INTEGRAL float may take an int/long branch — pandas
+    coerces nullable int64 columns to float64, so a [null, long]
+    field's 5 arrives as 5.0 (the magnitude guard upstream keeps this
+    exact; see avro_wire._int_precision_guard)."""
     for i, s in enumerate(union):
         if value is None and _schema_type(s) == "null":
             return i
-    for i, s in enumerate(union):
-        if value is not None and _branch_accepts(_schema_type(s), value):
-            return i
+    if value is not None:
+        for i, s in enumerate(union):
+            if _branch_accepts(_schema_type(s), value):
+                return i
+        if isinstance(value, float) and value.is_integer():
+            for i, s in enumerate(union):
+                if _schema_type(s) in ("int", "long"):
+                    return i
     raise ValueError(f"no union branch accepts {value!r} in {union!r}")
 
 

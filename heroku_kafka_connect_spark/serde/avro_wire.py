@@ -133,8 +133,10 @@ def to_avro_body_multi_py(schemas_by_id: dict[int, Any]):
 
     @pandas_udf("binary")
     def enc(sids: pd.Series, batch: pd.DataFrame) -> pd.Series:
-        for w in writers.values():
-            _int_precision_guard(w, batch)
+        # guard only the schemas this batch actually writes with — a
+        # registered-but-unused schema must not veto a valid batch
+        for sid in {int(x) for x in sids.unique()}:
+            _int_precision_guard(writers[sid], batch)
         recs = batch.to_dict("records")
         out = []
         for sid, rec in zip(sids, recs):
@@ -269,7 +271,9 @@ def _int_precision_guard(schema: dict, batch: pd.DataFrame) -> None:
         if any(k in ("int", "long") for k in kinds if isinstance(k, str)):
             name = f["name"]
             if name in batch.columns and str(batch[name].dtype) == "float64":
-                bad = batch[name].dropna().abs() > 2**53
+                # >= not >: 2^53+1 coerces to exactly 2^53.0, so the
+                # boundary value itself is already untrustworthy
+                bad = batch[name].dropna().abs() >= 2**53
                 if bad.any():
                     raise ValueError(
                         f"field {name!r}: int values beyond 2^53 arrived as float64 "

@@ -71,9 +71,12 @@ class SchemaRegistry:
         """Load ``<id>.json`` fixture files (subject taken from the
         schema's record name)."""
         reg = cls()
-        # filter BEFORE the int() sort key — a stray README/.DS_Store
-        # in the fixtures dir must not crash the load
-        fixture_files = [f for f in os.listdir(path) if f.endswith(".json")]
+        # filter BEFORE the int() sort key — stray files (README,
+        # .DS_Store, notes.json) in the fixtures dir must not crash
+        # the load, so require the numeric <id>.json shape exactly
+        fixture_files = [
+            f for f in os.listdir(path) if f.endswith(".json") and f.split(".")[0].isdigit()
+        ]
         for fname in sorted(fixture_files, key=lambda f: int(f.split(".")[0])):
             sid = int(fname.split(".")[0])
             with open(os.path.join(path, fname)) as f:

@@ -332,3 +332,54 @@ def test_schema_registry_from_dir_ignores_stray_files(tmp_path):
     (tmp_path / ".DS_Store").write_bytes(b"\x00")
     reg = SchemaRegistry.from_dir(str(tmp_path))
     assert reg.get(1)["name"] == "e"
+
+
+def test_avro_nullable_long_roundtrip_with_nulls_in_batch(spark):
+    """The pandas float64-coercion path end-to-end: a [null, long]
+    field whose batch contains a null delivers integral FLOATS to the
+    encoder — they must take the long branch and round-trip exactly
+    (regression: type-aware union selection rejected 5.0)."""
+    from heroku_kafka_connect_spark.serde import avro_wire
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": ["null", "long"]}]}
+    df = spark.createDataFrame([(5,), (None,), (7,)], "id bigint").coalesce(1)
+    enc = avro_wire.to_avro_body_py(schema)
+    dec = avro_wire.from_avro_body_py(schema)
+    got = sorted(
+        (r.id for r in df.select(dec(enc(F.struct("id"))).alias("r")).select("r.*").collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert got == [5, 7, None]
+
+
+def test_avro_int_guard_boundary():
+    """2^53+1 coerces to exactly 2^53.0 — the boundary itself must be
+    refused (>= not >)."""
+    import pandas as pd
+
+    from heroku_kafka_connect_spark.serde.avro_wire import _int_precision_guard
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": ["null", "long"]}]}
+    batch = pd.DataFrame({"id": pd.Series([float(2**53 + 1), None], dtype="float64")})
+    try:
+        _int_precision_guard(schema, batch)
+        raise AssertionError("expected guard to fire at the 2^53 boundary")
+    except ValueError as e:
+        assert "2^53" in str(e)
+    # comfortably-small values pass
+    _int_precision_guard(schema, pd.DataFrame({"id": pd.Series([5.0, None], dtype="float64")}))
+
+
+def test_schema_registry_from_dir_ignores_non_numeric_json(tmp_path):
+    import json as _json
+
+    from heroku_kafka_connect_spark.serde.schema_registry import SchemaRegistry
+
+    (tmp_path / "2.json").write_text(
+        _json.dumps({"type": "record", "name": "e", "fields": [{"name": "a", "type": "long"}]})
+    )
+    (tmp_path / "notes.json").write_text("{}")  # non-numeric stem: skipped, not a crash
+    reg = SchemaRegistry.from_dir(str(tmp_path))
+    assert set(reg.schemas_by_id()) == {2}
