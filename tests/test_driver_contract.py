@@ -45,3 +45,28 @@ def test_python_udfs_survive_foreign_cwd():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_bench_final_line_is_compact_parseable_json():
+    """The driver retains only the last ~2000 chars of bench stdout and
+    parses the FINAL line. Round 2 lost its headline metric when the
+    full-corpus map pushed the line past that window — pin the framing:
+    final line < 1900 chars, valid JSON, with the headline fields, even
+    with a corpus far larger than today's."""
+    import json
+
+    import bench
+
+    fake = {f"query_with_a_long_name_{i:03d}": 123.456 for i in range(400)}
+    for n in bench.HEADLINE:
+        fake[n] = 1.234
+    detail, summary = bench.build_output_lines(fake, 0.1)
+    assert len(summary) < 1900
+    parsed = json.loads(summary)
+    assert parsed["metric"] == "headline_corpus_wall_sec"
+    assert parsed["unit"] == "sec"
+    assert parsed["timing"] == "min_of_2"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["value"] == round(sum(1.234 for _ in bench.HEADLINE), 3)
+    # the detail line still carries every query for round-over-round diffing
+    assert set(json.loads(detail)["queries"]) == set(fake)

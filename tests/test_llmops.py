@@ -178,12 +178,19 @@ def test_winnowing_guarantee_shared_passage(spark):
 
 def test_custom_and_ml_minhash_agree(spark, sf_dir):
     """The custom fused-band-key path and the spark.ml builtin path
-    must find the same near-dup pairs on the fixtures — mutual
-    cross-validation of two independent MinHash implementations."""
+    must find the same near-dup pairs on the same input — mutual
+    cross-validation of two independent MinHash implementations. The
+    registered ml query runs on a deterministic 25% sample (bench
+    cost), so the custom path is evaluated on that exact sample here."""
+    from heroku_kafka_connect_spark.operators.llm import ml_cross_check_sample
     from heroku_kafka_connect_spark.registry import all_queries
+    from heroku_kafka_connect_spark.session import load_tables
 
     qs = all_queries()
-    custom = {(r.a, r.b) for r in qs["llm_dedup_near"].fn(spark, sf_dir).collect()}
+    sampled = ml_cross_check_sample(load_tables(spark, sf_dir).documents)
+    custom = {
+        (r.a, r.b) for r in llmops.minhash_lsh_pairs(sampled, threshold=0.5).collect()
+    }
     ml = {(r.a, r.b) for r in qs["llm_dedup_near_ml"].fn(spark, sf_dir).collect()}
     assert custom == ml and custom
 
@@ -199,6 +206,65 @@ def test_connected_components_shapes(spark):
     )
     got = {r.node: r.component for r in llmops.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    got2 = {
+        r.node: r.component
+        for r in llmops.connected_components(edges, algorithm="two_star").collect()
+    }
+    assert got2 == got
+
+
+def test_two_star_matches_label_prop_on_random_graphs(spark):
+    """Property: the alternating large-star/small-star algorithm and
+    min-label propagation produce identical (node → component) maps —
+    checked against a pure-Python union-find ground truth — on seeded
+    random graphs and the diameter-adversarial cases (path graphs,
+    where propagation needs O(n) rounds but two-star needs O(log² n);
+    max_iter=6 on the 40-path pins that two-star really converges
+    fast, it cannot be propagation in disguise)."""
+    import random
+
+    def union_find(edge_list):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = []
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = rng.randint(20, 60)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(10, 80))]
+        )
+    cases.append([(i, i + 1) for i in range(40)])          # path: diameter 40
+    cases.append([(i, i + 1) for i in range(10)] + [(50, 51)])
+    cases.append([(7, 7), (1, 2)])                          # self-loop node
+
+    for edge_list in cases:
+        edges = spark.createDataFrame(edge_list, "a long, b long")
+        truth = union_find(edge_list)
+        lp = {
+            r.node: r.component
+            for r in llmops.connected_components(edges, max_iter=60).collect()
+        }
+        ts = {
+            r.node: r.component
+            for r in llmops.connected_components(
+                edges, algorithm="two_star", max_iter=6
+            ).collect()
+        }
+        assert lp == truth, edge_list
+        assert ts == truth, edge_list
 
 
 def test_ffd_bin_packing_invariants(spark):
