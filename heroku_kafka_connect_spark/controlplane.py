@@ -327,8 +327,20 @@ class SparkRuntime(QueryRuntime):
             keys = cfg["sink.option.keys"].split(",")
             order = cfg["sink.option.orderBy"].split(",")
             if fmt == "jdbc-upsert":
+                extra = {
+                    k.removeprefix("sink.option.jdbc."): v
+                    for k, v in cfg.items()
+                    if k.startswith("sink.option.jdbc.")
+                }
                 fb = _writers.foreach_batch_upsert(
-                    cfg["sink.option.url"], cfg["sink.option.table"], keys, order
+                    cfg["sink.option.url"],
+                    cfg["sink.option.table"],
+                    keys,
+                    order,
+                    # per-pipeline stage table: two queries upserting
+                    # the same target must not share a stage
+                    stage_suffix=spec.name,
+                    **extra,
                 )
             else:
                 fb = _writers.foreach_batch_upsert_parquet(cfg["sink.path"], keys, order)
@@ -386,6 +398,26 @@ class SparkRuntime(QueryRuntime):
         df = reader.load(cfg["source.path"]) if "source.path" in cfg else reader.load()
         df = apply_converter(df, cfg)
         return apply_transform_chain(df, cfg)
+
+
+def read_dlq_exactly_once(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Exactly-once READ over the at-least-once DLQ/valid parquet
+    appends of the dlq-split sink (SparkRuntime.start, fmt=dlq-split).
+
+    The writer is two non-transactional appends inside foreachBatch: a
+    batch replayed after partial failure re-appends its rows — but
+    Structured Streaming replays a batch under the SAME ``__batch_id``
+    (the epoch is fixed at the checkpoint before the sink runs). Rows
+    written twice therefore collide on (__batch_id, *keys) and one
+    dropDuplicates restores effective exactly-once, while identical
+    payloads legitimately re-emitted in LATER batches (distinct
+    __batch_id) survive — the same contract as deduping a Connect DLQ
+    topic on (record offset headers, key).
+
+    At scale this is one shuffle on the dedup key; mergeSchema covers
+    sink dirs whose oldest files predate the __batch_id stamp."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.dropDuplicates(["__batch_id", *keys])
 
 
 def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:

@@ -170,6 +170,17 @@ def ivf_write_index(
         vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
     ).select(id_col, F.col("__v").alias(vec_col), "centroid_id")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # centroid sidecar: underscore-prefixed so the main read's file
+    # listing skips it (Spark treats _*/.* paths as hidden metadata).
+    # At 100 TB this is the only piece of the index a query driver
+    # ever reads in full — n_centroids rows.
+    (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), to_double(vec_col).alias("cv"))
+        .write.mode("overwrite")
+        .parquet(path + "/_centroids")
+    )
 
 
 def ivf_read_probes(
@@ -179,3 +190,58 @@ def ivf_read_probes(
     `isin` filter is a PartitionFilter (visible in the scan node) —
     unprobed centroid directories are never listed, opened or read."""
     return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+    score_round: int = 4,
+) -> DataFrame:
+    """Serve approximate top-k from a MATERIALIZED IVF index
+    (ivf_write_index layout) — the 100 TB serving path: build once,
+    probe many. Per query batch:
+
+    1. score queries against the n_centroids-row centroid sidecar
+       (broadcast) and keep each query's n_probe nearest buckets;
+    2. collect the probed centroid-id set — O(n_queries · n_probe)
+       ints, independent of corpus size; this bounded driver hop is
+       what turns probe choice into a STATIC PartitionFilter, so
+       unprobed centroid directories are pruned at file listing,
+       before any IO (dynamic pruning can't promise that for a
+       non-join predicate);
+    3. brute-force only inside the probed partitions, each query
+       joined (broadcast) to just its own buckets.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(spark.read.parquet(path + "/_centroids"))
+    q = query.select(F.col(id_col).alias("query_id"), to_double(vec_col).alias("__qv"))
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("__qcs").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("__qcs", cosine(F.col("__qv"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
+    cand = ivf_read_probes(spark, path, probe_ids).join(F.broadcast(probes), "centroid_id")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(to_double(vec_col), F.col("__qv")), score_round).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "score", F.col("__rn").alias("rank"))
+    )

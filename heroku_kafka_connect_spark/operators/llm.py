@@ -7,6 +7,8 @@ ANN)."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -351,6 +353,40 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     q = t.embeddings.filter(F.col("vec_id") < 5)
     return ivf_topk(t.embeddings, q, 3, n_centroids=16, n_probe=4)
+
+
+@lru_cache(maxsize=None)
+def _ivf_index_dir(sf_dir: str) -> str:
+    """One materialized IVF index per (process, fixture dir) — built
+    lazily on first use, reused by every later call (bench runs the
+    query twice; only the first pays the build)."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="hkc_ivf_index_")
+
+
+@register("llm_knn_ivf_indexed", oracle=None)
+def llm_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5c served from the MATERIALIZED index: same IVF-flat
+    algorithm as `llm_knn_ivf`, but the corpus assignment is written
+    once as centroid-partitioned parquet (functions.vectors.
+    ivf_write_index) and queries probe it via ivf_probe_topk — the
+    probed centroid set becomes a static PartitionFilter, so unprobed
+    centroid directories are pruned at FILE LISTING (asserted in
+    tests/test_llmops.py): probe IO scales with nprobe/ncentroids,
+    not corpus size. Rows-only by design (recall depends on probe
+    count); result-set equality with the inline ivf_topk path is
+    unit-tested."""
+    import os
+
+    from ..functions.vectors import ivf_probe_topk, ivf_write_index
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(_ivf_index_dir(sf_dir), "index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ivf_write_index(t.embeddings, path, n_centroids=16)
+    q = t.embeddings.filter(F.col("vec_id") < 5)
+    return ivf_probe_topk(spark, path, q, 3, n_probe=4)
 
 
 @register("llm_knn_lsh", oracle=None)

@@ -214,13 +214,38 @@ def avro_body_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     then decode by resolving that id back through the registry. The
     oracle is the source table, so any encode/decode corruption fails
     the hash. Arrow-batched pandas UDFs (serde/avro_codec.py); on a
-    cluster with the spark-avro jar the JVM from_avro/to_avro swap in
-    (serde/avro_wire.py:from_avro_body)."""
+    cluster with the spark-avro jar (session.get_spark resolves it
+    when SPARK_GRAFT_AVRO_PACKAGE is set) the JVM from_avro/to_avro
+    route is taken instead — same wire framing, same output."""
     from ..serde.schema_registry import SchemaRegistry
 
     t = load_tables(spark, sf_dir)
     reg = SchemaRegistry()
     sid = reg.register("event", _EVENT_V1)
+    if avro_wire.jvm_avro_available(spark):
+        import json as _json
+
+        body_schema = _json.dumps(
+            {
+                "type": "record",
+                "name": "event",
+                "fields": [f for f in _EVENT_V1["fields"] if f["name"] != "source"],
+            }
+        )
+        framed = t.events.select(
+            avro_wire.frame(
+                avro_wire.to_avro_body(
+                    F.struct("event_id", "event_type", "value"), body_schema
+                ),
+                sid,
+            ).alias("wire")
+        )
+        return framed.select(
+            avro_wire.from_avro_body(
+                F.expr(f"substring(wire, {avro_wire.HEADER_LEN + 1}, length(wire) - {avro_wire.HEADER_LEN})"),
+                body_schema,
+            ).alias("r")
+        ).select("r.*")
     enc = avro_wire.to_avro_body_py(_EVENT_V1)
     framed = t.events.select(
         avro_wire.frame(enc(F.struct("event_id", "event_type", "value")), sid).alias("wire")

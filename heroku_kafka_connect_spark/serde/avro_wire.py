@@ -72,6 +72,33 @@ def unframe(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+_JVM_AVRO_PROBE: dict[str, bool] = {}
+
+
+def jvm_avro_available(spark) -> bool:
+    """True iff the external spark-avro jar is actually loadable in
+    this session — probed FUNCTIONALLY (decode an empty record) rather
+    than by import: ``pyspark.sql.avro.functions`` always imports, the
+    failure only surfaces when the JVM resolves the expression.
+    Sessions built with SPARK_GRAFT_AVRO_PACKAGE set (session.
+    get_spark) pass this probe on networked environments; the sandbox
+    (no jar, no network) fails it and callers fall back to the
+    pure-Python codec. Result cached per application."""
+    key = spark.sparkContext.applicationId
+    if key not in _JVM_AVRO_PROBE:
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            empty = '{"type":"record","name":"probe","fields":[]}'
+            spark.range(1).select(
+                from_avro(F.lit(b"").cast("binary"), empty)
+            ).collect()
+            _JVM_AVRO_PROBE[key] = True
+        except Exception:  # noqa: BLE001 — jar missing ⇒ any of several JVM errors
+            _JVM_AVRO_PROBE[key] = False
+    return _JVM_AVRO_PROBE[key]
+
+
 def from_avro_body(payload: Column, json_schema: str) -> Column:
     """Decode an Avro body (requires the external spark-avro jar)."""
     try:
@@ -164,7 +191,12 @@ def from_avro_body_py(writer_schema: dict | str, reader_schema: dict | str | Non
 
     @pandas_udf(avro_codec.avro_to_ddl(out_schema))
     def dec(vals: pd.Series) -> pd.DataFrame:
-        rows = [avro_codec.decode_record(b, w, r) for b in vals]
+        # null body = Kafka tombstone → all-null row, mirroring
+        # from_avro_framed_py (decode_record(None) would crash the task)
+        none_row = {n: None for n in names}
+        rows = [
+            none_row if b is None else avro_codec.decode_record(b, w, r) for b in vals
+        ]
         return pd.DataFrame(rows, columns=names)
 
     return dec
@@ -259,12 +291,95 @@ def _none_nans(rec: dict) -> dict:
     return out
 
 
+def _int_branches(t: Any) -> list:
+    """Non-null branches of a (possibly union) avro type."""
+    if isinstance(t, list):
+        return [b for b in t if b != "null"]
+    return [t]
+
+
+def _nests_int(t: Any) -> bool:
+    """True if an avro type contains int/long anywhere BELOW the top
+    level (inside arrays / sub-records / nested unions)."""
+    for b in _int_branches(t):
+        if isinstance(b, dict):
+            if b.get("type") == "array":
+                it = b["items"]
+                if any(
+                    k in ("int", "long") for k in _int_branches(it) if isinstance(k, str)
+                ) or any(_nests_int(k) for k in _int_branches(it) if isinstance(k, dict)):
+                    return True
+            elif b.get("type") == "record":
+                for f in b["fields"]:
+                    ft = f["type"]
+                    if any(
+                        k in ("int", "long")
+                        for k in _int_branches(ft)
+                        if isinstance(k, str)
+                    ) or _nests_int(ft):
+                        return True
+            elif b.get("type") == "map":
+                vt = b["values"]
+                if any(
+                    k in ("int", "long") for k in _int_branches(vt) if isinstance(k, str)
+                ) or _nests_int(vt):
+                    return True
+    return False
+
+
+def _guard_nested(t: Any, v: Any, path: str) -> None:
+    """Recursive arm of the precision guard: Arrow delivers a nullable
+    list<long> as a float64 ndarray (NaN for nulls) and can surface
+    nested numerics as Python floats — flag any int-typed position
+    whose float64 carrier is at/beyond 2^53."""
+    import numpy as np
+
+    if v is None or (not isinstance(v, (np.ndarray, list, tuple, dict)) and pd.isna(v)):
+        return
+    for b in _int_branches(t):
+        if isinstance(b, str) and b in ("int", "long"):
+            if isinstance(v, (float, np.floating)) and abs(v) >= 2**53:
+                raise ValueError(
+                    f"field {path}: int value beyond 2^53 arrived as float64 "
+                    "(nullable nested position) — precision lost; make the value "
+                    "non-null or use the JVM avro path"
+                )
+        elif isinstance(b, dict):
+            bt = b.get("type")
+            if bt == "array" and isinstance(v, (np.ndarray, list, tuple)):
+                if isinstance(v, np.ndarray) and str(v.dtype) == "float64":
+                    it = b["items"]
+                    if any(
+                        k in ("int", "long")
+                        for k in _int_branches(it)
+                        if isinstance(k, str)
+                    ):
+                        vals = v[~np.isnan(v)]
+                        if (np.abs(vals) >= 2**53).any():
+                            raise ValueError(
+                                f"field {path}[]: int values beyond 2^53 arrived as "
+                                "float64 (nullable array items) — precision lost"
+                            )
+                        continue
+                for x in v:
+                    _guard_nested(b["items"], x, f"{path}[]")
+            elif bt == "record" and isinstance(v, dict):
+                for f in b["fields"]:
+                    _guard_nested(f["type"], v.get(f["name"]), f"{path}.{f['name']}")
+            elif bt == "map" and isinstance(v, dict):
+                for mk, mv in v.items():
+                    _guard_nested(b["values"], mv, f"{path}[{mk!r}]")
+
+
 def _int_precision_guard(schema: dict, batch: pd.DataFrame) -> None:
     """Refuse silent corruption of big ids: a nullable int/long column
     that contains any null reaches pandas as float64, which is exact
     only to 2^53 — beyond that, int(value) would round-trip the WRONG
     id with no error. Raise loudly instead; the fixes are a non-null
-    column, the JVM spark-avro path, or a string carrier."""
+    column, the JVM spark-avro path, or a string carrier. Recurses
+    into array/record/map positions (a nullable list<long> arrives as
+    a float64 ndarray), paying the per-value walk only for fields
+    whose schema nests int/long."""
     for f in schema["fields"]:
         t = f["type"]
         kinds = [t] if isinstance(t, str) else ([b for b in t if b != "null"] if isinstance(t, list) else [])
@@ -280,3 +395,6 @@ def _int_precision_guard(schema: dict, batch: pd.DataFrame) -> None:
                         "(nullable column) — precision lost; make the column non-null "
                         "or use the JVM avro path"
                     )
+        if _nests_int(t) and f["name"] in batch.columns:
+            for v in batch[f["name"]]:
+                _guard_nested(t, v, f["name"])

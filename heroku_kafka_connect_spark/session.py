@@ -41,7 +41,7 @@ def get_spark(app_name: str = "heroku-kafka-connect-spark") -> SparkSession:
     session to the ``__spark_entry__`` contract; this factory mirrors
     the config we would ship as cluster defaults."""
     cpus = default_parallelism()
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
@@ -52,8 +52,17 @@ def get_spark(app_name: str = "heroku-kafka-connect-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Opt-in JVM Avro: environments with network/a jar cache can set
+    # SPARK_GRAFT_AVRO_PACKAGE (e.g. the spark-avro maven coordinate
+    # matching the Spark version) and serde.avro_wire routes through
+    # the native from_avro/to_avro instead of the pure-Python codec.
+    # Off by default: this sandbox has no network, and jar resolution
+    # at session start would otherwise stall every test run.
+    avro_pkg = os.environ.get("SPARK_GRAFT_AVRO_PACKAGE")
+    if avro_pkg:
+        builder = builder.config("spark.jars.packages", avro_pkg)
+    return builder.getOrCreate()
 
 
 def configure(spark: SparkSession) -> SparkSession:

@@ -102,6 +102,13 @@ def foreach_batch_jdbc_append(url: str, table: str, **options):
     return write
 
 
+def stage_table_name(table: str, suffix: str = "") -> str:
+    """Stage table for a MERGE upsert — suffixed per writer (query
+    name) so concurrent streaming queries targeting the same table
+    never overwrite each other's stage mid-MERGE."""
+    return f"{table}__stage{('_' + suffix) if suffix else ''}"
+
+
 def merge_sql(table: str, stage: str, columns: Sequence[str], keys: Sequence[str]) -> str:
     """ANSI ``MERGE`` applying a staged batch onto the target — the
     SQL the Connect JDBC sink generates for insert.mode=upsert
@@ -145,15 +152,27 @@ def foreach_batch_upsert(
     table: str,
     keys: Sequence[str],
     order_by_cols: Sequence[str],
+    *,
+    stage_suffix: str = "",
     **options,
 ):
     """B2 insert.mode=upsert → streaming: dedup the micro-batch to
-    latest-per-key, stage it to ``{table}__stage`` via the Spark JDBC
-    writer (overwrite = replay-safe), then execute one MERGE from the
-    stage into the target over a driver-side JDBC connection. Replaying
-    a micro-batch restages the same rows and the MERGE converges to
-    the same target state (effective exactly-once on top of
-    at-least-once delivery — the Connect offset-commit guarantee).
+    latest-per-key, stage it to a per-query stage table via the Spark
+    JDBC writer (overwrite = replay-safe), then execute one MERGE from
+    the stage into the target over a driver-side JDBC connection.
+    Replaying a micro-batch restages the same rows and the MERGE
+    converges to the same target state (effective exactly-once on top
+    of at-least-once delivery — the Connect offset-commit guarantee).
+
+    ``stage_suffix`` isolates concurrent writers: two streaming
+    queries upserting the same target must pass distinct suffixes
+    (e.g. the query name) or they would overwrite each other's stage
+    mid-MERGE — SparkRuntime passes the pipeline name.
+
+    Connection ``options`` are forwarded to BOTH the Spark JDBC stage
+    write and the driver-side MERGE connection; a ``driver`` option is
+    honored by loading the class first (non-auto-registering JDBC
+    drivers).
 
     Requires a JDBC driver jar on the Spark classpath; in environments
     without one (this sandbox) use ``foreach_batch_upsert_dbapi``,
@@ -163,7 +182,7 @@ def foreach_batch_upsert(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         order = [F.col(c).desc() for c in order_by_cols]
         deduped = latest_per_key(batch_df, keys, order)
-        stage = f"{table}__stage"
+        stage = stage_table_name(table, stage_suffix)
         (
             deduped.write.format("jdbc")
             .option("url", url)
@@ -173,10 +192,12 @@ def foreach_batch_upsert(
             .save()
         )
         jvm = batch_df.sparkSession._jvm  # noqa: SLF001
+        if "driver" in options:
+            jvm.java.lang.Class.forName(options["driver"])
         props = jvm.java.util.Properties()
-        for k in ("user", "password"):
-            if k in options:
-                props.setProperty(k, options[k])
+        for k, v in options.items():
+            if k not in ("dbtable", "url"):
+                props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             stmt = conn.createStatement()

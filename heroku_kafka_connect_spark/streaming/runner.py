@@ -47,24 +47,47 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: state-store partition count for fixture-scale streams. Streaming
+#: aggregations key their state store to spark.sql.shuffle.partitions
+#: AT FIRST RUN (the count is then fixed in the checkpoint forever) and
+#: pay per-partition store init each micro-batch — 32 empty HDFS-backed
+#: stores was pure overhead on KB-scale fixtures. At 100 TB this knob
+#: is sized to cluster cores BEFORE the first run instead.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,
     query_name: str | None = None,
     checkpoint: str | None = None,
     output_mode: str = "append",
+    shuffle_partitions: int | None = STREAM_SHUFFLE_PARTITIONS,
 ) -> DataFrame:
     """Run the streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the sink table as a DataFrame."""
+    memory sink; return the sink table as a DataFrame.
+
+    ``shuffle_partitions`` pins the session's shuffle-partition conf
+    for the duration of the run (restored after) — the value is baked
+    into new checkpoints, so keep it stable across resumes of the same
+    checkpoint (None = leave the session conf alone)."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     cp = checkpoint or os.path.join(tempfile.mkdtemp(prefix="hkc-ckpt-"), "cp")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -209,6 +209,42 @@ def test_transform_chain_header_smts(spark):
     assert headers == {"origin": "x"}  # inserted then dropped; copied stays
 
 
+def test_declared_pipeline_with_header_smts_end_to_end(spark, tmp_path):
+    """Every header SMT (D14) reachable from a DECLARED pipeline: a
+    full spec (source → insertHeader/headerFrom/dropHeaders chain →
+    parquet sink) driven through the Reconciler, not just the chain
+    helper — the Connect `transforms=` config surface."""
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], "id int, src string").write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p_headers",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, src string",
+            "transforms": "ih,hf,dh",
+            "transforms.ih.type": "insertHeader",
+            "transforms.ih.header": "pipeline",
+            "transforms.ih.value": "'p_headers'",
+            "transforms.hf.type": "headerFrom",
+            "transforms.hf.field": "src",
+            "transforms.hf.header": "origin",
+            "transforms.dh.type": "dropHeaders",
+            "transforms.dh.headers": '["pipeline"]',
+            "sink.format": "parquet",
+            "sink.path": out,
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_headers"] and not rep.failed
+    _wait_done(spark, "p_headers")
+    got = {r.id: dict(r.headers) for r in spark.read.parquet(out).collect()}
+    assert got == {1: {"origin": "alpha"}, 2: {"origin": "beta"}}
+
+
 def test_declared_upsert_pipeline_end_to_end(spark, tmp_path):
     """The migration target shape (MIGRATION.md): a declared pipeline
     with sink.format=parquet-upsert — change records stream in, the
@@ -292,6 +328,35 @@ def test_declared_dlq_pipeline_splits_corrupt_records(spark, tmp_path):
     bad = {r.id: r["__error"] for r in spark.read.parquet(dlq).collect()}
     assert ok == {1, 3}
     assert set(bad) == {2, 4} and all(v == "json-parse-failed" for v in bad.values())
+
+
+def test_dlq_reader_dedups_replayed_batch(spark, tmp_path):
+    """Effective exactly-once through the DLQ sink: the writer is two
+    at-least-once parquet appends, so a batch replayed after partial
+    failure re-appends its rows under the SAME __batch_id (the epoch
+    is checkpointed before the sink runs). read_dlq_exactly_once must
+    collapse the replay on (__batch_id, key) while keeping identical
+    payloads that arrive in genuinely different batches."""
+    from heroku_kafka_connect_spark.controlplane import read_dlq_exactly_once
+
+    path = str(tmp_path / "valid")
+    batch = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id int, payload string, __batch_id long"
+    )
+    batch.write.mode("append").parquet(path)
+    batch.write.mode("append").parquet(path)  # the replay
+    # same natural key re-emitted later in a DIFFERENT batch: kept
+    spark.createDataFrame(
+        [(1, "a", 1)], "id int, payload string, __batch_id long"
+    ).write.mode("append").parquet(path)
+
+    raw = spark.read.parquet(path)
+    assert raw.count() == 5  # duplicates really are on disk
+    got = [
+        (r.id, r.payload, r["__batch_id"])
+        for r in read_dlq_exactly_once(spark, path, ["id"]).collect()
+    ]
+    assert sorted(got) == [(1, "a", 0), (1, "a", 1), (2, "b", 0)]
 
 
 def test_declared_avro_converter_pipeline(spark, tmp_path):

@@ -313,3 +313,22 @@ def test_ivf_partitioned_index_prunes(spark, tmp_path):
     # full index round-trips every vector exactly once
     full = spark.read.parquet(path)
     assert full.count() == 80 and full.select("vec_id").distinct().count() == 80
+
+
+def test_ivf_indexed_query_matches_inline_and_prunes(spark, sf_dir):
+    """The registered index-served IVF query returns the same result
+    set as the inline ivf_topk path (same centroids, same assignment,
+    same probes), and its physical plan prunes unprobed centroid
+    partitions at file listing (PartitionFilters on centroid_id)."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    qs = all_queries()
+    indexed = qs["llm_knn_ivf_indexed"].fn(spark, sf_dir)
+    inline = qs["llm_knn_ivf"].fn(spark, sf_dir)
+    got = {(r.query_id, r.vec_id, r.score, r.rank) for r in indexed.collect()}
+    want = {(r.query_id, r.vec_id, r.score, r.rank) for r in inline.collect()}
+    assert got == want and got
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:160]

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "llm_knn_join",       # corpus scan x 5 broadcast query vectors
     "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
     "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
+    "llm_knn_ivf_indexed",  # probe scan (partition-pruned) x 5 broadcast query vectors
 }
 
 

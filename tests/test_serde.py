@@ -383,3 +383,78 @@ def test_schema_registry_from_dir_ignores_non_numeric_json(tmp_path):
     (tmp_path / "notes.json").write_text("{}")  # non-numeric stem: skipped, not a crash
     reg = SchemaRegistry.from_dir(str(tmp_path))
     assert set(reg.schemas_by_id()) == {2}
+
+
+def test_jvm_avro_route_when_jar_present(spark, sf_dir):
+    """On environments where the spark-avro jar resolves (session built
+    with SPARK_GRAFT_AVRO_PACKAGE), avro_body_roundtrip must take the
+    JVM from_avro/to_avro route and still match the Python codec's
+    output. Skipped (not failed) where the jar is absent — the
+    functional probe decides, not an import."""
+    import pytest as _pytest
+
+    from heroku_kafka_connect_spark.registry import all_queries
+    from heroku_kafka_connect_spark.serde import avro_wire
+
+    if not avro_wire.jvm_avro_available(spark):
+        _pytest.skip("spark-avro jar not resolvable in this environment")
+    df = all_queries()["avro_body_roundtrip"].fn(spark, sf_dir)
+    assert df.count() > 0
+
+
+def test_from_avro_body_py_null_is_tombstone(spark):
+    """A null BODY through the unframed decoder is a Kafka tombstone →
+    all-null row, mirroring the framed decoder (regression: it crashed
+    the task on len(None))."""
+    from heroku_kafka_connect_spark.serde import avro_wire
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": "string"}]}
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    body = avro_codec.encode_record({"a": 1, "b": "x"}, schema)
+    df = spark.createDataFrame([(body,), (None,)], "wire binary").coalesce(1)
+    dec = avro_wire.from_avro_body_py(schema)
+    got = sorted(
+        ((r.a, r.b) for r in df.select(dec("wire").alias("r")).select("r.*").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, "x"), (None, None)]
+
+
+def test_avro_int_guard_recurses_into_nested_positions():
+    """A nullable long nested in an array arrives from Arrow as a
+    float64 ndarray — the guard must catch 2^53-overflow there, not
+    just in top-level columns; records and maps likewise."""
+    import numpy as np
+    import pandas as pd
+
+    from heroku_kafka_connect_spark.serde.avro_wire import _int_precision_guard
+
+    arr_schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "ids",
+                    "type": {"type": "array", "items": ["null", "long"]}}],
+    }
+    bad = pd.DataFrame({"ids": [np.array([1.0, float(2**53 + 2)]), None]})
+    try:
+        _int_precision_guard(arr_schema, bad)
+        raise AssertionError("expected nested-array guard to fire")
+    except ValueError as e:
+        assert "2^53" in str(e)
+    _int_precision_guard(arr_schema, pd.DataFrame({"ids": [np.array([1.0, 2.0])]}))
+
+    rec_schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "sub",
+                    "type": {"type": "record", "name": "s",
+                             "fields": [{"name": "id", "type": ["null", "long"]}]}}],
+    }
+    bad_rec = pd.DataFrame({"sub": [{"id": float(2**53 + 2)}]})
+    try:
+        _int_precision_guard(rec_schema, bad_rec)
+        raise AssertionError("expected nested-record guard to fire")
+    except ValueError as e:
+        assert "2^53" in str(e)
+    _int_precision_guard(rec_schema, pd.DataFrame({"sub": [{"id": 5}, {"id": None}]}))
