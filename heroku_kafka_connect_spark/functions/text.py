@@ -93,12 +93,17 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def gram_hashes(text: Column | str, k: int = 5) -> Column:
-    """Rolling hash per k-token shingle (the winnowing input)."""
+    """Hash per k-token shingle (the winnowing input) — the
+    cross-engine md5 32-bit base hash (llmops.hex32), so winnowing
+    fingerprints are SQL-oracle-checkable (DuckDB computes the
+    identical value)."""
+    from ..llmops import hex32
+
     toks = ws_tokens(text)
     n = F.size(toks)
     return F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        lambda i: hex32(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
 
 

@@ -5,9 +5,9 @@ search, text fingerprinting. Designed scale-first:
 - MinHash LSH    → shingle → k minhashes → band keys → bucket join;
                    candidate pairs only, verified by exact Jaccard.
                    O(n·k) + join on band keys instead of O(n²).
-- SimHash        → 64-bit signature per doc (Arrow-vectorized pandas
-                   UDF), banded by 16-bit chunks, Hamming-verified
-                   with JVM-side bit_count(xor).
+- SimHash        → 64-bit signature per doc (JVM md5 bit votes),
+                   banded by 16-bit chunks, Hamming-verified with
+                   JVM-side bit_count(xor).
 - ANN (vectors)  → random-hyperplane LSH buckets; brute force only
                    within buckets.
 
@@ -17,12 +17,9 @@ are stable across runs and cluster sizes.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 def tokens(text: Column | str, pattern: str = " ") -> Column:
@@ -39,64 +36,32 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """k independent minhashes: min over shingles of xxhash64 seeded by
-    the hash index. Pure JVM expression — no UDF, scales linearly.
+#: Cross-engine hash family. Every sketch below (MinHash, SimHash,
+#: winnowing) derives its bits from ``md5`` — the one hash both Spark
+#: and DuckDB compute identically — so each sketch query can carry a
+#: full SQL oracle instead of a rows-only check. ``hex32`` turns the
+#: first 8 hex chars into a 32-bit int; k independent MinHash
+#: functions come from the affine universal family
+#: ``h_i(x) = (A_i·x + B_i) mod P32`` (Carter–Wegman), with constants
+#: from a FIXED seeded PRNG, small enough that ``A_i·x`` stays under
+#: 2^63 in both engines (no overflow, no wrap divergence).
+P32 = 4_294_967_311  # smallest prime > 2^32
+_MAX_A = 1 << 30
 
-    Built as ONE higher-order-function expression (transform over the
-    seed sequence) rather than k separate array expressions: projection
-    collapse would otherwise inline the shingle computation into every
-    consumer and multiply the work k-fold (measured 8×32× blowup)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, i))),
-    )
+def _affine_params(n: int = 32, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    import random
 
-
-def band_keys(signature: Column, bands: int, rows: int) -> Column:
-    """LSH banding: hash each r-row slice of the signature to one
-    bucket key per band; docs sharing any band key become candidates.
-    Single expression for the same projection-collapse reason.
-
-    NB: ``signature`` appears ``bands`` times in the expression tree;
-    only pass a cheap column reference (a materialized signature), not
-    the ``minhash_signature`` expression itself — projection collapse
-    would recompute every minhash per band. The fused
-    ``minhash_band_keys`` below avoids the hazard entirely."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            b,
-            F.array_join(
-                F.transform(F.slice(signature, b * rows + 1, rows), lambda x: x.cast("string")),
-                ",",
-            ),
-        ),
-    )
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MAX_A), rng.randrange(0, _MAX_A)) for _ in range(n)]
 
 
-def minhash_band_keys(shingle_col: Column, bands: int, rows: int) -> Column:
-    """Fused minhash + banding: one expression in which every minhash
-    (seed ``b*rows + r``) is computed exactly once, because each seed
-    belongs to exactly one band. Equivalent to
-    ``band_keys(minhash_signature(sh), bands, rows)`` (same seeds, same
-    bucket keys) but immune to projection collapse inlining the shingle
-    + signature computation once per band (measured 8× blowup)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            b,
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(rows - 1)),
-                    lambda r: F.array_min(
-                        F.transform(shingle_col, lambda s: F.xxhash64(s, b * rows + r))
-                    ).cast("string"),
-                ),
-                ",",
-            ),
-        ),
-    )
+AFFINE = _affine_params()
+
+
+def hex32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long — the cross-engine
+    base hash (DuckDB: ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def ordered_pairs(members: Column) -> Column:
@@ -128,15 +93,48 @@ def _lsh_shingle_buckets(
     docs: DataFrame, id_col: str, text_col: str, shingle_n: int, bands: int, rows: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: (per-doc shingle sets, per-bucket sorted
-    id arrays). ONE shuffle (the groupBy on the band key); the banded
-    rows carry only ids."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    id arrays), on the cross-engine md5+affine hash family.
+
+    Shape: explode shingles → ONE md5 per shingle → ``groupBy(id)``
+    with k affine-min aggregates. The explode is narrow (shingle rows
+    never leave their map task) and the aggregation is map-side
+    combinable, so the exchange carries one row of k longs per doc —
+    same volume as a per-row array expression, but each md5 is
+    provably computed once (an array formulation references the
+    shingle-hash array k times and projection collapse re-inlines the
+    md5 per reference; measured 8-32× blowup on the xxhash64
+    predecessor). Band key = md5 over the band's r minhashes; the
+    bucket groupBy is the second and last exchange, carrying ids
+    only."""
+    k = bands * rows
+    if k > len(AFFINE):
+        raise ValueError(f"bands*rows={k} exceeds {len(AFFINE)} affine hash fns")
+    sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
+    xs = sh.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", hex32(F.col("__s")).alias("__x")
     )
-    banded = sh.select(
+    mins = xs.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(P32)).alias(f"m{i}")
+            for i, (a, b) in enumerate(AFFINE[:k])
+        ]
+    )
+    banded = mins.select(
         "__id",
-        F.explode(minhash_band_keys(F.col("__sh"), bands, rows)).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(j)),
+                            *[F.col(f"m{j * rows + r}").cast("string") for r in range(rows)],
+                        )
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("key"),
     )
     buckets = banded.groupBy("key").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
     return sh, buckets
@@ -153,18 +151,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """I3 near-duplicate pairs via MinHash+LSH, Jaccard-verified.
-
-    Plan shape: one narrow pass computes shingles → fused
-    minhash-band keys (each minhash evaluated once — see
-    ``minhash_band_keys``); explode to (band, key) rows carrying ONLY
-    the id (never the shingle arrays — shuffling arrays per band
-    multiplies IO by bands×); ONE shuffle groups ids per bucket and
-    emits candidate pairs in-bucket (a self-join would shuffle — and
-    recompute — the banded set twice); the shingle sets are joined
-    back just for the pairs that need exact-Jaccard verification. At
-    100 TB the bucket grouping replaces an impossible O(n²) cross
-    join.
+    """I3 near-duplicate pairs via MinHash+LSH, Jaccard-verified, on
+    the cross-engine md5+affine family (SQL-oracle-checkable — see
+    ``_lsh_shingle_buckets`` for the plan shape and why each md5 is
+    computed exactly once). Banded (band, key) rows carry ONLY the id
+    (never the shingle arrays — shuffling arrays per band multiplies
+    IO by bands×); the bucket groupBy emits candidate pairs in-bucket
+    (a self-join would shuffle — and recompute — the banded set
+    twice); the shingle sets are joined back just for the pairs that
+    need exact-Jaccard verification. At 100 TB the bucket grouping
+    replaces an impossible O(n²) cross join.
 
     ``max_bucket`` is the hot-bucket guard: a pathological bucket
     (boilerplate/empty docs all sharing a band key) is an LSH-inherent
@@ -172,11 +168,7 @@ def minhash_lsh_pairs(
     other bucket combined. Buckets larger than the cap emit no pairs
     here — inspect them via ``minhash_lsh_overflow`` (same keys, same
     plan front half) and handle them out-of-band (exact-dedup them:
-    near-identical boilerplate is better served by the exact path).
-
-    The repartition spreads the signature computation across the
-    cluster even when the source scan yields few input splits (one
-    small parquet file = one task = 1/32 of local[32])."""
+    near-identical boilerplate is better served by the exact path)."""
     sh, buckets = _lsh_shingle_buckets(docs, id_col, text_col, shingle_n, bands, rows)
     cand = (
         buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
@@ -212,40 +204,46 @@ def minhash_lsh_overflow(
     )
 
 
-@lru_cache(maxsize=1)
-def simhash64():
-    """64-bit SimHash pandas UDF (Arrow-batched; numpy inner loop).
-    Deterministic: token hash = stable blake2b 8-byte prefix. Lazily
-    constructed — pandas_udf needs an active SparkSession."""
+def simhash_chunks(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc as four 16-bit chunk values (the LSH
+    banding unit) — entirely JVM expressions on the cross-engine md5
+    base hash, so the sketch is SQL-oracle-checkable.
 
-    @pandas_udf("long")
-    def _simhash64(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        cache: dict[str, int] = {}
-
-        def token_hash(tok: str) -> int:
-            v = cache.get(tok)
-            if v is None:
-                v = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                cache[tok] = v
-            return v
-
-        shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            hs = np.fromiter((token_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
-            ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
-            # bit b set iff majority of tokens have bit b set (acc > 0)
-            mask = ones * 2 > len(toks)
-            sig = int(((np.uint64(1) << shifts)[mask]).sum(dtype=np.uint64))
-            out[i] = sig - (1 << 64) if sig >= 1 << 63 else sig
-        return pd.Series(out)
-
-    return _simhash64
+    Shape: explode whitespace tokens (narrow — token rows never leave
+    their map task), take 64 bits per token from md5 (two 32-bit hex
+    words), then ONE map-side-combinable ``groupBy(id)`` with 64
+    ``sum(±1)`` bit votes. Bit b of the signature is set iff the
+    majority of token hashes set bit b (vote sum > 0); chunk c packs
+    votes 16c..16c+15. The exchange carries one row of 64 small longs
+    per doc. Replaces a blake2b pandas UDF: the vote aggregation is
+    the same math, minus the Python worker round-trip."""
+    md5c = F.md5(F.col("__t"))
+    lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    toks = docs.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")).select(
+        "__id", lo.alias("__lo"), hi.alias("__hi")
+    )
+    votes = toks.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("__lo" if b < 32 else "__hi"), b % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    chunk = lambda c: sum(
+        [
+            F.when(F.col(f"v{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(1, 16)
+        ],
+        F.when(F.col(f"v{16 * c}") > 0, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+    return votes.select("__id", F.array(*[chunk(c) for c in range(4)]).alias("chunks"))
 
 
 def simhash_pairs(
@@ -258,42 +256,55 @@ def simhash_pairs(
     """I-SimHash: near-dup pairs with Hamming(sig_a, sig_b) <= k.
     Banded by the four 16-bit chunks (pigeonhole: any pair within
     Hamming 8 shares at least one exact chunk only heuristically —
-    standard SimHash banding recall tradeoff). Verification uses
-    JVM bit_count(a XOR b). One UDF pass, one shuffle: signatures are
-    computed once (repartitioned for parallelism on few-split scans),
-    bucketed by (band, chunk), and pairs emitted in-bucket via
+    standard SimHash banding recall tradeoff). Verification uses JVM
+    bit_count(xor) per chunk. One shuffle after the signature groupBy:
+    rows bucket by (band, chunk) and pairs are emitted in-bucket via
     ``ordered_pairs`` — sigs travel with the ids so verification needs
     no join back."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sig = docs.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("__id"), simhash64()(F.col(text_col)).alias("sig")
+    sig = simhash_chunks(docs, id_col=id_col, text_col=text_col)
+    bc = sig.select("__id", "chunks", F.posexplode("chunks").alias("band", "chunk"))
+    members = F.sort_array(
+        F.collect_set(F.struct(F.col("__id").alias("id"), F.col("chunks").alias("chunks")))
     )
-    chunks = sig.select(
-        "__id",
-        "sig",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.shiftright("sig", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk")) for b in range(4)])
-        ).alias("bc"),
-    ).select("__id", "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    members = F.sort_array(F.collect_set(F.struct(F.col("__id").alias("id"), F.col("sig").alias("sig"))))
     cand = (
-        chunks.groupBy("band", "chunk")
+        bc.groupBy("band", "chunk")
         .agg(members.alias("ms"))
         .filter(F.size("ms") > 1)
         .select(F.explode(ordered_pairs(F.col("ms"))).alias("p"))
         .select(
             F.col("p.x.id").alias("a"),
             F.col("p.y.id").alias("b"),
-            F.col("p.x.sig").alias("sig_a"),
-            F.col("p.y.sig").alias("sig_b"),
+            F.col("p.x.chunks").alias("ca"),
+            F.col("p.y.chunks").alias("cb"),
         )
         .dropDuplicates(["a", "b"])
     )
+    hamming = sum(
+        [
+            F.bit_count(F.col("ca").getItem(i).bitwiseXOR(F.col("cb").getItem(i)))
+            for i in range(1, 4)
+        ],
+        F.bit_count(F.col("ca").getItem(0).bitwiseXOR(F.col("cb").getItem(0))),
+    ).cast("long")
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def hyperplane_component(seed: int, p: int, d: int) -> float:
+    """Deterministic hyperplane component in [-1, 1): splitmix-style
+    integer mix of (seed, plane, dim) → a dyadic rational k/32768.
+    Shared by the Spark bucketing and the oracle-SQL builder so both
+    engines project onto bit-identical planes."""
+    x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & (
+        (1 << 64) - 1
+    )
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
+    x ^= x >> 27
+    return ((x & 0xFFFF) / 32768.0) - 1.0
 
 
 def hyperplane_lsh_buckets(
@@ -307,20 +318,17 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """I5 scale path: sign-random-projection buckets. Hyperplane
     components are deterministic pseudo-randoms derived from
-    (seed, plane, dim) via a splitmix-style integer mix, evaluated
-    JVM-side — the whole bucketing is one narrow projection."""
-
-    def mix(p: int, d: int) -> float:
-        x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & ((1 << 64) - 1)
-        x ^= x >> 31
-        x = (x * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
-        x ^= x >> 27
-        return ((x & 0xFFFF) / 32768.0) - 1.0  # [-1, 1)
-
+    (seed, plane, dim) via a splitmix-style integer mix
+    (``hyperplane_component`` — driver-side; the components land in
+    the plan as double literals), evaluated JVM-side — the whole
+    bucketing is one narrow projection. The literals are dyadic
+    rationals (k/32768), so their decimal repr round-trips exactly
+    into any IEEE-754 engine — which is what lets an oracle SQL embed
+    the identical planes."""
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for p in range(n_planes):
-        plane = [mix(p, d) for d in range(dim)]
+        plane = [hyperplane_component(seed, p, d) for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
             F.lit(0.0),

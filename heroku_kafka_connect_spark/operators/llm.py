@@ -37,14 +37,78 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_near", oracle=None)
+#: DuckDB fragment shared by every sketch oracle: the first 32 bits
+#: of md5 as a BIGINT — the exact value llmops.hex32 computes.
+_SQL_HEX32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
+                    max_bucket: int = 256) -> str:
+    """Full-fidelity SQL replica of ``llmops.minhash_lsh_pairs`` —
+    same shingles, same affine minhash constants, same band keys,
+    same hot-bucket cap, same Jaccard verify — possible because the
+    whole sketch runs on the md5+affine cross-engine hash family."""
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    keys = ",\n        ".join(
+        "md5(concat_ws(',', '{j}', {ms}))".format(
+            j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    ok AS (
+      SELECT key FROM banded GROUP BY key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.key = y.key AND x.doc_id < y.doc_id
+      WHERE x.key IN (SELECT key FROM ok)
+    ),
+    ver AS (
+      SELECT c.a, c.b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+    )
+    SELECT a, b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+@register("llm_dedup_near", oracle=_minhash_oracle())
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3 MinHash+LSH near-dup pairs (Jaccard>=0.5 on 3-shingles),
-    rows-only: minhash seeds are engine-specific. NB the default
-    hot-bucket cap (max_bucket=256) applies: a bucket beyond it emits
-    no pairs here and surfaces via `llmops.minhash_lsh_overflow` —
-    on corpora with heavy boilerplate route that side output through
-    exact dedup (SCALE.md)."""
+    """I3 MinHash+LSH near-dup pairs (Jaccard>=0.5 on 3-shingles).
+    SQL-oracled: the md5+affine hash family (llmops.hex32/AFFINE) is
+    computable in DuckDB, so the oracle replays the ENTIRE sketch —
+    minhashes, band keys, hot-bucket cap, Jaccard verify — not just
+    the output shape. NB the default hot-bucket cap (max_bucket=256)
+    applies: a bucket beyond it emits no pairs here and surfaces via
+    `llmops.minhash_lsh_overflow` — on corpora with heavy boilerplate
+    route that side output through exact dedup (SCALE.md)."""
     t = load_tables(spark, sf_dir)
     return llmops.minhash_lsh_pairs(t.documents, threshold=0.5)
 
@@ -97,10 +161,49 @@ def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_simhash", oracle=None)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             {_SQL_HEX32.format(x='t')} AS lo,
+             CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS hi
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, bs.b AS b,
+             SUM(CASE WHEN (((CASE WHEN bs.b < 32 THEN lo ELSE hi END) >> (bs.b % 32)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bs
+      GROUP BY doc_id, bs.b
+    ),
+    chunks AS (
+      SELECT doc_id, b // 16 AS band,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (b % 16)) ELSE 0 END) AS BIGINT) AS chunk
+      FROM votes GROUP BY doc_id, b // 16
+    ),
+    sig AS (SELECT doc_id, list(chunk ORDER BY band) AS cs FROM chunks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM chunks x JOIN chunks y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+      SELECT c.a, c.b,
+             CAST(bit_count(xor(sa.cs[1], sb.cs[1])) + bit_count(xor(sa.cs[2], sb.cs[2]))
+                + bit_count(xor(sa.cs[3], sb.cs[3])) + bit_count(xor(sa.cs[4], sb.cs[4]))
+                AS BIGINT) AS hamming
+      FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+    )
+    SELECT a, b, hamming FROM ham WHERE hamming <= 12
+    """
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-SimHash near-dup pairs (Hamming<=12 on 64-bit signatures);
-    Arrow-vectorized signature UDF + JVM bit_count verify."""
+    JVM md5 bit votes (llmops.simhash_chunks) + bit_count verify.
+    SQL-oracled: the oracle recomputes the identical 64 bit votes,
+    16-bit chunk banding, and Hamming verify in DuckDB."""
     t = load_tables(spark, sf_dir)
     return llmops.simhash_pairs(t.documents, max_hamming=12)
 
@@ -317,15 +420,42 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
 
 
-@register("llm_dedup_winnow", oracle=None)
+_WINNOW_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id,
+             [{_SQL_HEX32.format(x="array_to_string(toks[i:i+4], ' ')")}
+              FOR i IN range(1, greatest(len(toks) - 5, 0) + 2)] AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    ph AS (
+      SELECT doc_id, unnest(gs) AS h,
+             unnest(generate_series(1, len(gs))) AS pos, len(gs) AS n
+      FROM g
+    ),
+    wmin AS (
+      SELECT doc_id, pos, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM ph
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos - 1 <= greatest(n - 4, 0))
+    SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= 3
+    """
+
+
+@register("llm_dedup_winnow", oracle=_WINNOW_ORACLE)
 def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-winnowing near-dup: docs sharing >= 3 winnowing fingerprints
     (MOSS): any shared token run of >= k+w-1 tokens guarantees a
     shared fingerprint, so this catches COPIED PASSAGES that
     whole-document MinHash dilutes away. Same one-shuffle plan as the
     other LSH families: explode (doc, fp), bucket-group by fp,
-    in-bucket pairs, count shared fps per pair. Rows-only (xxhash64
-    constants are engine-specific)."""
+    in-bucket pairs, count shared fps per pair. SQL-oracled: gram
+    hashes ride the cross-engine md5 base hash, and the w-window min
+    is the same ROWS frame in both engines."""
     from ..functions.text import winnow_fingerprints
     from ..llmops import ordered_pairs
 
@@ -389,10 +519,48 @@ def llm_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(spark, path, q, 3, n_probe=4)
 
 
-@register("llm_knn_lsh", oracle=None)
+def _knn_lsh_oracle(k: int = 3, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL replica of ``llmops.ann_lsh_join``: identical hyperplane
+    literals (dyadic rationals — their decimal repr round-trips into
+    the same doubles), identical bucket assembly, cosine, and
+    (rounded-score, id) ranking."""
+    planes = [
+        "[" + ", ".join(repr(llmops.hyperplane_component(seed, p, d)) for d in range(dim)) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             {bucket} AS bucket
+      FROM e
+    ),
+    p AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             ROUND(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                   4) AS score
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    )
+    SELECT a, b, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT a, b, score,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rn
+          FROM p)
+    WHERE rn <= {k}
+    """
+
+
+@register("llm_knn_lsh", oracle=_knn_lsh_oracle())
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 scale path: hyperplane-LSH bucketed approximate KNN
-    self-join (brute force only within buckets), rows-only."""
+    self-join (brute force only within buckets). SQL-oracled: the
+    hyperplane components are deterministic dyadic rationals shared
+    with the oracle builder, so DuckDB reproduces the exact buckets,
+    scores, and ranking."""
     t = load_tables(spark, sf_dir)
     return llmops.ann_lsh_join(t.embeddings, k=3, n_planes=8)
 
