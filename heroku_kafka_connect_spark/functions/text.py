@@ -123,7 +123,19 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
     (id, pos, hash) in flight — the formulation that scales."""
     from pyspark.sql import Window
 
-    g = df.select(F.col(id_col), F.posexplode(gram_hashes(text_col, k)).alias("pos", "h"))
+    # id-hash repartition spreads the gram hashing across the cluster
+    # on few-split scans; the frame Window below requires exactly this
+    # partitioning, so it costs no extra exchange. posexplode_OUTER +
+    # isNotNull: a plain posexplode makes InferFiltersFromGenerate
+    # re-evaluate the gram hashes below the repartition (llmops.
+    # _lsh_shingle_buckets has the measurement); non-null text always
+    # yields >= 1 gram, so outer is semantically identical.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    g = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.posexplode_outer(gram_hashes(text_col, k)).alias("pos", "h"))
+    )
     frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     per_doc = Window.partitionBy(id_col)
     return (

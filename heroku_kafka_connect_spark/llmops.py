@@ -109,8 +109,21 @@ def _lsh_shingle_buckets(
     k = bands * rows
     if k > len(AFFINE):
         raise ValueError(f"bands*rows={k} exceeds {len(AFFINE)} affine hash fns")
+    # spread the hash computation even when the scan yields few input
+    # splits (one small parquet file = one task = 1/32 of local[32]);
+    # with par == spark.sql.shuffle.partitions the groupBy below reuses
+    # this partitioning, so it costs no extra exchange — on a cluster
+    # whose scan already has enough splits, drop it
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.filter(F.col(text_col).isNotNull()).repartition(par, F.col(id_col))
     sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
-    xs = sh.select("__id", F.explode("__sh").alias("__s")).select(
+    # explode_OUTER: plain explode makes InferFiltersFromGenerate add a
+    # `size(shingles) > 0` filter that Catalyst then pushes BELOW the
+    # repartition — re-evaluating the whole shingle expression on the
+    # scan side, single-task on a one-file input (measured 2.7 s of a
+    # 5.3 s query). Non-null text always yields >= 1 shingle, so outer
+    # and inner explode are semantically identical here.
+    xs = sh.select("__id", F.explode_outer("__sh").alias("__s")).select(
         "__id", hex32(F.col("__s")).alias("__x")
     )
     mins = xs.groupBy("__id").agg(
@@ -222,8 +235,16 @@ def simhash_chunks(
     md5c = F.md5(F.col("__t"))
     lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
     hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
-    toks = docs.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")).select(
-        "__id", lo.alias("__lo"), hi.alias("__hi")
+    # id-hash repartition spreads the token hashing across the cluster
+    # on few-split scans; the vote groupBy reuses the partitioning.
+    # explode_OUTER + isNotNull: see _lsh_shingle_buckets — a plain
+    # explode would re-evaluate the split below the repartition
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("__id"), F.explode_outer(tokens(text_col)).alias("__t"))
+        .select("__id", lo.alias("__lo"), hi.alias("__hi"))
     )
     votes = toks.groupBy("__id").agg(
         *[
