@@ -1,0 +1,340 @@
+"""Training-data-pipeline corpus queries (§2.J36-J43): the dataset
+engineering steps between "raw corpus" and "training shards" —
+deterministic splits, mixture weighting, quality signals, curriculum
+batching, shard export. All SQL-oracled (the determinism rules from
+operators/common.py apply: md5-prefix hashing for anything
+key-addressed, ROUND(…,4) on float outputs, integer-exact counts).
+
+Scale design: every query here is either a narrow projection (split,
+repetition, shard assignment — they push to the scan and shuffle
+nothing) or a map-side-combinable aggregation whose exchange carries
+one row per (doc|bucket|source); the only window (`llm_length_buckets`)
+partitions by the length bucket, the natural parallelism unit. Nothing
+collects, nothing crosses, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_tables
+from ..sinks import writers
+
+
+def _md5_prefix(key: Column) -> Column:
+    """16-bit md5 prefix of a key — the engine-portable hash base for
+    bucketing/sampling (same idiom as llm_sample_hash); mod it by the
+    bucket count."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def _pct_bucket(key: Column) -> Column:
+    return _md5_prefix(key) % 100
+
+
+_SQL_PCT = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+
+
+@register(
+    "llm_split_train_eval",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_SQL_PCT.format(k='doc_id')} AS bucket,
+           CASE WHEN {_SQL_PCT.format(k='doc_id')} < 90 THEN 'train'
+                WHEN {_SQL_PCT.format(k='doc_id')} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def llm_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J36 deterministic train/val/test split (90/5/5): membership is
+    a pure function of the key (md5-prefix mod 100), so the split is
+    reproducible across engines, reruns, and cluster sizes, and
+    NEVER leaks: a doc's split can be recomputed anywhere from its id
+    alone — no assignment table to join, no shuffle, predicate pushes
+    to the scan."""
+    t = load_tables(spark, sf_dir)
+    b = _pct_bucket(F.col("doc_id"))
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test")).alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "llm_domain_mixture",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS frac,
+             POW(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.7) AS w_raw
+      FROM c
+    )
+    SELECT source, n_docs,
+           ROUND(frac, 4) AS frac,
+           ROUND(w_raw / SUM(w_raw) OVER (), 4) AS weight,
+           ROUND(LEAST(1.0, (w_raw / SUM(w_raw) OVER ()) * 10000.0 / n_docs), 4) AS sample_rate
+    FROM w
+    """,
+)
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J37 temperature-reweighted domain mixture (τ=0.7, the
+    multilingual-sampling idiom): upweights tail domains relative to
+    their natural frequency, then converts the weight into a
+    per-domain sampling rate against a 10k-doc budget. The aggregate
+    is |domains| rows — the whole-frame windows run on a relation the
+    size of the domain count, never the corpus."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    all_w = Window.partitionBy()
+    frac = F.col("n_docs").cast("double") / F.sum("n_docs").over(all_w)
+    w = c.select("source", "n_docs", frac.alias("frac"), F.pow(frac, 0.7).alias("w_raw"))
+    weight = F.col("w_raw") / F.sum("w_raw").over(all_w)
+    return w.select(
+        "source",
+        "n_docs",
+        F.round("frac", 4).alias("frac"),
+        F.round(weight, 4).alias("weight"),
+        F.round(F.least(F.lit(1.0), weight * 10000.0 / F.col("n_docs")), 4).alias("sample_rate"),
+    )
+
+
+@register(
+    "llm_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chars_t,
+           COUNT(*) AS n_unique,
+           ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J38 character-level Shannon entropy — the classic cheap
+    perplexity proxy: gibberish and boilerplate both sit far from
+    natural-language entropy (~4.1 bits/char for English). Computed
+    as H = log2(n) − Σk·log2(k)/n over per-char counts, the
+    factoring that needs only ONE map-side-combinable groupBy per
+    (doc, char) plus a per-doc rollup — identical formula order in
+    the oracle so the doubles agree to the 4-decimal round."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    ch = (
+        t.documents.filter(F.col("text").isNotNull())
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode_outer(F.split(F.col("text"), "")).alias("c"))
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n_chars_t"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log2(F.sum("k")) - F.sum(F.col("k") * F.log2("k")) / F.sum("k"), 4
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
+    FROM g
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J39 intra-document repetition: 1 − distinct/total over
+    NON-deduplicated 3-token grams — the standard boilerplate /
+    degenerate-generation signal (Rae et al.'s repetition filters).
+    Pure per-row JVM expression; nothing shuffles."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    g = t.documents.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 4
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "llm_token_histogram",
+    oracle="""
+    WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT n_tokens // 64 AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+           CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
+    FROM n GROUP BY n_tokens // 64
+    """,
+)
+def llm_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J40 token-length histogram in 64-token buckets — the input to
+    batch-shape planning (packing budget, padding waste estimates).
+    Integer bucket arithmetic (no float log buckets: floor(log2) has
+    cross-engine edge cases at exact powers); one tiny aggregation."""
+    t = load_tables(spark, sf_dir)
+    n = t.documents.select(F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    bucket = F.floor(F.col("n_tokens") / F.lit(64)).cast("long")
+    return n.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+_SQL_SHARD = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16"
+
+
+@register(
+    "llm_shard_plan",
+    oracle=f"""
+    SELECT {_SQL_SHARD} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY {_SQL_SHARD}
+    """,
+)
+def llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J41 deterministic shard assignment (md5-mod-16 on the key) +
+    per-shard manifest — the write plan for a bucketed export: shard
+    membership is engine/rerun-stable, shards are near-uniform
+    regardless of key distribution (hash, not range), and the
+    manifest is one map-side-combinable aggregation."""
+    t = load_tables(spark, sf_dir)
+    shard = _md5_prefix(F.col("doc_id")) % 16
+    return t.documents.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _export_dir(sf_dir: str) -> str:
+    """Per-(process, fixture) export dir — same bounded-growth /
+    no-cross-harness-race reasoning as sinks_queries._sink_dir."""
+    return tempfile.mkdtemp(prefix="hkc_export_")
+
+
+@register(
+    "llm_export_shards",
+    oracle=f"""
+    SELECT {_SQL_SHARD} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY {_SQL_SHARD}
+    """,
+)
+def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J42 sharded dataset export, round-tripped: write documents as
+    parquet partitioned by the deterministic shard key (the layout a
+    training loader consumes shard-by-shard), read the export back,
+    and aggregate it — the oracle is the source table, so a lost or
+    duplicated row in the write/read path fails the hash, not just
+    the row count. At scale the partitionBy write is the standard
+    one-pass bucketed export; maxRecordsPerFile bounds file sizes."""
+    t = load_tables(spark, sf_dir)
+    shard = _md5_prefix(F.col("doc_id")) % 16
+    out = os.path.join(_export_dir(sf_dir), "shards")
+    writers.write_files(
+        t.documents.withColumn("shard", shard),
+        out,
+        fmt="parquet",
+        partition_by=["shard"],
+        options={"maxRecordsPerFile": "100000"},
+    )
+    # partition-dir column comes back as int32 (inferred from the
+    # directory name) — restore the written long type
+    back = spark.read.parquet(out).withColumn("shard", F.col("shard").cast("long"))
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "llm_length_buckets",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY n_tokens // 64 ORDER BY h, doc_id) AS rn
+      FROM n
+    )
+    SELECT bucket, (rn - 1) // 32 AS batch_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+           CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+           CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
+    FROM b GROUP BY bucket, (rn - 1) // 32
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J43 length-bucketed batch assembly (curriculum/padding-
+    efficient batching): docs bucket by length band, are shuffled
+    WITHIN the band by a deterministic hash order (md5 of the id — a
+    reproducible permutation, no RNG), and cut into 32-doc batches.
+    Batch stats quantify padding waste (max−min spread per batch).
+    The window partitions by the length bucket — the parallelism
+    unit; at 100 TB add the shard key to the partition to bound any
+    one band."""
+    t = load_tables(spark, sf_dir)
+    n = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    bucket = F.floor(F.col("n_tokens") / F.lit(64)).cast("long")
+    w = Window.partitionBy(bucket).orderBy("h", "doc_id")
+    b = n.select(
+        "doc_id", "n_tokens", bucket.alias("bucket"), F.row_number().over(w).alias("rn")
+    )
+    batch = F.floor((F.col("rn") - 1) / F.lit(32)).cast("long")
+    return b.groupBy("bucket", batch.alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("batch_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

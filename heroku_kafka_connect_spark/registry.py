@@ -71,6 +71,7 @@ def _load_corpus() -> None:
     from .operators import (  # noqa: F401
         llm,
         multimodal_queries,
+        pipeline_queries,
         relational,
         sinks_queries,
         smt_queries,

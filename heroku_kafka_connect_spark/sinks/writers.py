@@ -274,12 +274,22 @@ def foreach_batch_upsert_parquet(table_dir: str, keys: Sequence[str], order_by_c
     return write
 
 
-def write_files(df: DataFrame, path: str, fmt: str = "parquet", partition_by: Sequence[str] = (), mode: str = "overwrite") -> None:
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
     """B5 file sink (the engine half of the Camel SFTP sink — remote
     transport is an environment concern). partition_by gives the
     time-bucketed directory layout the Camel sink produces via file
-    rollover."""
+    rollover; options passes writer knobs through (e.g.
+    maxRecordsPerFile to bound file sizes on a sharded export)."""
     w = df.write.format(fmt).mode(mode)
+    if options:
+        w = w.options(**options)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
