@@ -589,6 +589,53 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(len(list_filter(qv, x -> x = 0)) AS INTEGER) AS n_zero
+    FROM q
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J44 symmetric int8 quantization of the embedding column — the
+    4× storage/bandwidth cut before an ANN index build: per-vector
+    scale = max|x|/127, q = round(x/scale). Outputs are
+    INTEGER-exact summaries of the quantized vector (sum, min, max,
+    zero count) — abs/max/divide are order-independent IEEE ops, so
+    both engines quantize bit-identically and the hash check is
+    exact, not tolerance-based. Narrow projection; nothing
+    shuffles."""
+    t = load_tables(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    s = t.embeddings.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long"))
+    q = s.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.size(F.filter("qv", lambda x: x == 0)).alias("n_zero"),
+    )
+
+
 # ------------------------------------------------------- training-data pipeline (§2.J)
 
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -150,6 +150,66 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.regex_token_count("text").alias("re_tokens"),
         F.length("text").cast("long").alias("n_chars_computed"),
         "n_chars",
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS score
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT doc_id, token, tf, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J45 TF-IDF top-3 terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, the sklearn convention) — keyword
+    extraction for corpus curation/topic routing. Plan: one explode →
+    map-side (doc, token) counts; document frequency is a second agg
+    of that result (|vocab| rows); the corpus count N joins as a
+    broadcast single row, so the only big exchanges are the two
+    token-keyed aggs. Rank on the ROUNDED score with a token
+    tie-break — deterministic across engines."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        t.documents.filter(F.col("text").isNotNull())
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode_outer(T.ws_tokens("text")).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.select(F.count(F.lit(1)).alias("n"))
+    s = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "score", "rank")
     )
 
 

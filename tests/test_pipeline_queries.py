@@ -116,6 +116,29 @@ def test_export_shards_roundtrip_matches_plan(q):
     assert back == plan
 
 
+def test_embedding_quantize_int8_range(q):
+    rows = q("llm_embedding_quantize").collect()
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127, r
+        assert r.scale > 0
+        # symmetric quantization always hits an extreme: max|x|/scale = 127
+        assert r.q_max == 127 or r.q_min == -127, r
+
+
+def test_tfidf_topk_shape(q):
+    rows = q("text_tfidf").collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.tf >= 1 and r.score > 0
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in per_doc.values():
+        ranks = sorted(r.rank for r in doc_rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        doc_rows.sort(key=lambda r: r.rank)
+        scores = [r.score for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_length_buckets_batch_invariants(q, spark, sf_dir):
     from heroku_kafka_connect_spark.session import load_tables
 
