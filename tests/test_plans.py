@@ -105,6 +105,7 @@ BNLJ_OK = {
     "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
     "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
     "llm_knn_ivf_indexed",  # probe scan (partition-pruned) x 5 broadcast query vectors
+    "text_tfidf",         # corpus-count N = 1-row broadcast into the idf expression
 }
 
 
