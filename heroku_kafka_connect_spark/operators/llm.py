@@ -472,12 +472,63 @@ def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_knn_ivf", oracle=None)
+def _ivf_oracle(k: int = 3, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """SQL replica of ``vectors.ivf_topk``: centroids = the
+    ``n_centroids`` smallest-id vectors (deterministic sampled init —
+    no float iteration, which is what makes IVF oracle-checkable),
+    assignment/probes ranked by cosine with centroid-id tie-breaks,
+    final top-k on the rounded score. Shared by the inline and the
+    materialized-index query — both must produce identical results."""
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id ASC LIMIT {n_centroids}
+    ),
+    asg AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.v', b='c.cv')} DESC, c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC, c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({cos.format(a='a.v', b='p.qv')}, 4) AS score
+      FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id ASC) AS rn
+          FROM cand)
+    WHERE rn <= {k}
+    """
+
+
+@register("llm_knn_ivf", oracle=_ivf_oracle())
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 scale path #2: IVF-flat approximate top-k — coarse-quantize
     the corpus into centroid buckets, probe only the nearest buckets
-    per query (rows-only: recall depends on probe count by design;
-    the nprobe=ncentroids ⇒ exact invariant is unit-tested)."""
+    per query. SQL-oracled: deterministic smallest-id centroid init
+    (no float iteration) makes the whole probe pipeline replayable in
+    DuckDB; the nprobe=ncentroids ⇒ exact invariant is additionally
+    unit-tested."""
     from ..functions.vectors import ivf_topk
 
     t = load_tables(spark, sf_dir)
@@ -495,7 +546,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return tempfile.mkdtemp(prefix="hkc_ivf_index_")
 
 
-@register("llm_knn_ivf_indexed", oracle=None)
+@register("llm_knn_ivf_indexed", oracle=_ivf_oracle())
 def llm_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5c served from the MATERIALIZED index: same IVF-flat
     algorithm as `llm_knn_ivf`, but the corpus assignment is written
@@ -504,9 +555,9 @@ def llm_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed centroid set becomes a static PartitionFilter, so unprobed
     centroid directories are pruned at FILE LISTING (asserted in
     tests/test_llmops.py): probe IO scales with nprobe/ncentroids,
-    not corpus size. Rows-only by design (recall depends on probe
-    count); result-set equality with the inline ivf_topk path is
-    unit-tested."""
+    not corpus size. Shares `llm_knn_ivf`'s SQL oracle — the
+    materialized path must produce byte-identical results to the
+    inline one (also pinned by a unit test)."""
     import os
 
     from ..functions.vectors import ivf_probe_topk, ivf_write_index
