@@ -325,6 +325,92 @@ def llm_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_APPLY_ORACLE = """
+    WITH RECURSIVE ex AS (
+      SELECT lang, md5(text) AS h, MIN(doc_id) AS canon
+      FROM documents GROUP BY lang, md5(text)
+    ),
+    d1 AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, e.canon
+      FROM documents d JOIN ex e ON d.lang = e.lang AND md5(d.text) = e.h
+    ),
+    surv AS (SELECT doc_id, lang, source, text FROM d1 WHERE doc_id = canon),
+    sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM surv)
+      WHERE doc_id < 800
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.01
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT d1.doc_id,
+           COALESCE(c.component, d1.canon) AS canonical_id,
+           CASE WHEN d1.doc_id = COALESCE(c.component, d1.canon) THEN 1 ELSE 0 END AS keep,
+           CASE WHEN d1.doc_id <> d1.canon THEN 'exact'
+                WHEN d1.doc_id <> COALESCE(c.component, d1.canon) THEN 'near'
+                ELSE 'unique' END AS reason
+    FROM d1 LEFT JOIN comp c ON c.node = d1.canon
+    """
+
+
+@register("llm_dedup_apply", oracle=_DEDUP_APPLY_ORACLE)
+def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 applied end-to-end: the full-corpus dedup MANIFEST a
+    training pipeline actually materializes — every doc with its
+    final canonical replacement, a keep flag, and why it was dropped
+    ('exact': byte-identical to an earlier doc; 'near': its exact
+    survivor sits in a near-dup cluster under another canonical;
+    'unique': it survives). Stage 1 is the one-hash-shuffle exact
+    dedup; stage 2 runs connected components over near-dup pairs of
+    the exact SURVIVORS only (dup mass never reaches the expensive
+    stage — the standard two-phase corpus dedup); the final left
+    join resolves each doc through its exact canon to that canon's
+    cluster. Edges here are the oracle-checkable exact-Jaccard pairs
+    (`_ngram_pairs`); production feeds MinHash LSH pairs instead —
+    the manifest shape is edge-source-agnostic. Wall-clock note: most
+    of this query's local cost is the CC rounds' driver-coordinated
+    latency (a few checkpoint+probe actions), which is constant in
+    corpus size — the data-proportional work is one window shuffle,
+    one blocked pair join, and two manifest joins."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    # exact canon via window-min over (lang, content-hash): ONE
+    # shuffle, no agg+join re-scan of the corpus
+    ew = Window.partitionBy("lang", F.md5("text"))
+    d1 = docs.withColumn("canon", F.min("doc_id").over(ew))
+    surv = d1.filter(F.col("doc_id") == F.col("canon")).select(
+        "doc_id", "lang", "source", "text"
+    )
+    edges = _ngram_pairs(surv).select("a", "b")
+    comp = llmops.connected_components(edges, "a", "b").select(
+        F.col("node").alias("canon"), F.col("component")
+    )
+    out = d1.select("doc_id", "canon").join(comp, "canon", "left")
+    final_canon = F.coalesce(F.col("component"), F.col("canon"))
+    return out.select(
+        "doc_id",
+        final_canon.alias("canonical_id"),
+        F.when(F.col("doc_id") == final_canon, 1).otherwise(0).alias("keep"),
+        F.when(F.col("doc_id") != F.col("canon"), F.lit("exact"))
+        .when(F.col("doc_id") != final_canon, F.lit("near"))
+        .otherwise(F.lit("unique"))
+        .alias("reason"),
+    )
+
+
 @register(
     "llm_sim_topk",
     oracle="""

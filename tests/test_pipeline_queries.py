@@ -139,6 +139,26 @@ def test_tfidf_topk_shape(q):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_dedup_apply_manifest_invariants(q, spark, sf_dir):
+    from heroku_kafka_connect_spark.session import load_tables
+
+    total = load_tables(spark, sf_dir).documents.count()
+    rows = q("llm_dedup_apply").collect()
+    assert len(rows) == total  # every doc gets a verdict
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert r.keep in (0, 1)
+        assert (r.keep == 1) == (r.doc_id == r.canonical_id)
+        assert r.reason in ("exact", "near", "unique")
+        if r.keep == 0:
+            # the canonical replacement must itself survive
+            canon = by_id[r.canonical_id]
+            assert canon.keep == 1, (r, canon)
+            assert r.canonical_id < r.doc_id  # min-id canonical
+        else:
+            assert r.reason == "unique"
+
+
 def test_length_buckets_batch_invariants(q, spark, sf_dir):
     from heroku_kafka_connect_spark.session import load_tables
 
