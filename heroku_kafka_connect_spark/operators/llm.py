@@ -194,18 +194,18 @@ _SIMHASH_ORACLE = f"""
                 AS BIGINT) AS hamming
       FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
     )
-    SELECT a, b, hamming FROM ham WHERE hamming <= 12
+    SELECT a, b, hamming FROM ham WHERE hamming <= 8
     """
 
 
 @register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I-SimHash near-dup pairs (Hamming<=12 on 64-bit signatures);
+    """I-SimHash near-dup pairs (Hamming<=8 on 64-bit signatures);
     JVM md5 bit votes (llmops.simhash_chunks) + bit_count verify.
     SQL-oracled: the oracle recomputes the identical 64 bit votes,
     16-bit chunk banding, and Hamming verify in DuckDB."""
     t = load_tables(spark, sf_dir)
-    return llmops.simhash_pairs(t.documents, max_hamming=12)
+    return llmops.simhash_pairs(t.documents)
 
 
 @register(
