@@ -307,13 +307,28 @@ class SparkRuntime(QueryRuntime):
             schema = cfg["sink.option.schema"]
             good_path, dlq_path = cfg["sink.path"], cfg["sink.dlqPath"]
 
+            def stamp(bdf: DataFrame, batch_id: int) -> DataFrame:
+                # (__batch_id, __row_n) = stable row identity: __row_n
+                # is a row_number over a TOTAL order of the batch's own
+                # columns, so a replayed batch (identical content by
+                # construction) re-derives identical row numbers and
+                # re-appended rows collide exactly. The single-partition
+                # sort is bounded by micro-batch size — fine for a DLQ
+                # path; streams with a broker offset should stamp that
+                # instead.
+                from pyspark.sql import Window
+
+                w = Window.orderBy(*[F.col(c) for c in bdf.columns])
+                return bdf.withColumn("__row_n", F.row_number().over(w)).withColumn(
+                    "__batch_id", F.lit(batch_id)
+                )
+
             def split(batch_df: DataFrame, batch_id: int) -> None:
                 valid, dlq = jsonserde.dlq_split(batch_df, json_col, schema)
-                bid = F.lit(batch_id).alias("__batch_id")
-                valid.withColumn("__parsed", F.to_json("__parsed")).select(
-                    "*", bid
+                stamp(
+                    valid.withColumn("__parsed", F.to_json("__parsed")), batch_id
                 ).write.mode("append").parquet(good_path)
-                dlq.select("*", bid).write.mode("append").parquet(dlq_path)
+                stamp(dlq, batch_id).write.mode("append").parquet(dlq_path)
 
             writer = df.writeStream.queryName(spec.name).foreachBatch(split).option(
                 "checkpointLocation", cp
@@ -407,17 +422,24 @@ def read_dlq_exactly_once(spark: SparkSession, path: str, keys: list[str]) -> Da
     The writer is two non-transactional appends inside foreachBatch: a
     batch replayed after partial failure re-appends its rows — but
     Structured Streaming replays a batch under the SAME ``__batch_id``
-    (the epoch is fixed at the checkpoint before the sink runs). Rows
-    written twice therefore collide on (__batch_id, *keys) and one
-    dropDuplicates restores effective exactly-once, while identical
-    payloads legitimately re-emitted in LATER batches (distinct
-    __batch_id) survive — the same contract as deduping a Connect DLQ
-    topic on (record offset headers, key).
+    (the epoch is fixed at the checkpoint before the sink runs), and
+    the writer stamps each row with ``__row_n``, a row_number over a
+    total order of the batch's columns — identical on replay, since
+    the replayed batch has identical content. Re-appended rows
+    therefore collide exactly on (__batch_id, __row_n) and one
+    dropDuplicates restores effective exactly-once WITHOUT collapsing
+    distinct same-key records inside one batch (the failure mode of a
+    keys-only dedup); identical payloads legitimately re-emitted in
+    LATER batches (distinct __batch_id) survive — the same contract as
+    deduping a Connect DLQ topic on (offset header, key).
 
     At scale this is one shuffle on the dedup key; mergeSchema covers
-    sink dirs whose oldest files predate the __batch_id stamp."""
+    sink dirs whose oldest files predate the stamps — their rows carry
+    null __row_n and fall back to the (__batch_id, *keys) collision,
+    which is why keys stays in the subset."""
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    return df.dropDuplicates(["__batch_id", *keys])
+    subset = ["__batch_id", *keys] + (["__row_n"] if "__row_n" in df.columns else [])
+    return df.dropDuplicates(subset)
 
 
 def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:

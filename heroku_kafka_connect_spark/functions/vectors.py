@@ -231,6 +231,11 @@ def ivf_probe_topk(
         .withColumn("__rn", F.row_number().over(qw))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "centroid_id")
+        # cached: the plan is executed twice — once for the driver-side
+        # probe-id collect below, once broadcast into the candidate
+        # join — and it is O(n_queries · n_probe) rows, the size class
+        # caching exists for
+        .cache()
     )
     probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
     cand = ivf_read_probes(spark, path, probe_ids).join(F.broadcast(probes), "centroid_id")

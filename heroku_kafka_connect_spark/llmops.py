@@ -64,6 +64,18 @@ def hex32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def md5_prefix_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets) from the 16-bit md5 prefix
+    of the key — the engine-portable substitute for RNG
+    sampling/splitting/sharding (DuckDB:
+    ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)),1,4) AS BIGINT) %
+    buckets``). THE single definition — sampling, splits, and shards
+    across queries stay aligned only while they share it."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long") % buckets
+    )
+
+
 def ordered_pairs(members: Column) -> Column:
     """All (x, y) element pairs with x strictly before y in ``members``
     (pass a SORTED array column for deterministic x < y pairs). The
@@ -232,9 +244,8 @@ def simhash_chunks(
     votes 16c..16c+15. The exchange carries one row of 64 small longs
     per doc. Replaces a blake2b pandas UDF: the vote aggregation is
     the same math, minus the Python worker round-trip."""
-    md5c = F.md5(F.col("__t"))
-    lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
-    hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    lo = hex32(F.col("__t"))
+    hi = F.conv(F.substring(F.md5(F.col("__t")), 9, 8), 16, 10).cast("long")
     # id-hash repartition spreads the token hashing across the cluster
     # on few-split scans; the vote groupBy reuses the partitioning.
     # explode_OUTER + isNotNull: see _lsh_shingle_buckets — a plain

@@ -119,13 +119,10 @@ def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
     full-corpus variant the single most expensive bench query (9 s at
     sf0.1) for a query whose only job is validating recall — a
     key-deterministic sample keeps the validation meaningful at 1/16th
-    the pair work. Same md5-prefix idiom as llm_sample_hash, so the
-    subset is stable across engines/reruns."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
-        % 100
-    )
-    return documents.filter(bucket < 25)
+    the pair work. Same md5-prefix idiom as llm_sample_hash
+    (llmops.md5_prefix_bucket), so the subset is stable across
+    engines/reruns."""
+    return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 25)
 
 
 @register("llm_dedup_near_ml", oracle=None)
@@ -650,7 +647,14 @@ def llm_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     path = os.path.join(_ivf_index_dir(sf_dir), "index")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # the index is complete only when BOTH writes landed: the main
+    # partitioned table's _SUCCESS and the centroid sidecar's (written
+    # after it — gating on the first alone would accept a crashed
+    # build whose probes then fail reading _centroids)
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_centroids", "_SUCCESS"))
+    ):
         ivf_write_index(t.embeddings, path, n_centroids=16)
     q = t.embeddings.filter(F.col("vec_id") < 5)
     return ivf_probe_topk(spark, path, q, 3, n_probe=4)
@@ -792,10 +796,7 @@ def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Narrow (no shuffle, no RNG state); the predicate pushes to
     the scan."""
     t = load_tables(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
-        % 100
-    )
+    bucket = llmops.md5_prefix_bucket(F.col("doc_id"), 100)
     return t.documents.filter(bucket < 20).select("doc_id", "lang", "source")
 
 

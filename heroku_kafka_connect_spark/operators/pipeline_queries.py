@@ -27,15 +27,11 @@ from ..session import load_tables
 from ..sinks import writers
 
 
-def _md5_prefix(key: Column) -> Column:
-    """16-bit md5 prefix of a key — the engine-portable hash base for
-    bucketing/sampling (same idiom as llm_sample_hash); mod it by the
-    bucket count."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+from ..llmops import md5_prefix_bucket
 
 
 def _pct_bucket(key: Column) -> Column:
-    return _md5_prefix(key) % 100
+    return md5_prefix_bucket(key, 100)
 
 
 _SQL_PCT = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
@@ -115,6 +111,7 @@ def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ch AS (
       SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      WHERE text IS NOT NULL
     ),
     cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c)
     SELECT doc_id,
@@ -156,7 +153,8 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              [array_to_string(toks[i:i+2], ' ')
               FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS grams
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE text IS NOT NULL)
     )
     SELECT doc_id,
            CAST(len(grams) AS INTEGER) AS n_grams,
@@ -176,7 +174,7 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
     )
-    g = t.documents.select("doc_id", grams.alias("grams"))
+    g = t.documents.filter(F.col("text").isNotNull()).select("doc_id", grams.alias("grams"))
     return g.select(
         "doc_id",
         F.size("grams").alias("n_grams"),
@@ -190,7 +188,8 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_token_histogram",
     oracle="""
-    WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+               WHERE text IS NOT NULL)
     SELECT n_tokens // 64 AS bucket,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -205,7 +204,9 @@ def llm_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer bucket arithmetic (no float log buckets: floor(log2) has
     cross-engine edge cases at exact powers); one tiny aggregation."""
     t = load_tables(spark, sf_dir)
-    n = t.documents.select(F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    n = t.documents.filter(F.col("text").isNotNull()).select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
     bucket = F.floor(F.col("n_tokens") / F.lit(64)).cast("long")
     return n.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -237,7 +238,7 @@ def llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of key distribution (hash, not range), and the
     manifest is one map-side-combinable aggregation."""
     t = load_tables(spark, sf_dir)
-    shard = _md5_prefix(F.col("doc_id")) % 16
+    shard = md5_prefix_bucket(F.col("doc_id"), 16)
     return t.documents.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -272,7 +273,7 @@ def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row count. At scale the partitionBy write is the standard
     one-pass bucketed export; maxRecordsPerFile bounds file sizes."""
     t = load_tables(spark, sf_dir)
-    shard = _md5_prefix(F.col("doc_id")) % 16
+    shard = md5_prefix_bucket(F.col("doc_id"), 16)
     out = os.path.join(_export_dir(sf_dir), "shards")
     writers.write_files(
         t.documents.withColumn("shard", shard),
@@ -296,7 +297,7 @@ def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     b AS (
       SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
@@ -321,7 +322,7 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit; at 100 TB add the shard key to the partition to bound any
     one band."""
     t = load_tables(spark, sf_dir)
-    n = t.documents.select(
+    n = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),

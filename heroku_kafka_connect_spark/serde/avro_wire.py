@@ -292,10 +292,22 @@ def _none_nans(rec: dict) -> dict:
 
 
 def _int_branches(t: Any) -> list:
-    """Non-null branches of a (possibly union) avro type."""
-    if isinstance(t, list):
-        return [b for b in t if b != "null"]
-    return [t]
+    """Non-null branches of a (possibly union) avro type, with the
+    verbose primitive form (``{"type": "long"}`` — valid Avro anywhere
+    a type is allowed) unwrapped to its bare string so the precision
+    guards recognize it."""
+    branches = t if isinstance(t, list) else [t]
+    out = []
+    for b in branches:
+        while (
+            isinstance(b, dict)
+            and isinstance(b.get("type"), str)
+            and b["type"] not in ("array", "record", "map", "enum", "fixed", "error")
+        ):
+            b = b["type"]
+        if b != "null":
+            out.append(b)
+    return out
 
 
 def _nests_int(t: Any) -> bool:
@@ -382,7 +394,7 @@ def _int_precision_guard(schema: dict, batch: pd.DataFrame) -> None:
     whose schema nests int/long."""
     for f in schema["fields"]:
         t = f["type"]
-        kinds = [t] if isinstance(t, str) else ([b for b in t if b != "null"] if isinstance(t, list) else [])
+        kinds = _int_branches(t)
         if any(k in ("int", "long") for k in kinds if isinstance(k, str)):
             name = f["name"]
             if name in batch.columns and str(batch[name].dtype) == "float64":

@@ -105,8 +105,14 @@ def foreach_batch_jdbc_append(url: str, table: str, **options):
 def stage_table_name(table: str, suffix: str = "") -> str:
     """Stage table for a MERGE upsert — suffixed per writer (query
     name) so concurrent streaming queries targeting the same table
-    never overwrite each other's stage mid-MERGE."""
-    return f"{table}__stage{('_' + suffix) if suffix else ''}"
+    never overwrite each other's stage mid-MERGE. The suffix is
+    sanitized to a bare SQL identifier: pipeline names may contain
+    '-' (PipelineSpec allows them), which would break the unquoted
+    CREATE TABLE / MERGE statements."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", suffix)
+    return f"{table}__stage{('_' + safe) if safe else ''}"
 
 
 def merge_sql(table: str, stage: str, columns: Sequence[str], keys: Sequence[str]) -> str:
@@ -183,21 +189,27 @@ def foreach_batch_upsert(
         order = [F.col(c).desc() for c in order_by_cols]
         deduped = latest_per_key(batch_df, keys, order)
         stage = stage_table_name(table, stage_suffix)
+        # options come from JSON pipeline config: stringify values
+        # (Properties.setProperty rejects non-strings) and strip
+        # dbtable/url so a stray config key can't redirect the stage
+        # write away from the table the MERGE reads
+        opts = {
+            k: str(v) for k, v in options.items() if k not in ("dbtable", "url")
+        }
         (
             deduped.write.format("jdbc")
             .option("url", url)
+            .options(**opts)
             .option("dbtable", stage)
-            .options(**options)
             .mode("overwrite")
             .save()
         )
         jvm = batch_df.sparkSession._jvm  # noqa: SLF001
-        if "driver" in options:
-            jvm.java.lang.Class.forName(options["driver"])
+        if "driver" in opts:
+            jvm.java.lang.Class.forName(opts["driver"])
         props = jvm.java.util.Properties()
-        for k, v in options.items():
-            if k not in ("dbtable", "url"):
-                props.setProperty(k, v)
+        for k, v in opts.items():
+            props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             stmt = conn.createStatement()

@@ -46,8 +46,18 @@ def _pkcs1_to_pkcs8(pem_key: str) -> str:
     import base64
     import textwrap
 
+    if "BEGIN EC PRIVATE KEY" in pem_key:
+        # SEC1 EC keys hit the same Kafka limitation as PKCS#1 RSA
+        # (DefaultSslEngineFactory accepts only PKCS#8) — fail loudly
+        # with the remediation instead of shipping a keystore the
+        # client rejects at startup with an opaque error
+        raise ValueError(
+            "SEC1 EC private key ('BEGIN EC PRIVATE KEY') is not loadable by "
+            "Kafka's PEM keystore; convert to PKCS#8 first: "
+            "`openssl pkcs8 -topk8 -nocrypt -in key.pem`"
+        )
     if "BEGIN RSA PRIVATE KEY" not in pem_key:
-        return pem_key  # already PKCS#8 (or EC/other: pass through untouched)
+        return pem_key  # already PKCS#8: pass through untouched
     if "Proc-Type" in pem_key and "ENCRYPTED" in pem_key:
         raise ValueError(
             "encrypted PKCS#1 RSA key cannot be converted in-process; run "

@@ -520,3 +520,59 @@ def test_converter_value_field_shadows_envelope_column(spark, tmp_path):
     assert out.columns.count("timestamp") == 1
     row = out.first()
     assert row.timestamp == 999 and row.x == "a" and row.k == 1
+
+
+def test_dlq_reader_keeps_distinct_same_key_rows_within_batch(spark, tmp_path):
+    """The writer stamps __row_n (row_number over a total order of the
+    batch's columns — identical on replay), so two DIFFERENT records
+    sharing a natural key inside one micro-batch both survive the
+    exactly-once read, while a replayed append still collapses."""
+    from heroku_kafka_connect_spark.controlplane import read_dlq_exactly_once
+
+    path = str(tmp_path / "valid")
+    batch = spark.createDataFrame(
+        [(1, "a", 0, 1), (1, "b", 0, 2)],  # same key, distinct payloads
+        "id int, payload string, __batch_id long, __row_n int",
+    )
+    batch.write.mode("append").parquet(path)
+    batch.write.mode("append").parquet(path)  # the replay
+    got = sorted(
+        (r.id, r.payload) for r in read_dlq_exactly_once(spark, path, ["id"]).collect()
+    )
+    assert got == [(1, "a"), (1, "b")]
+
+
+def test_dlq_writer_stamps_row_n(spark, tmp_path):
+    """The declared dlq-split pipeline's sink output carries the
+    (__batch_id, __row_n) identity the exactly-once reader relies
+    on."""
+    import json as _json
+
+    from heroku_kafka_connect_spark.controlplane import PipelineSpec, SparkRuntime
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, _json.dumps({"v": 1})), (2, "{not json")], "id int, body string"
+    ).write.mode("overwrite").parquet(src)
+    spec = PipelineSpec(
+        name="dlqstamp",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, body string",
+            "sink.format": "dlq-split",
+            "sink.option.jsonColumn": "body",
+            "sink.option.schema": "v int",
+            "sink.path": str(tmp_path / "good"),
+            "sink.dlqPath": str(tmp_path / "bad"),
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rt.start(spec)
+    _wait_done(spark, "dlqstamp")
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    for df in (good, bad):
+        assert "__batch_id" in df.columns and "__row_n" in df.columns
+        assert df.filter(df["__row_n"].isNull()).count() == 0

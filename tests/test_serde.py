@@ -458,3 +458,35 @@ def test_avro_int_guard_recurses_into_nested_positions():
     except ValueError as e:
         assert "2^53" in str(e)
     _int_precision_guard(rec_schema, pd.DataFrame({"sub": [{"id": 5}, {"id": None}]}))
+
+
+def test_avro_int_guard_sees_verbose_primitive_form(spark):
+    """Avro allows the verbose primitive form {'type': 'long'}
+    anywhere a type is allowed; the 2^53 precision guard must treat it
+    as a primitive, not an unknown complex type."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from heroku_kafka_connect_spark.serde.avro_wire import (
+        _int_branches,
+        _int_precision_guard,
+    )
+
+    assert _int_branches({"type": "long"}) == ["long"]
+    assert _int_branches(["null", {"type": "long"}]) == ["long"]
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ids",
+                "type": {"type": "array", "items": ["null", {"type": "long"}]},
+            }
+        ],
+    }
+    import numpy as np
+
+    batch = pd.DataFrame({"ids": [np.array([float(2**53 + 2), np.nan])]})
+    with _pytest.raises(ValueError, match="2\\^53"):
+        _int_precision_guard(schema, batch)
