@@ -129,10 +129,20 @@ class Tables:
                 raise KeyError(f"unknown fixture table: {name}")
             df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
             if name == "events":
-                # ns→µs truncation (matches DuckDB's epoch_us semantics)
+                # Fixture generations differ: ns-precision ts arrives as
+                # LongType (nanosAsLong) and needs ns→µs truncation to
+                # match DuckDB's epoch_us; µs-precision ts arrives as
+                # TIMESTAMP_NTZ and only needs the NTZ→instant cast
+                # (identity on the wall clock — session tz is UTC).
                 from pyspark.sql import functions as F
+                from pyspark.sql.types import LongType
 
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                if isinstance(df.schema["ts"].dataType, LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                else:
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

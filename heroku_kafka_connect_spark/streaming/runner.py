@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events fixture as a file source (ns ts → µs, same
-    normalization as session.Tables)."""
+    """Stream the events fixture as a file source, with the same ts
+    normalization as session.Tables (ns-as-long → µs instant, or
+    µs NTZ → instant; fixture generations differ)."""
     from ..session import configure
 
     configure(spark)
@@ -39,12 +40,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(link)  # stale link from a colliding/moved fixture
     if not os.path.exists(link):
         os.symlink(src, link)
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    raw = spark.readStream.schema(schema).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The file source needs an explicit schema; take it from the batch
+    # reader's footer inference so either fixture generation works
+    # (streams can't infer, but the batch path already resolves the
+    # nanosAsLong vs TIMESTAMP_NTZ question for us).
+    from pyspark.sql.types import LongType
+
+    batch_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stage)
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 #: state-store partition count for fixture-scale streams. Streaming
