@@ -193,17 +193,31 @@ def minhash_lsh_pairs(
     other bucket combined. Buckets larger than the cap emit no pairs
     here — inspect them via ``minhash_lsh_overflow`` (same keys, same
     plan front half) and handle them out-of-band (exact-dedup them:
-    near-identical boilerplate is better served by the exact path)."""
-    sh, buckets = _lsh_shingle_buckets(docs, id_col, text_col, shingle_n, bands, rows)
+    near-identical boilerplate is better served by the exact path).
+
+    Verify joins re-shingle ONLY candidate docs: ``cand_ids`` (every
+    id in an under-cap bucket, derived from the same bucket exchange,
+    so it reuses rather than recomputes the front half) broadcasts
+    into a join against the raw docs, and the shingle expression runs
+    post-join on the survivors. At corpus scale candidates are a tiny
+    fraction of docs — the old shape (joining the full-corpus shingle
+    relation on each side) shingled 100 TB twice more and paid two
+    full-width exchanges for it."""
+    _, buckets = _lsh_shingle_buckets(docs, id_col, text_col, shingle_n, bands, rows)
+    live = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     cand = (
-        buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-        .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        live.select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    cand_ids = live.select(F.explode("ids").alias("__id")).distinct()
+    sh_cand = (
+        docs.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__id"))
+        .select("__id", shingles(text_col, shingle_n).alias("__sh"))
+    )
     verified = (
-        cand.join(sh.select(F.col("__id").alias("a"), F.col("__sh").alias("sh_a")), "a")
-        .join(sh.select(F.col("__id").alias("b"), F.col("__sh").alias("sh_b")), "b")
+        cand.join(sh_cand.select(F.col("__id").alias("a"), F.col("__sh").alias("sh_a")), "a")
+        .join(sh_cand.select(F.col("__id").alias("b"), F.col("__sh").alias("sh_b")), "b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
     )
     return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
