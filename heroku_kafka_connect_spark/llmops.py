@@ -94,6 +94,20 @@ def ordered_pairs(members: Column) -> Column:
     )
 
 
+def token_blocks(text: Column | str, size: int = 16) -> Column:
+    """Consecutive ``size``-token blocks (stride = size, last block
+    ragged) — the paragraph stand-in for the fixture's single-line
+    texts. Same slice semantics as DuckDB list slicing (1-based,
+    end-clamped), so block strings — and their md5s — agree across
+    engines."""
+    toks = tokens(text)
+    nb = F.ceil(F.size(toks) / F.lit(float(size))).cast("int")
+    idx = F.sequence(F.lit(0), nb - F.lit(1))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * size + 1, size), " ")
+    )
+
+
 def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
     """Exact Jaccard over distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -919,3 +919,106 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     return llmops.pack_bins_ffd(docs, budget=2048)
+
+
+@register(
+    "llm_dedup_paragraph",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(t[(i.i*16+1):(i.i*16+16)], ' ')) AS h
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(len(t)/16.0) AS INT) - 1)) AS i
+      ) i
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM blocks GROUP BY h)
+    SELECT b.doc_id,
+           COUNT(*) AS n_blocks,
+           COUNT(*) FILTER (d.nd >= 2) AS n_boiler_blocks,
+           ROUND(COUNT(*) FILTER (d.nd >= 2) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS boiler_ratio
+    FROM blocks b JOIN df d USING (h)
+    GROUP BY b.doc_id
+    """,
+)
+def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) boilerplate detection, the
+    CCNet/RefinedWeb-style complement to whole-doc dedup: chunk each
+    doc into 16-token blocks, md5 each block, and flag blocks whose
+    hash occurs in >= 2 distinct docs. Emits per-doc block counts and
+    the boilerplate ratio a cleaning pass would strip.
+
+    Plan: narrow block explode -> groupBy(hash) countDistinct (map-
+    side combinable; doc-frequency relation is |distinct blocks|) ->
+    hash-partitioned join back -> groupBy(doc). Three key-partitioned
+    exchanges, no self-join, no array shuffle (blocks travel as md5
+    strings) — the TF-IDF shape, linear at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    blocks = t.documents.select(
+        "doc_id",
+        F.explode(llmops.token_blocks("text", 16)).alias("block"),
+    ).select("doc_id", F.md5("block").alias("h"))
+    docfreq = blocks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        blocks.join(docfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_boiler_blocks"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+@register(
+    "llm_source_overlap",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    blocks AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(t[(i.i*16+1):(i.i*16+16)], ' ')) AS h
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(len(t)/16.0) AS INT) - 1)) AS i
+      ) i
+    ),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM blocks a JOIN blocks b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT src_a, src_b, COUNT(*) AS n_shared_blocks
+    FROM p GROUP BY src_a, src_b
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-leakage report: for every source pair, the
+    number of distinct 16-token blocks (same definition as
+    `llm_dedup_paragraph`) both emit — the observability query behind
+    'which scrapes are copying each other' decisions before mixing
+    sources into a training run.
+
+    Plan: distinct(source, block-hash) -> groupBy(hash)
+    collect_set(source) -> in-group ordered pairs (llmops.
+    ordered_pairs — no self-join; the oracle's a JOIN b shape would
+    shuffle the block relation twice) -> tiny pair aggregation. The
+    collect_set is bounded by |sources|, not corpus size."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "source", F.explode(llmops.token_blocks("text", 16)).alias("block")
+        )
+        .select("source", F.md5("block").alias("h"))
+        .distinct()
+    )
+    srcs = sh.groupBy("h").agg(F.sort_array(F.collect_set("source")).alias("sources"))
+    return (
+        srcs.filter(F.size("sources") >= 2)
+        .select(F.explode(llmops.ordered_pairs(F.col("sources"))).alias("p"))
+        .select(F.col("p.x").alias("src_a"), F.col("p.y").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_blocks"))
+    )

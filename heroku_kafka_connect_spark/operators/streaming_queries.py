@@ -223,3 +223,51 @@ def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*windows.window_bounds_us(), "event_type", "n")
     )
     return run_available_now(agg, output_mode="append")
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join (batch-equivalent):
+    `stream_interval_join` plus the unmatched purchases, null-padded —
+    the attribution query that must also report conversions without a
+    preceding click. On streams, outer emission is watermark-driven:
+    an unmatched left row is held in state until the watermark passes
+    its join window, then emitted with nulls (state eviction is the
+    scalability story, exercised live in tests/test_streaming.py::
+    test_stream_stream_left_outer_join_live; the fixture arrives as
+    one batch, so the final emission equals this batch left join,
+    which is what the oracle pins)."""
+    t = load_tables(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )

@@ -228,3 +228,92 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     fp = T.fingerprint("text")
     return t.documents.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket"))
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+             CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
+             MAX(CASE WHEN token IN ('the','a','of','and','to','in','is','that')
+                 THEN 1 ELSE 0 END) AS has_stopword
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_token_chars / CAST(n_tokens AS DOUBLE), 4) AS mean_word_len,
+           ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+           ROUND(top_cnt / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+           has_stopword,
+           CAST(CASE WHEN n_token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 10
+                 THEN 1 ELSE 0 END AS INT) AS ok_word_len,
+           CAST(CASE WHEN n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS ok_diversity,
+           CAST(CASE WHEN top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS ok_repetition,
+           CAST(CASE WHEN (n_token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 10)
+                  AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
+                  AND top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
+                  AND has_stopword = 1
+                 THEN 1 ELSE 0 END AS INT) AS pass_all
+    FROM s
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule bundle (Rae et al. 2021, public):
+    per-doc mean word length in [3, 10], lexical diversity
+    (distinct/total >= 0.2), max-token repetition (top token <= 20% of
+    doc), and stopword presence — the standard pre-training junk
+    filters, emitted as per-rule flags plus the combined verdict so a
+    pipeline can tune thresholds from one pass.
+
+    Every statistic derives from the (doc, token, count) relation:
+    explode -> groupBy(doc, token) -> groupBy(doc). Two map-side-
+    combinable exchanges, no joins, no per-row O(n^2) array
+    expressions (a transform-over-distinct top-count would be
+    quadratic on long docs)."""
+    t = load_tables(spark, sf_dir)
+    stop_en = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    tc = (
+        t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("token") * F.col("cnt")).alias("n_token_chars"),
+        F.max(F.when(F.col("token").isin(*stop_en), 1).otherwise(0)).alias(
+            "has_stopword"
+        ),
+    )
+    mean_len = F.col("n_token_chars") / F.col("n_tokens").cast("double")
+    diversity = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
+    ok_len = mean_len.between(3, 10)
+    ok_div = diversity >= 0.2
+    ok_rep = top_frac <= 0.2
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(diversity, 4).alias("distinct_ratio"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        "has_stopword",
+        ok_len.cast("int").alias("ok_word_len"),
+        ok_div.cast("int").alias("ok_diversity"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        (ok_len & ok_div & ok_rep & (F.col("has_stopword") == 1))
+        .cast("int")
+        .alias("pass_all"),
+    )

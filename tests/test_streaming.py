@@ -239,3 +239,74 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
     spark.createDataFrame([(2, 7, 1100)], "pid int, user int, ts_s long").write.mode("append").parquet(psrc)
     run()
     assert {(r.pid, r.cid) for r in seen} == {(1, 10), (2, 10)}
+
+
+def test_stream_stream_left_outer_join_live(spark, tmp_path):
+    """REAL left-outer stream-stream join: unmatched left rows are
+    held in state and emitted null-padded only once the watermark
+    passes their join window — the state-eviction semantics the
+    corpus query (stream_join_left_outer) documents."""
+    psrc, csrc, cp = str(tmp_path / "p"), str(tmp_path / "c"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        p = (
+            spark.readStream.schema("pid int, user int, ts_s long").parquet(psrc)
+            .withColumn("p_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+            .withWatermark("p_ts", "0 seconds")
+        )
+        c = (
+            spark.readStream.schema("cid int, cuser int, ts_s long").parquet(csrc)
+            .withColumn("c_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+            .withWatermark("c_ts", "0 seconds")
+        )
+        j = p.join(
+            c,
+            (F.col("user") == F.col("cuser"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "leftOuter",
+        )
+        q = (
+            j.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: matched purchase (1,@1000 w/ click @700) and an
+    # unmatched one (2,@1000, click @100 outside the 10-min window)
+    spark.createDataFrame(
+        [(1, 7, 1000), (2, 8, 1000)], "pid int, user int, ts_s long"
+    ).write.parquet(psrc)
+    spark.createDataFrame(
+        [(10, 7, 700), (11, 8, 100)], "cid int, cuser int, ts_s long"
+    ).write.parquet(csrc)
+    run()
+    matched = {(r.pid, r.cid) for r in seen}
+    assert (1, 10) in matched
+    # the unmatched purchase must NOT have emitted yet: its join
+    # window is still open at watermark == max event time (1000)
+    assert (2, None) not in matched
+
+    # batch 2: far-future events on BOTH streams (the global watermark
+    # is the MIN across inputs — a stalled side pins it) push the
+    # watermark past purchase 2's window. The watermark a batch USES
+    # is the one computed at the END of the previous batch, so the
+    # eviction lands in batch 3, not batch 2.
+    spark.createDataFrame(
+        [(99, 9, 50_000)], "cid int, cuser int, ts_s long"
+    ).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [(3, 9, 50_000)], "pid int, user int, ts_s long"
+    ).write.mode("append").parquet(psrc)
+    run()
+    spark.createDataFrame(
+        [(100, 9, 50_001)], "cid int, cuser int, ts_s long"
+    ).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [(4, 9, 50_001)], "pid int, user int, ts_s long"
+    ).write.mode("append").parquet(psrc)
+    run()
+    assert (2, None) in {(r.pid, r.cid) for r in seen}
