@@ -118,11 +118,12 @@ def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
     cross-check path: approxSimilarityJoin's constant factor made the
     full-corpus variant the single most expensive bench query (9 s at
     sf0.1) for a query whose only job is validating recall — a
-    key-deterministic sample keeps the validation meaningful at 1/16th
-    the pair work. Same md5-prefix idiom as llm_sample_hash
-    (llmops.md5_prefix_bucket), so the subset is stable across
-    engines/reruns."""
-    return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 25)
+    key-deterministic sample keeps the validation meaningful at 1/4
+    the pair work (50%: the 25% cut produced ZERO pairs at the
+    driver's sf0.01, making the cross-check vacuous there). Same
+    md5-prefix idiom as llm_sample_hash (llmops.md5_prefix_bucket),
+    so the subset is stable across engines/reruns."""
+    return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 50)
 
 
 @register("llm_dedup_near_ml", oracle=None)
@@ -135,7 +136,7 @@ def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom path (llm_dedup_near) exists because it is ~2× faster (no
     Vector conversion, fused band keys) and its physical plan is fully
     inspectable; this one proves the builtin route works and pins its
-    recall. Runs on a deterministic 25% document sample — it is a
+    recall. Runs on a deterministic 50% document sample — it is a
     recall oracle, not a production path, and the full-corpus variant
     dominated bench wall (VERDICT r2 §wrong-2)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -1021,4 +1022,109 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.x").alias("src_a"), F.col("p.y").alias("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_blocks"))
+    )
+
+
+def _knn_recall_oracle(k: int = 3, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL replica of ``llm_knn_recall``: the ann oracle's bucket CTEs
+    (same hyperplane literals) + an exact brute-force top-k CTE over
+    the same deterministic 10% query sample, overlap-counted."""
+    planes = [
+        "[" + ", ".join(repr(llmops.hyperplane_component(seed, p, d)) for d in range(dim)) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                       4) DESC, e.vec_id ASC) AS rn
+        FROM e, q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {k}
+    ),
+    b AS (
+      SELECT vec_id, v,
+             {bucket} AS bucket
+      FROM e
+    ),
+    lsh AS (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY ROUND(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                       4) DESC, y.vec_id ASC) AS rn
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        WHERE x.vec_id IN (SELECT query_id FROM q))
+      WHERE rn <= {k}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(l.b) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(l.b) / CAST({k} AS DOUBLE), 4) AS recall
+    FROM exact e
+    LEFT JOIN lsh l ON l.a = e.query_id AND l.b = e.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@register("llm_knn_recall", oracle=_knn_recall_oracle())
+def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a query: recall@3 of the hyperplane-LSH path
+    (`llm_knn_lsh`) against exact brute-force top-3, on a
+    deterministic 10% query sample (`llmops.md5_prefix_bucket` — the
+    production pattern: you never recall-check every vector, you
+    monitor a stable sample). Per-query overlap count and recall;
+    feed it to an aggregation for the corpus-level metric.
+
+    The exact side broadcasts only the sample (k·|sample| rows leave
+    the scan); the LSH side reuses the one-bucket-shuffle self-join.
+    At 100 TB the recall probe costs one corpus pass + the sampled
+    brute force — independent of corpus pair count."""
+    t = load_tables(spark, sf_dir)
+    sample = t.embeddings.filter(llmops.md5_prefix_bucket(F.col("vec_id"), 100) < 10)
+    exact = (
+        brute_force_topk(t.embeddings, sample, 4)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "__rn2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn2") <= 3)
+        .select("query_id", "vec_id")
+    )
+    lsh = (
+        llmops.ann_lsh_join(t.embeddings, k=3, n_planes=8)
+        .join(
+            F.broadcast(sample.select(F.col("vec_id").alias("a"))),
+            "a",
+            "left_semi",
+        )
+        .select("a", "b")
+    )
+    return (
+        exact.join(
+            lsh,
+            (F.col("a") == F.col("query_id")) & (F.col("b") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("b").alias("n_overlap"),
+            F.round(F.count("b") / F.lit(3.0), 4).alias("recall"),
+        )
     )

@@ -1160,3 +1160,27 @@ def rel_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         interp.alias("interp_cents"),
     )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             p_retailprice AS price_val
+      FROM part
+    ) UNPIVOT (val FOR metric IN (size_val AS 'size', price_val AS 'price'))
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: unpivot/melt (wide -> long), the inverse of `rel_pivot` —
+    `DataFrame.unpivot` compiles to a Generate(Expand)-style node, a
+    narrow per-row expansion: no shuffle, scales as a map."""
+    t = load_tables(spark, sf_dir)
+    wide = t.part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return wide.unpivot("p_partkey", ["size", "price"], "metric", "val")

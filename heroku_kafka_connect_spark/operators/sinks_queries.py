@@ -331,3 +331,40 @@ def dlq_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 alias("llm_dedup_latest", "sink_upsert_latest")
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           CAST(CASE WHEN LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from a CDC-style event stream: each
+    per-key change opens a validity interval [ts, next_ts); the
+    latest change stays open (valid_to null, is_current = 1) — the
+    event-sourced dimension table a warehouse keeps next to the
+    `sink_upsert_latest` compaction (which retains only the current
+    row). One window shuffle on the natural (key, ts) sort;
+    deterministic under ts ties via the event_id tiebreak."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    to_us = F.lead(F.unix_micros("ts")).over(w)
+    return t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("valid_from_us"),
+        to_us.alias("valid_to_us"),
+        F.when(to_us.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
