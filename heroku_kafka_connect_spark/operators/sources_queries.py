@@ -126,3 +126,58 @@ def src_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset",
         ts_us("timestamp").alias("ts_us"),
     )
+
+
+@register(
+    "src_python_datasource",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS doc_id),
+    w AS (
+      SELECT ids.doc_id, i.i AS i,
+             (['the','a','spark','query','row','data','join','filter',
+               'window','stream','batch','merge','sort','agg','key',
+               'table','scan','hash','group','order','line','part',
+               'value','column'])
+             [1 + CAST(concat('0x', substr(md5('w:' || ids.doc_id || ':' || i.i), 1, 8)) AS BIGINT) % 24]
+               AS word
+      FROM ids, LATERAL (
+        SELECT unnest(generate_series(0,
+          4 + CAST(concat('0x', substr(md5('n:' || ids.doc_id), 1, 8)) AS BIGINT) % 28)) AS i
+      ) i
+    ),
+    t AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text FROM w GROUP BY doc_id)
+    SELECT doc_id,
+           md5(text) AS text_hash,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           (['de','en','es','fr','zh'])
+             [1 + CAST(concat('0x', substr(md5('l:' || doc_id), 1, 8)) AS BIGINT) % 5] AS lang,
+           'src' || CAST(CAST(concat('0x', substr(md5('s:' || doc_id), 1, 8)) AS BIGINT) % 10 AS VARCHAR)
+             AS source
+    FROM t
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: custom Python DataSource (Spark 4 API) — the engine's own
+    generator connector (sources/synthetic.py): 2000 documents-shaped
+    rows computed, not read, each field an md5 of a namespaced key.
+    The oracle REPLAYS the generator in DuckDB and the driver
+    hash-compares md5(text) per row, pinning the whole generation
+    function cross-engine. Scale: partitions are index ranges —
+    generation is pure per-row compute, embarrassingly parallel, zero
+    IO; `option("rows", 10**10)` is a valid 100 TB soak input."""
+    from ..sources.synthetic import register_synthetic_sources
+
+    register_synthetic_sources(spark)
+    df = (
+        spark.read.format("hkc_synthdocs")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        "n_chars",
+        "lang",
+        "source",
+    )

@@ -271,3 +271,43 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         F.unix_micros("c_ts").alias("click_ts_us"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           n.n_name AS nation, e.event_type, e.value,
+           epoch_us(e.ts) AS ts_us
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type IN ('purchase', 'signup')
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the Connect-style 'decorate the
+    stream with dimension data' pattern (batch-equivalent here; the
+    live stream-static join needs no watermark because the static
+    side is re-read per micro-batch, not held in state). Both dims
+    broadcast: at 100 TB of events the fact side never shuffles —
+    the same star shape as rel_join_broadcast_star."""
+    t = load_tables(spark, sf_dir)
+    enriched = (
+        t.events.filter(F.col("event_type").isin("purchase", "signup"))
+        .join(
+            F.broadcast(t.customer),
+            F.col("c_custkey") == F.col("user_id"),
+        )
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        F.col("n_name").alias("nation"),
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
