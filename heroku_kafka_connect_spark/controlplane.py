@@ -412,7 +412,23 @@ class SparkRuntime(QueryRuntime):
                 reader = reader.option(k.removeprefix("source.option."), v)
         df = reader.load(cfg["source.path"]) if "source.path" in cfg else reader.load()
         df = apply_converter(df, cfg)
-        return apply_transform_chain(df, cfg)
+        df = apply_transform_chain(df, cfg)
+        # F4 `tasks.max`: cap the per-micro-batch parallelism into the
+        # sink — every batch writes through exactly N tasks (Connect's
+        # max concurrent sink tasks per connector). Source-side intake
+        # is bounded separately via source.option.maxFilesPerTrigger /
+        # maxOffsetsPerTrigger. F5 rebalancing falls out of the
+        # reconciler: tasks.max participates in the spec fingerprint,
+        # so scaling it up/down restarts the query with the new
+        # parallelism from the same checkpoint — Connect's
+        # rebalance-on-membership-change, driven by config instead
+        # (tests/test_controlplane.py::test_tasks_max_and_rebalance).
+        if "tasks.max" in cfg:
+            n = int(cfg["tasks.max"])
+            if n < 1:
+                raise SpecError(f"{spec.name}: tasks.max must be >= 1, got {n}")
+            df = df.repartition(n)
+        return df
 
 
 def read_dlq_exactly_once(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:

@@ -576,3 +576,75 @@ def test_dlq_writer_stamps_row_n(spark, tmp_path):
     for df in (good, bad):
         assert "__batch_id" in df.columns and "__row_n" in df.columns
         assert df.filter(df["__row_n"].isNull()).count() == 0
+
+
+def test_tasks_max_and_rebalance(spark, tmp_path):
+    """F4: `tasks.max` caps the per-batch sink parallelism (every
+    micro-batch writes through exactly N tasks). F5: scaling it is a
+    rebalance — the knob participates in the spec fingerprint, so
+    reconcile restarts the query with the new parallelism from the
+    same checkpoint, without loss or duplication."""
+    import glob
+
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id int, amount double"
+    ).write.parquet(src)
+
+    def spec(tasks: int) -> PipelineSpec:
+        return PipelineSpec(
+            name="ptm",
+            config={
+                "source.format": "parquet",
+                "source.path": src,
+                "source.schema": "id int, amount double",
+                "tasks.max": str(tasks),
+                "sink.format": "parquet",
+                "sink.path": out,
+                "trigger": "availableNow",
+            },
+        )
+
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rec = Reconciler(rt, sleep=lambda _s: None)
+    rep = rec.reconcile_once([spec(2)])
+    assert rep.started == ["ptm"] and not rep.failed
+    _wait_done(spark, "ptm")
+    first_files = glob.glob(f"{out}/part-*")
+    assert len(first_files) == 2  # one batch through exactly 2 tasks
+
+    # rebalance: new tasks.max = new fingerprint -> restart; new data
+    # lands through 4 tasks, old offsets are not replayed
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(40, 80)], "id int, amount double"
+    ).write.mode("append").parquet(src)
+    rep2 = rec.reconcile_once([spec(4)])
+    # the availableNow query already self-terminated, so reconcile
+    # sees a fresh start (restart-on-fingerprint-change of a LIVE
+    # query is pinned by test_spec_fingerprint_change_restarts)
+    assert "ptm" in rep2.started + rep2.restarted and not rep2.failed
+    _wait_done(spark, "ptm")
+    new_files = sorted(set(glob.glob(f"{out}/part-*")) - set(first_files))
+    assert len(new_files) == 4  # the rebalanced batch used 4 tasks
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80))  # no loss, no dup across the restart
+
+
+def test_tasks_max_invalid(spark, tmp_path):
+    from heroku_kafka_connect_spark.controlplane import SpecError
+
+    import pytest as _pytest
+
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    bad = PipelineSpec(
+        name="pbad",
+        config={
+            "source.format": "parquet",
+            "source.path": str(tmp_path),
+            "source.schema": "id int",
+            "tasks.max": "0",
+            "sink.format": "memory",
+        },
+    )
+    with _pytest.raises(SpecError, match="tasks.max"):
+        rt.compile(bad)
