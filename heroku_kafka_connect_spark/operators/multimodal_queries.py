@@ -96,3 +96,33 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     decoded = mm.decode_images(mm.attach_payload(t.documents))
     return decoded.select("doc_id", "width", "height", mm.resize_meta(decoded).alias("scale"))
+
+
+@register(
+    "mm_dedup_binary",
+    oracle="""
+    SELECT md5(text) AS payload_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content dedup — the FIRST multimodal dedup pass: hash
+    the raw payload bytes before any decode (identical files dedup
+    for free; perceptual/near-dup comes later on extracted features).
+    md5 runs on the binary column JVM-side; the oracle hashes the
+    text the payload was derived from (ASCII fixture: identical
+    bytes). One hash shuffle, same scale shape as llm_dedup_exact."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_payload(t.documents)
+    return (
+        with_payload.groupBy(F.md5("payload").alias("payload_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+        )
+    )

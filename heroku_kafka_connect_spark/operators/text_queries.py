@@ -317,3 +317,47 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pass_all"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT SUM(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(log2(v.cnt / CAST(total.n AS DOUBLE))) / COUNT(*), 4)
+             AS avg_neg_log2p
+    FROM tok t JOIN vocab v USING (token), total
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per doc (the KenLM-perplexity proxy a
+    quality pipeline computes when no LM is at hand): corpus unigram
+    distribution -> per-doc mean negative log2 probability. High
+    values = rare-token soup (OCR junk, wrong language); low = heavy
+    boilerplate. Plan: one vocab agg (|vocab| rows), a 1-row total
+    broadcast into the probability expression, and a token-key join
+    back — the TF-IDF shape; the corpus LM is built and applied in
+    one pass, no Python."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("n").cast("double")).alias("p")
+    )
+    return (
+        tok.join(probs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum(F.log2("p")) / F.count(F.lit(1)), 4).alias(
+                "avg_neg_log2p"
+            ),
+        )
+    )
