@@ -315,10 +315,29 @@ class SparkRuntime(QueryRuntime):
                 # re-appended rows collide exactly. The single-partition
                 # sort is bounded by micro-batch size — fine for a DLQ
                 # path; streams with a broker offset should stamp that
-                # instead.
+                # instead. Unorderable columns (maps, and arrays/
+                # structs containing them) are serialized to JSON for
+                # the sort key — Spark rejects them in ordering
+                # expressions, and silently skipping them would weaken
+                # identity to a partial order (duplicate sort keys =
+                # replay-order-dependent row numbers).
                 from pyspark.sql import Window
+                from pyspark.sql.types import ArrayType, MapType, StructType
 
-                w = Window.orderBy(*[F.col(c) for c in bdf.columns])
+                def orderable(dt) -> bool:
+                    if isinstance(dt, MapType):
+                        return False
+                    if isinstance(dt, ArrayType):
+                        return orderable(dt.elementType)
+                    if isinstance(dt, StructType):
+                        return all(orderable(f.dataType) for f in dt.fields)
+                    return True
+
+                keys = [
+                    F.col(f.name) if orderable(f.dataType) else F.to_json(f.name)
+                    for f in bdf.schema.fields
+                ]
+                w = Window.orderBy(*keys)
                 return bdf.withColumn("__row_n", F.row_number().over(w)).withColumn(
                     "__batch_id", F.lit(batch_id)
                 )
@@ -424,7 +443,13 @@ class SparkRuntime(QueryRuntime):
         # rebalance-on-membership-change, driven by config instead
         # (tests/test_controlplane.py::test_tasks_max_and_rebalance).
         if "tasks.max" in cfg:
-            n = int(cfg["tasks.max"])
+            try:
+                n = int(cfg["tasks.max"])
+            except ValueError:
+                raise SpecError(
+                    f"{spec.name}: tasks.max must be an integer, "
+                    f"got {cfg['tasks.max']!r}"
+                ) from None
             if n < 1:
                 raise SpecError(f"{spec.name}: tasks.max must be >= 1, got {n}")
             df = df.repartition(n)

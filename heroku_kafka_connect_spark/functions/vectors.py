@@ -231,14 +231,19 @@ def ivf_probe_topk(
         .withColumn("__rn", F.row_number().over(qw))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "centroid_id")
-        # cached: the plan is executed twice — once for the driver-side
-        # probe-id collect below, once broadcast into the candidate
-        # join — and it is O(n_queries · n_probe) rows, the size class
-        # caching exists for
-        .cache()
     )
-    probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
-    cand = ivf_read_probes(spark, path, probe_ids).join(F.broadcast(probes), "centroid_id")
+    # the probe plan's result is needed twice (driver-side probe-id
+    # set below + broadcast into the candidate join) and is
+    # O(n_queries · n_probe) rows by construction — collect ONCE and
+    # rebuild a local-relation DataFrame for the join, instead of
+    # cache() (a long-lived serving session calling this per query
+    # batch would accumulate never-unpersisted cache entries)
+    probe_rows = probes.collect()
+    probe_ids = sorted({r.centroid_id for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
+    cand = ivf_read_probes(spark, path, probe_ids).join(
+        F.broadcast(probes_local), "centroid_id"
+    )
     scored = cand.select(
         "query_id",
         id_col,

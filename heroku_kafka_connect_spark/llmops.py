@@ -60,8 +60,27 @@ AFFINE = _affine_params()
 
 def hex32(col: Column) -> Column:
     """First 32 bits of md5 as a non-negative long — the cross-engine
-    base hash (DuckDB: ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``)."""
+    base hash. ``sql_hex32`` is its DuckDB spelling; keep them
+    adjacent so a change to one is a change to both."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sql_hex32(x: str) -> str:
+    """DuckDB fragment computing exactly ``hex32(x)`` — THE single
+    SQL spelling; every sketch oracle must use it rather than restate
+    the idiom (a restated copy silently de-syncs if the prefix width
+    ever changes)."""
+    return f"CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def sql_md5_prefix_bucket(key: str, buckets: int) -> str:
+    """DuckDB fragment computing exactly ``md5_prefix_bucket(key,
+    buckets)`` (16-bit prefix, mod) — the single SQL spelling for the
+    sampling/split/shard bucket idiom."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS BIGINT)"
+        f" % {buckets}"
+    )
 
 
 def md5_prefix_bucket(key: Column, buckets: int) -> Column:

@@ -38,8 +38,9 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB fragment shared by every sketch oracle: the first 32 bits
-#: of md5 as a BIGINT — the exact value llmops.hex32 computes.
-_SQL_HEX32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+#: of md5 as a BIGINT — llmops.sql_hex32, the single SQL spelling of
+#: llmops.hex32 (kept as a format-string alias for the f-SQL below).
+_SQL_HEX32 = llmops.sql_hex32("{x}")
 
 
 def _minhash_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
@@ -114,13 +115,13 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
-    """Deterministic 25% hash-sample of documents for the ml
+    """Deterministic 50% hash-sample of documents for the ml
     cross-check path: approxSimilarityJoin's constant factor made the
     full-corpus variant the single most expensive bench query (9 s at
     sf0.1) for a query whose only job is validating recall — a
     key-deterministic sample keeps the validation meaningful at 1/4
-    the pair work (50%: the 25% cut produced ZERO pairs at the
-    driver's sf0.01, making the cross-check vacuous there). Same
+    the pair work (50%, not lower: a 25% cut produced ZERO pairs at
+    the driver's sf0.01, making the cross-check vacuous there). Same
     md5-prefix idiom as llm_sample_hash (llmops.md5_prefix_bucket),
     so the subset is stable across engines/reruns."""
     return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 50)
@@ -329,8 +330,14 @@ _DEDUP_APPLY_ORACLE = """
       FROM documents GROUP BY lang, md5(text)
     ),
     d1 AS (
+      -- NULL-safe join: the Spark side's Window.partitionBy groups
+      -- NULL lang/text together, so a plain equi-join (NULL = NULL
+      -- is NULL) would silently drop such docs if a future fixture
+      -- generation contains them
       SELECT d.doc_id, d.lang, d.source, d.text, e.canon
-      FROM documents d JOIN ex e ON d.lang = e.lang AND md5(d.text) = e.h
+      FROM documents d JOIN ex e
+        ON d.lang IS NOT DISTINCT FROM e.lang
+       AND md5(d.text) IS NOT DISTINCT FROM e.h
     ),
     surv AS (SELECT doc_id, lang, source, text FROM d1 WHERE doc_id = canon),
     sh AS (
@@ -741,7 +748,7 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT vec_id, scale,
-             list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             list_transform(v, x -> CAST(round(x / greatest(scale, 1e-300)) AS BIGINT)) AS qv
       FROM s
     )
     SELECT vec_id,
@@ -766,7 +773,13 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     s = t.embeddings.select("vec_id", v.alias("v"), scale.alias("scale"))
-    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long"))
+    # guard the all-zero vector: scale = 0 would make x/scale NaN
+    # (Spark rounds NaN->0 silently; DuckDB's CAST errors). A tiny
+    # floor leaves every nonzero vector's quantization bit-identical
+    # (real scales are orders of magnitude above it) and maps zero
+    # vectors to all-zero codes; the emitted scale stays the true 0.
+    denom = F.greatest(F.col("scale"), F.lit(1e-300))
+    qv = F.transform(F.col("v"), lambda x: F.round(x / denom).cast("long"))
     q = s.select("vec_id", "scale", qv.alias("qv"))
     return q.select(
         "vec_id",
@@ -783,9 +796,9 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_sample_hash",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, source FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 20
+    WHERE {llmops.sql_md5_prefix_bucket('doc_id', 100)} < 20
     """,
 )
 def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,7 +1053,7 @@ def _knn_recall_oracle(k: int = 3, n_planes: int = 8, dim: int = 64, seed: int =
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10),
+          WHERE {llmops.sql_md5_prefix_bucket('vec_id', 100)} < 10),
     exact AS (
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, e.vec_id,

@@ -27,14 +27,14 @@ from ..session import load_tables
 from ..sinks import writers
 
 
-from ..llmops import md5_prefix_bucket
+from ..llmops import md5_prefix_bucket, sql_md5_prefix_bucket
 
 
 def _pct_bucket(key: Column) -> Column:
     return md5_prefix_bucket(key, 100)
 
 
-_SQL_PCT = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+_SQL_PCT = sql_md5_prefix_bucket("{k}", 100)
 
 
 @register(
@@ -216,7 +216,7 @@ def llm_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SHARD = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16"
+_SQL_SHARD = sql_md5_prefix_bucket("doc_id", 16)
 
 
 @register(

@@ -108,11 +108,19 @@ def stage_table_name(table: str, suffix: str = "") -> str:
     never overwrite each other's stage mid-MERGE. The suffix is
     sanitized to a bare SQL identifier: pipeline names may contain
     '-' (PipelineSpec allows them), which would break the unquoted
-    CREATE TABLE / MERGE statements."""
+    CREATE TABLE / MERGE statements. Sanitization alone can collide
+    distinct names ('my-sink' and 'my_sink' both map to 'my_sink'),
+    which would re-create exactly the shared-stage race the suffix
+    exists to prevent — a short hash of the RAW suffix keeps
+    sanitized-equal names on separate stages."""
+    import hashlib
     import re
 
+    if not suffix:
+        return f"{table}__stage"
     safe = re.sub(r"[^A-Za-z0-9_]", "_", suffix)
-    return f"{table}__stage{('_' + safe) if safe else ''}"
+    tag = hashlib.md5(suffix.encode()).hexdigest()[:6]
+    return f"{table}__stage_{safe}_{tag}"
 
 
 def merge_sql(table: str, stage: str, columns: Sequence[str], keys: Sequence[str]) -> str:
@@ -207,9 +215,20 @@ def foreach_batch_upsert(
         jvm = batch_df.sparkSession._jvm  # noqa: SLF001
         if "driver" in opts:
             jvm.java.lang.Class.forName(opts["driver"])
+        # the driver-side connection gets CONNECTION properties only —
+        # Spark-writer tuning keys (batchsize, truncate, ...) are not
+        # JDBC connection properties, and strict drivers reject
+        # unknown keys at getConnection
+        spark_writer_only = {
+            "driver", "batchsize", "truncate", "numpartitions",
+            "isolationlevel", "createtableoptions",
+            "createtablecolumntypes", "cascadetruncate", "querytimeout",
+            "sessioninitstatement",
+        }
         props = jvm.java.util.Properties()
         for k, v in opts.items():
-            props.setProperty(k, v)
+            if k.lower() not in spark_writer_only:
+                props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             stmt = conn.createStatement()

@@ -648,3 +648,41 @@ def test_tasks_max_invalid(spark, tmp_path):
     )
     with _pytest.raises(SpecError, match="tasks.max"):
         rt.compile(bad)
+
+
+def test_dlq_pipeline_with_map_column_source(spark, tmp_path):
+    """The stamp's row-identity sort must survive unorderable source
+    columns: a map column is serialized to JSON for the sort key
+    instead of crashing the ordering (Spark rejects maps in
+    orderBy) or being skipped (which would weaken replay identity)."""
+    src = str(tmp_path / "in")
+    good, dlq = str(tmp_path / "good"), str(tmp_path / "dlq")
+    spark.sql(
+        """SELECT * FROM VALUES
+           (1, '{"k": 1}', map('a', 'x')),
+           (2, '{broken',  map('b', 'y'))
+           AS t(id, payload, attrs)"""
+    ).write.parquet(src)
+
+    spec = PipelineSpec(
+        name="p_dlq_map",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, payload string, attrs map<string,string>",
+            "sink.format": "dlq-split",
+            "sink.path": good,
+            "sink.dlqPath": dlq,
+            "sink.option.jsonColumn": "payload",
+            "sink.option.schema": "k int",
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rep = Reconciler(rt, sleep=lambda _s: None).reconcile_once([spec])
+    assert rep.started == ["p_dlq_map"] and not rep.failed
+    _wait_done(spark, "p_dlq_map")
+    ok = spark.read.parquet(good).collect()
+    bad = spark.read.parquet(dlq).collect()
+    assert [r.id for r in ok] == [1] and [r.id for r in bad] == [2]
+    assert all(r["__row_n"] == 1 for r in ok + bad)

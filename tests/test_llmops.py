@@ -180,7 +180,7 @@ def test_custom_and_ml_minhash_agree(spark, sf_dir):
     """The custom fused-band-key path and the spark.ml builtin path
     must find the same near-dup pairs on the same input — mutual
     cross-validation of two independent MinHash implementations. The
-    registered ml query runs on a deterministic 25% sample (bench
+    registered ml query runs on a deterministic 50% sample (bench
     cost), so the custom path is evaluated on that exact sample here."""
     from heroku_kafka_connect_spark.operators.llm import ml_cross_check_sample
     from heroku_kafka_connect_spark.registry import all_queries

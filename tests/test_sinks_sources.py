@@ -257,12 +257,17 @@ def test_pkcs1_key_converted_to_pkcs8(tmp_path):
 def test_stage_table_name_sanitizes_hyphenated_pipeline_names():
     """PipelineSpec allows names like 'my-sink'; the stage table is
     interpolated UNQUOTED into CREATE TABLE/MERGE, so the suffix must
-    be sanitized to a bare SQL identifier."""
+    be sanitized to a bare SQL identifier — and sanitized-EQUAL names
+    ('my-sink' vs 'my_sink') must still stage separately, or the
+    shared-stage race returns through the name mapping."""
     from heroku_kafka_connect_spark.sinks.writers import stage_table_name
 
     s = stage_table_name("orders", "my-sink.v2")
-    assert s == "orders__stage_my_sink_v2"
+    assert s.startswith("orders__stage_my_sink_v2_")
     assert s.replace("_", "").isalnum()
+    assert stage_table_name("orders", "my-sink") != stage_table_name(
+        "orders", "my_sink"
+    )
 
 
 def test_ec_sec1_key_rejected_with_remediation():
