@@ -126,3 +126,42 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("payload")).alias("total_bytes"),
         )
     )
+
+
+@register(
+    "mm_payload_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(i.i AS INTEGER) AS chunk_idx,
+           CAST(i.i * 64 AS BIGINT) AS byte_offset,
+           CAST(least(64, LENGTH(text) - i.i * 64) AS BIGINT) AS n_bytes
+    FROM documents, LATERAL (
+      SELECT unnest(generate_series(0,
+        CAST(ceil(LENGTH(text) / 64.0) AS INT) - 1)) AS i
+    ) i
+    """,
+)
+def mm_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk plan for multipart blob processing: the
+    (offset, length) manifest a 100 TB pipeline hands to range-read
+    workers (S3 GET Range / multipart decode) so no single task ever
+    materializes a whole blob. Pure metadata arithmetic on the
+    payload length — narrow explode, no Python, no shuffle; the
+    payload bytes themselves are never touched at planning time."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_payload(t.documents)
+    size = F.length("payload")
+    nchunks = F.ceil(size / F.lit(64.0)).cast("int")
+    return with_payload.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nchunks - F.lit(1))).alias("chunk_idx"),
+        size.alias("__size"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx").cast("bigint") * 64).alias("byte_offset"),
+        F.least(
+            F.lit(64).cast("bigint"),
+            F.col("__size").cast("bigint") - F.col("chunk_idx").cast("bigint") * 64,
+        ).alias("n_bytes"),
+    )

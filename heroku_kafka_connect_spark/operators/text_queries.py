@@ -361,3 +361,58 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) i
+      WHERE len(t) >= 2
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+    tot AS (SELECT w1, SUM(n) AS n1 FROM counts GROUP BY w1)
+    SELECT c.w1, c.w2, c.n,
+           ROUND(c.n / CAST(t.n1 AS DOUBLE), 4) AS p_w2_given_w1
+    FROM counts c JOIN tot t USING (w1)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2 ASC) <= 3
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts — the n-gram language model's build step at
+    corpus scale: conditional next-token distribution p(w2|w1), top-3
+    continuations per prefix. Plan: narrow bigram explode (pairs
+    never leave their map task) -> (w1,w2) count agg -> w1 marginal
+    agg -> key join + WindowGroupLimit top-k (map-side cut). All
+    exchanges are on token keys (|vocab|-bounded, not corpus-
+    bounded); this is how KenLM-style count tables come out of a
+    100 TB corpus in one job."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(T.ws_tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
+    return (
+        counts.join(tot, "w1")
+        .withColumn("p_w2_given_w1", F.round(F.col("n") / F.col("n1").cast("double"), 4))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("w1", "w2", "n", "p_w2_given_w1")
+    )

@@ -70,3 +70,57 @@ def test_star_join_still_broadcasts_at_10x(spark, big_lineitem):
     p = joined._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p
     assert wall < 60, f"star join at 10x took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_llm_pipeline_shapes_survive_synthetic_100k(spark):
+    """The LLM-pipeline shapes at 20× the sf0.1 document count,
+    generated (not read) via the custom Python DataSource: exact
+    dedup, block-level boilerplate detection, and Gopher rules over
+    100k docs must keep their aggregate shapes and finish in linear
+    time. This is the corpus-side analog of the lineitem scale-up."""
+    from heroku_kafka_connect_spark.sources.synthetic import (
+        register_synthetic_sources,
+    )
+    from heroku_kafka_connect_spark import llmops
+
+    register_synthetic_sources(spark)
+    docs = (
+        spark.read.format("hkc_synthdocs")
+        .option("rows", 100_000)
+        .option("partitions", 32)
+        .load()
+    )
+
+    t0 = time.time()
+    # exact dedup: one hash shuffle
+    dedup = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canon")
+    )
+    n_distinct = dedup.count()
+    assert 0 < n_distinct <= 100_000
+
+    # block-level boilerplate: explode -> df agg -> join back -> doc agg
+    blocks = docs.select(
+        "doc_id", F.explode(llmops.token_blocks("text", 16)).alias("b")
+    ).select("doc_id", F.md5("b").alias("h"))
+    df_rel = blocks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    boiler = (
+        blocks.join(df_rel, "h")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nb"))
+    )
+    assert boiler.count() == 100_000
+
+    # token-level quality stats: two map-side-combinable aggs
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top")
+    )
+    assert stats.count() == 100_000
+    wall = time.time() - t0
+    assert wall < 120, f"llm shapes at 100k synthetic docs took {wall:.0f}s"
