@@ -106,6 +106,7 @@ BNLJ_OK = {
     "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
     "llm_knn_ivf_indexed",  # probe scan (partition-pruned) x 5 broadcast query vectors
     "text_tfidf",         # corpus-count N = 1-row broadcast into the idf expression
+    "text_unigram_logprob",  # corpus token total = 1-row broadcast into p(w)
     "llm_knn_recall",     # exact side: corpus scan x broadcast hash-sampled
                           # query set (pick the sample modulus so the
                           # broadcast stays small at any corpus size)
