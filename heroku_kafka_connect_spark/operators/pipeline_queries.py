@@ -339,3 +339,58 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "llm_mix_sample",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             POW(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.7) AS w_raw
+      FROM c
+    ),
+    r AS (
+      SELECT source, n_docs,
+             CAST(round(LEAST(1.0, (w_raw / SUM(w_raw) OVER ()) * 10000.0 / n_docs)
+                        * 10000) AS BIGINT) AS thresh
+      FROM w
+    )
+    SELECT d.source, r.n_docs, r.thresh,
+           CAST(COUNT(*) FILTER (
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 10000 < r.thresh) AS BIGINT) AS n_kept
+    FROM documents d JOIN r USING (source)
+    GROUP BY d.source, r.n_docs, r.thresh
+    """,
+)
+def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J37 applied: turn the temperature-mixture sampling rates into
+    an actual deterministic sample — each doc is kept iff its md5
+    bucket (of 10k) clears its source's threshold, so the SAME docs
+    are selected on every engine, rerun, and cluster size (the
+    mixture stays reproducible across pipeline versions). Emits
+    per-source kept counts for rate verification.
+
+    Plan: the rate relation is |sources| rows computed from a
+    |sources|-row aggregate — broadcast into the corpus scan; the
+    corpus itself never shuffles until the final per-source count
+    (map-side combinable). This is the 'build the training mix' step
+    at 100 TB: one pass, no repartition of the data being mixed."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    all_w = Window.partitionBy()
+    frac = F.col("n_docs").cast("double") / F.sum("n_docs").over(all_w)
+    w = c.select("source", "n_docs", F.pow(frac, 0.7).alias("w_raw"))
+    rate = F.least(
+        F.lit(1.0), (F.col("w_raw") / F.sum("w_raw").over(all_w)) * 10000.0 / F.col("n_docs")
+    )
+    r = w.select("source", "n_docs", F.round(rate * 10000).cast("long").alias("thresh"))
+    kept = F.when(
+        md5_prefix_bucket(F.col("doc_id"), 10000) < F.col("thresh"), 1
+    ).otherwise(0)
+    return (
+        t.documents.join(F.broadcast(r), "source")
+        .groupBy("source", "n_docs", "thresh")
+        .agg(F.sum(kept).cast("long").alias("n_kept"))
+    )

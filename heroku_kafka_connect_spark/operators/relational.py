@@ -1184,3 +1184,42 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
     )
     return wide.unpivot("p_partkey", ["size", "price"], "metric", "val")
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: RANGE window frame — per-user trailing-1-hour count and sum
+    at every event, the continuous (per-row) counterpart of the
+    tumbling/sliding window aggregations. RANGE frames bound by the
+    ORDER value (all ts-peers join the frame, so ties need no
+    tiebreak to stay deterministic) where ROWS frames bound by row
+    count. One window shuffle on user_id; the frame scan is
+    streaming within each sorted partition. Decimal sum for the
+    cross-engine FP determinism rule (operators/common.py)."""
+    from ..operators.common import dec
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
+    )
