@@ -663,3 +663,80 @@ def pack_bins_ffd(
 
     schema = f"{id_col} long, {group_col} string, {tokens_col} long, bin_id long"
     return docs.select(id_col, group_col, tokens_col).groupBy(group_col).applyInPandas(ffd, schema)
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column, cross-engine
+    deterministic — the training step for the IVF coarse quantizer
+    (functions.vectors), replacing smallest-id placeholder centroids
+    with real ones. Returns (assignments, centroids) after ``iters``
+    rounds.
+
+    Determinism contract (the reason an SQL oracle can replay this
+    exactly): (1) init = the k smallest-id vectors; (2) distances are
+    a LEFT FOLD in array order of IEEE double ops (Spark F.aggregate
+    == DuckDB list_reduce), bit-identical across engines; (3) argmin
+    ties break on cid; (4) centroid updates go through decimal sums
+    (order-independent) divided by the count, rounded to 6 — so
+    FP-addition order, which differs between engines and between
+    cluster sizes, never leaks into the result.
+
+    Scale: per iteration ONE broadcast of k centroids into a corpus
+    scan (assignment is narrow), one (cid, dim)-key aggregation for
+    the update — the k-means|| shape minus the sampling pass. The
+    loop is driver-side over ITERS, not data; each round's plan is
+    independent (no lineage growth worth checkpointing at 3 rounds)."""
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    rnd6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
+    cents = (
+        v.orderBy("__id")
+        .limit(k)
+        .select(F.col("__id").cast("int").alias("cid"), rnd6(F.col("__v")).alias("cv"))
+    )
+    assign = None
+    for _ in range(iters):
+        d = v.crossJoin(F.broadcast(cents))
+        dist = F.aggregate(
+            F.zip_with("__v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__dist").asc(), F.col("cid").asc())
+        assign = (
+            d.select("__id", "__v", "cid", dist.alias("__dist"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", "cid")
+        )
+        dims = assign.select(
+            "cid", F.posexplode("__v").alias("dim", "val")
+        )
+        cents = (
+            dims.groupBy("cid", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return assign, cents

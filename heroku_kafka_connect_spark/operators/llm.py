@@ -1141,3 +1141,79 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("b") / F.lit(3.0), 4).alias("recall"),
         )
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """SQL replica of ``llmops.kmeans_lloyd`` + the summary projection
+    of ``llm_kmeans_train``: the three Lloyd rounds unrolled as CTE
+    pairs (assign_i from centroids_{i-1}, centroids_i from assign_i).
+    Exactness rests on the kmeans_lloyd determinism contract —
+    left-fold double distances (list_reduce == F.aggregate given a
+    0.0 seed: 0.0 + x == x), cid tiebreaks, decimal-sum centroid
+    updates rounded to 6."""
+    dist = (
+        "list_reduce(list_transform(e.v, (x,i) -> (x - c.cv[i])*(x - c.cv[i])),"
+        " (a,b) -> a + b)"
+    )
+    cte = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    cte.append(f"""c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM e ORDER BY vec_id LIMIT {k})""")
+    for it in range(1, iters + 1):
+        cte.append(f"""a{it} AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c{it - 1} c
+              ORDER BY {dist} ASC, c.cid ASC LIMIT 1) AS cid
+      FROM e)""")
+        cte.append(f"""c{it} AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM (
+        SELECT a.cid, d.dim,
+               ROUND(CAST(SUM(CAST(a.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
+        FROM a{it} a, LATERAL (
+          SELECT unnest(generate_series(1, {dim})) AS dim) d
+        GROUP BY a.cid, d.dim)
+      GROUP BY cid)""")
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           (SELECT ROUND(sqrt(list_reduce(list_transform(c.cv, x -> x*x),
+                                          (p,q) -> p + q)), 4)
+            FROM c{iters} c WHERE c.cid = a.cid) AS c_norm
+    FROM a{iters} a GROUP BY a.cid"""
+    )
+
+
+@register("llm_kmeans_train", oracle=_kmeans_oracle())
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING: three Lloyd's k-means rounds over the
+    embedding column (llmops.kmeans_lloyd) — the step that upgrades
+    the IVF index from its deterministic smallest-id placeholder
+    centroids to data-fitted ones. Emits per-cluster sizes and
+    centroid norms; the full assignment/centroid frames feed
+    `vectors.ivf_write_index` in a real build.
+
+    Cross-engine determinism is the engineering content here (see
+    kmeans_lloyd's contract): iterative FP algorithms normally
+    diverge between engines via addition order — decimal-sum updates
+    + left-fold distances + cid tiebreaks make three full rounds
+    replay bit-identically in DuckDB, which is what lets an
+    iterative ML training loop carry a full SQL oracle at all."""
+    t = load_tables(spark, sf_dir)
+    assign, cents = llmops.kmeans_lloyd(t.embeddings, k=8, iters=3)
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+        4,
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(cents.select("cid", norm.alias("c_norm")), "cid")
+    )
