@@ -35,26 +35,60 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _ivf_centroids(
+    vectors: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    train_iters: int = 0,
+) -> DataFrame:
+    """(centroid_id, cv) relation for the IVF quantizer: the
+    deterministic smallest-id sample (train_iters=0 — replayable in
+    SQL oracles), or Lloyd-trained centroids (llmops.kmeans_lloyd —
+    the production-quality quantizer; see llm_kmeans_train)."""
+    if train_iters:
+        from .. import llmops
+
+        _, kc = llmops.kmeans_lloyd(
+            vectors, k=n_centroids, iters=train_iters, vec_col=vec_col, id_col=id_col
+        )
+        return kc.select(F.col("cid").cast("long").alias("centroid_id"), F.col("cv"))
+    return (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), to_double(vec_col).alias("cv"))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
+    train_iters: int = 0,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid. Centroids are the vectors with the `n_centroids`
-    smallest ids — deterministic sampled init (IVF-flat; a Lloyd
-    refinement would drop into the same assign-join below). The
+    centroid (``_ivf_centroids`` — smallest-id sample by default,
+    Lloyd-trained with ``train_iters``; pass ``cents`` to share one
+    centroid relation between assignment and the index sidecar). The
     centroid set is broadcast; assignment is one narrow pass scoring
     n·n_centroids pairs with a per-vector argmin — the standard IVF
     build cost, embarrassingly parallel."""
     from pyspark.sql import Window
 
+    if cents is None:
+        cents = _ivf_centroids(
+            vectors,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            train_iters=train_iters,
+        )
     cents = F.broadcast(
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), to_double(vec_col).alias("__cv"))
+        cents.select("centroid_id", F.col("cv").alias("__cv"))
     )
     v = vectors.select(F.col(id_col), to_double(vec_col).alias("__v"))
     scored = v.crossJoin(cents).select(
@@ -159,28 +193,34 @@ def ivf_write_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
+    train_iters: int = 0,
 ) -> None:
     """Materialize the IVF index as a parquet table PHYSICALLY
     partitioned by centroid: `path/centroid_id=K/...`. This is the
     100 TB layout SCALE.md promises — at query time only the probed
     centroids' directories are read at all (partition pruning at the
     file-listing level, before any IO), so probe cost scales with
-    nprobe/ncentroids of the corpus, not the corpus."""
+    nprobe/ncentroids of the corpus, not the corpus. With
+    ``train_iters > 0`` the quantizer is Lloyd-trained
+    (llmops.kmeans_lloyd) instead of the smallest-id sample; the
+    sidecar and the partitioning share ONE centroid relation, so
+    probes read exactly the centroids the data was assigned to."""
+    cents = _ivf_centroids(
+        vectors,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        train_iters=train_iters,
+    )
     assigned = ivf_assign(
-        vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+        vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, cents=cents
     ).select(id_col, F.col("__v").alias(vec_col), "centroid_id")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     # centroid sidecar: underscore-prefixed so the main read's file
     # listing skips it (Spark treats _*/.* paths as hidden metadata).
     # At 100 TB this is the only piece of the index a query driver
     # ever reads in full — n_centroids rows.
-    (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), to_double(vec_col).alias("cv"))
-        .write.mode("overwrite")
-        .parquet(path + "/_centroids")
-    )
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
 
 
 def ivf_read_probes(

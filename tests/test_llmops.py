@@ -332,3 +332,36 @@ def test_ivf_indexed_query_matches_inline_and_prunes(spark, sf_dir):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "centroid_id" in plan.split("PartitionFilters")[1][:160]
+
+
+def test_ivf_trained_index_roundtrip_and_exactness(spark, tmp_path):
+    """Lloyd-trained quantizer (train_iters>0) through the full
+    materialized path: the sidecar holds the TRAINED centroids (not
+    the smallest-id sample), every vector lands in exactly one
+    partition, and probing every centroid still equals brute force
+    (training moves the buckets, never the exactness guarantee)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "ivf_trained")
+    V.ivf_write_index(emb, path, n_centroids=4, train_iters=2)
+
+    cents = spark.read.parquet(path + "/_centroids").collect()
+    assert len(cents) == 4
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    trained_cvs = {tuple(round(x, 6) for x in r.cv) for r in cents}
+    seed_cvs = {tuple(round(x, 6) for x in raw[i]) for i in range(4)}
+    assert trained_cvs != seed_cvs  # training actually moved the centroids
+
+    full = spark.read.parquet(path)
+    assert full.count() == 80 and full.select("vec_id").distinct().count() == 80
+
+    q = emb.filter("vec_id < 3")
+    exact = {(r.query_id, r.rank): r.vec_id for r in V.brute_force_topk(emb, q, 3).collect()}
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in V.ivf_probe_topk(spark, path, q, 3, n_probe=4).collect()
+    }
+    assert got == exact
