@@ -1217,3 +1217,65 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .join(cents.select("cid", norm.alias("c_norm")), "cid")
     )
+
+
+_SEMANTIC_CLUSTERS_ORACLE = """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                  4) >= 0.35
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS vec_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY u
+    """
+
+
+@register("llm_dedup_semantic", oracle=_SEMANTIC_CLUSTERS_ORACLE)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup manifest: embedding-cosine
+    near-dup pairs (same blocked definition as
+    `llm_dedup_embedding`) -> connected components -> per-vector
+    (cluster_id, keep) with the min-id survivor — the third rung of
+    the dedup cascade after exact (`llm_dedup_apply`) and lexical
+    near-dup (`llm_dedup_clusters`): catches paraphrases and
+    near-translations that share no shingles. Only vectors in some
+    pair appear (singletons need no dedup decision). Same CC
+    machinery and recursive-CTE oracle as the lexical path — the
+    component step is edge-source-agnostic by design."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from ..functions.vectors import cosine
+
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= 0.35)
+        .select("a", "b")
+    )
+    comp = llmops.connected_components(pairs, "a", "b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
