@@ -212,6 +212,13 @@ def ivf_write_index(
         n_centroids=n_centroids,
         train_iters=train_iters,
     )
+    # materialize the k centroid rows ONCE: cents' lineage is the
+    # whole iterative training job when train_iters > 0, and both
+    # writes below would otherwise re-execute it (the assignment
+    # write evaluates it inside the broadcast, the sidecar write
+    # again) — k rows by construction, trivially driver-sized
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
     assigned = ivf_assign(
         vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, cents=cents
     ).select(id_col, F.col("__v").alias(vec_col), "centroid_id")

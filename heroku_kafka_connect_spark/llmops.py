@@ -679,14 +679,20 @@ def kmeans_lloyd(
     with real ones. Returns (assignments, centroids) after ``iters``
     rounds.
 
+    Assignment metric is COSINE (argmax), not squared-L2: the IVF
+    index this trains for assigns and probes by cosine
+    (functions.vectors), and a quantizer trained under a different
+    metric than it serves partitions the data it was not optimized
+    for. Centroid update stays the arithmetic mean (cosine k-means).
+
     Determinism contract (the reason an SQL oracle can replay this
-    exactly): (1) init = the k smallest-id vectors; (2) distances are
-    a LEFT FOLD in array order of IEEE double ops (Spark F.aggregate
-    == DuckDB list_reduce), bit-identical across engines; (3) argmin
-    ties break on cid; (4) centroid updates go through decimal sums
-    (order-independent) divided by the count, rounded to 6 — so
-    FP-addition order, which differs between engines and between
-    cluster sizes, never leaks into the result.
+    exactly): (1) init = the k smallest-id vectors; (2) similarities
+    are LEFT FOLDS in array order of IEEE double ops (Spark
+    F.aggregate == DuckDB list_reduce), bit-identical across
+    engines; (3) argmax ties break on cid; (4) centroid updates go
+    through decimal sums (order-independent) divided by the count,
+    rounded to 6 — so FP-addition order, which differs between
+    engines and between cluster sizes, never leaks into the result.
 
     Scale: per iteration ONE broadcast of k centroids into a corpus
     scan (assignment is narrow), one (cid, dim)-key aggregation for
@@ -704,17 +710,19 @@ def kmeans_lloyd(
         .limit(k)
         .select(F.col("__id").cast("int").alias("cid"), rnd6(F.col("__v")).alias("cv"))
     )
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
     assign = None
     for _ in range(iters):
         d = v.crossJoin(F.broadcast(cents))
-        dist = F.aggregate(
-            F.zip_with("__v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        cos = fold_sum(F.zip_with("__v", "cv", lambda x, y: x * y)) / (
+            F.sqrt(fold_sum(F.transform("__v", lambda x: x * x)))
+            * F.sqrt(fold_sum(F.transform("cv", lambda x: x * x)))
         )
-        w = Window.partitionBy("__id").orderBy(F.col("__dist").asc(), F.col("cid").asc())
+        w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
         assign = (
-            d.select("__id", "__v", "cid", dist.alias("__dist"))
+            d.select("__id", "__v", "cid", cos.alias("__cos"))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("__id", "__v", "cid")

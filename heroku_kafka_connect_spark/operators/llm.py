@@ -470,6 +470,35 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Label-blocked exact cosine pairs (a < b, cos_sim >= threshold)
+    — THE shared pair generator for the semantic dedup family
+    (`llm_dedup_embedding` emits the pairs, `llm_dedup_semantic`
+    clusters them): one definition, so threshold/blocking changes
+    cannot drift between the two. Norms are computed ONCE per row in
+    the projection below the join exchange (O(n·d)), not per pair
+    (O(pairs·d)); the arithmetic stays dot/(sqrt·sqrt), bit-identical
+    to the oracles' formula."""
+    from ..functions.vectors import dot, norm
+
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return pairs.select("a", "b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+
 @register(
     "llm_dedup_embedding",
     oracle="""
@@ -487,28 +516,12 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-embedding near-dup: exact cosine pairs >= threshold within a
     blocking key (label) — the semantic-dedup step of a training
-    pipeline. Blocking bounds the pair count (sum of block² instead
-    of n²); at 100 TB the blocking key comes from hyperplane LSH
-    (ann_lsh_join) instead of a label, same verify-join shape."""
-    from ..functions.vectors import dot, norm
-
+    pipeline (`_embedding_cosine_pairs`). Blocking bounds the pair
+    count (sum of block² instead of n²); at 100 TB the blocking key
+    comes from hyperplane LSH (ann_lsh_join) instead of a label, same
+    verify-join shape."""
     t = load_tables(spark, sf_dir)
-    # norms are computed ONCE per row in the projection below the join
-    # exchange (O(n·d)), not per pair (O(pairs·d)) — the arithmetic
-    # stays dot/(sqrt·sqrt), bit-identical to the oracle's formula
-    e = t.embeddings.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
-    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
-    return pairs.select("a", "b", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.35)
+    return _embedding_cosine_pairs(t.embeddings)
 
 
 _WINNOW_ORACLE = f"""
@@ -1148,13 +1161,15 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     of ``llm_kmeans_train``: the three Lloyd rounds unrolled as CTE
     pairs (assign_i from centroids_{i-1}, centroids_i from assign_i).
     Exactness rests on the kmeans_lloyd determinism contract —
-    left-fold double distances (list_reduce == F.aggregate given a
+    left-fold double similarities (list_reduce == F.aggregate given a
     0.0 seed: 0.0 + x == x), cid tiebreaks, decimal-sum centroid
-    updates rounded to 6."""
-    dist = (
-        "list_reduce(list_transform(e.v, (x,i) -> (x - c.cv[i])*(x - c.cv[i])),"
-        " (a,b) -> a + b)"
-    )
+    updates rounded to 6. Metric = cosine argmax (DESC), matching
+    the IVF assignment/probe metric."""
+    fold = "list_reduce({l}, (a,b) -> a + b)"
+    dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
+    nv = fold.format(l="list_transform(e.v, x -> x * x)")
+    nc = fold.format(l="list_transform(c.cv, x -> x * x)")
+    dist = f"({dot}) / (sqrt({nv}) * sqrt({nc}))"
     cte = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
     cte.append(f"""c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
@@ -1164,7 +1179,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         cte.append(f"""a{it} AS (
       SELECT e.vec_id, e.v,
              (SELECT c.cid FROM c{it - 1} c
-              ORDER BY {dist} ASC, c.cid ASC LIMIT 1) AS cid
+              ORDER BY {dist} DESC, c.cid ASC LIMIT 1) AS cid
       FROM e)""")
         cte.append(f"""c{it} AS (
       SELECT cid, list(m ORDER BY dim) AS cv FROM (
@@ -1256,23 +1271,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery and recursive-CTE oracle as the lexical path — the
     component step is edge-source-agnostic by design."""
     t = load_tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    from ..functions.vectors import cosine
-
-    a = e.select(
-        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
-    )
-    pairs = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cos") >= 0.35)
-        .select("a", "b")
-    )
+    pairs = _embedding_cosine_pairs(t.embeddings).select("a", "b")
     comp = llmops.connected_components(pairs, "a", "b")
     return comp.select(
         F.col("node").alias("vec_id"),

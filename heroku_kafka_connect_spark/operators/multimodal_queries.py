@@ -152,9 +152,16 @@ def mm_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = mm.attach_payload(t.documents)
     size = F.length("payload")
     nchunks = F.ceil(size / F.lit(64.0)).cast("int")
+    # zero-byte payloads get ZERO chunks: F.sequence(0, -1) would
+    # count DOWN ([0, -1] — Spark infers a negative step), emitting
+    # a negative byte_offset; an empty array explodes to no rows,
+    # matching the oracle's empty generate_series(0, -1)
+    idx = F.when(nchunks > 0, F.sequence(F.lit(0), nchunks - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return with_payload.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), nchunks - F.lit(1))).alias("chunk_idx"),
+        F.explode(idx).alias("chunk_idx"),
         size.alias("__size"),
     ).select(
         "doc_id",

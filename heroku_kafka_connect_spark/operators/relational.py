@@ -1208,8 +1208,6 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. One window shuffle on user_id; the frame scan is
     streaming within each sorted partition. Decimal sum for the
     cross-engine FP determinism rule (operators/common.py)."""
-    from ..operators.common import dec
-
     t = load_tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")

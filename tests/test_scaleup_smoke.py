@@ -84,7 +84,8 @@ def test_llm_pipeline_shapes_survive_synthetic_100k(spark):
     )
     from heroku_kafka_connect_spark import llmops
 
-    register_synthetic_sources(spark)
+    if not register_synthetic_sources(spark):
+        pytest.skip("Python DataSource API unavailable (pyspark < 4)")
     docs = (
         spark.read.format("hkc_synthdocs")
         .option("rows", 100_000)
