@@ -74,3 +74,97 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: output schema of sessionize: one row per CLOSED session
+SESSIONS_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
+)
+SESSIONS_STATE = "start_us bigint, last_us bigint, n bigint"
+
+
+def make_sessionize_fn(gap_ms: int):
+    """Builds the applyInPandasWithState callable for ``sessionize``
+    (module-level factory so cloudpickle ships it by reference)."""
+    gap_us = gap_ms * 1000
+
+    def _fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is
+            # CLOSED — emit it and drop the state (the TTL is the
+            # unbounded-key-domain guard: idle keys cost nothing)
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        ts_sorted = sorted(
+            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
+        )
+        for t in ts_sorted:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:  # intra-batch gap: close the running session now
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+        state.update((start_us, last_us, n))
+        # TTL: wake this key when the watermark passes last + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return _fn
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_ms: int = 30 * 60 * 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom sessionization with state TTL — the
+    GroupStateTimeout.EventTimeTimeout counterpart of the builtin
+    `session_window` (F8): sessions CLOSE (and emit) when the
+    watermark passes last-event + gap, so per-key state is evicted
+    exactly when no future event can extend the session. This is the
+    pattern for stateful operators over UNBOUNDED key domains
+    (users, IPs): without a TTL, state grows with every key ever
+    seen; with it, state is O(active keys in one gap window).
+    Exercised live in tests/test_streaming.py::
+    test_custom_sessionize_emits_on_timeout."""
+    from pyspark.sql import functions as F
+
+    prepared = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(ts_col),
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_sessionize_fn(gap_ms),
+        outputStructType=SESSIONS_SCHEMA,
+        stateStructType=SESSIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

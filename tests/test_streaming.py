@@ -310,3 +310,53 @@ def test_stream_stream_left_outer_join_live(spark, tmp_path):
     ).write.mode("append").parquet(psrc)
     run()
     assert (2, None) in {(r.pid, r.cid) for r in seen}
+
+
+def test_custom_sessionize_emits_on_timeout(spark, tmp_path):
+    """GroupStateTimeout.EventTimeTimeout end-to-end: a user's open
+    session emits exactly when the watermark passes last-event + gap
+    (state TTL = the unbounded-key-domain guard), and an intra-batch
+    gap closes a session without waiting for the timeout."""
+    from heroku_kafka_connect_spark.streaming.stateful import sessionize
+
+    src, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("user int, ts_s long").parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+        )
+        out = sessionize(stream, gap_ms=60_000, key_col="user", ts_col="ts")
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1 has two sessions separated by an intra-batch
+    # gap (> 60s): the first closes immediately, the second stays
+    # open in state
+    spark.createDataFrame(
+        [(1, 100), (1, 130), (1, 400), (1, 420)], "user int, ts_s long"
+    ).write.parquet(src)
+    run()
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in seen}
+    assert (1, 100_000_000, 130_000_000, 2) in got  # intra-batch close
+    assert len(got) == 1  # the 400-420 session is still open
+
+    # batch 2: another user's far-future event pushes the watermark
+    # past 420s + 60s -> user 1's open session times out and emits
+    spark.createDataFrame([(2, 10_000)], "user int, ts_s long").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # the timeout fires in the batch AFTER the watermark advances
+    spark.createDataFrame([(2, 10_001)], "user int, ts_s long").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in seen}
+    assert (1, 400_000_000, 420_000_000, 2) in got  # TTL-evicted session
