@@ -1221,3 +1221,39 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@register(
+    "rel_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: the Spark 4 VARIANT type — `parse_json` once into the
+    binary semi-structured encoding, then typed `variant_get` paths,
+    aggregated. Against a JSON STRING column each `get_json_object`
+    re-parses the text per extraction; VARIANT parses once and every
+    path access is a binary traversal (the shredded-storage story at
+    100 TB: push the parse to ingestion, keep analytics on the
+    encoded form). The oracle checks the extraction semantics via
+    DuckDB's JSON path functions — same values, different storage."""
+    t = load_tables(spark, sf_dir)
+    v = t.events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select("event_type", F.variant_get("v", "$.k", "long").alias("k"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

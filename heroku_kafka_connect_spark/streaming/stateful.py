@@ -168,3 +168,86 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+class RunningTotalsProcessor:
+    """`transformWithStateInPandas` (Spark 4 arbitrary-state v2 API)
+    port of ``running_totals``: same cumulative (count, exact-cents
+    sum, max ts) per key, kept in a typed ValueState instead of the
+    v1 tuple blob. The v2 API is the forward path — typed state
+    (value/list/map), timers, TTL — this processor is the template
+    the engine's stateful operators migrate onto.
+
+    Defined lazily (class body builds on StatefulProcessor at call
+    time) so importing this module never requires the v2 API."""
+
+    def __new__(cls, *a, **kw):  # pragma: no cover - thin dispatch
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                self._state = handle.getValueState(
+                    "totals",
+                    StructType(
+                        [
+                            StructField("n", LongType()),
+                            StructField("cents", LongType()),
+                            StructField("last_us", LongType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, cents, last_us = (
+                    self._state.get() if self._state.exists() else (0, 0, 0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(
+                        pdf["value"].mul(100).round().astype("int64").sum()
+                    )
+                    if len(pdf):
+                        last_us = max(last_us, int(pdf["ts_us"].max()))
+                self._state.update((n, cents, last_us))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value": [cents / 100.0],
+                        "last_ts_us": [last_us],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _Impl()
+
+
+def running_totals_tws(
+    events: DataFrame, *, key_col: str = "user_id", ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """``running_totals`` on the v2 arbitrary-state API
+    (`transformWithStateInPandas`) — identical semantics and output
+    schema, pinned equal to the v1 path by
+    tests/test_streaming.py::test_tws_running_totals_matches_v1.
+    ENVIRONMENT-GATED like the spark-avro jar: the v2 state protocol
+    is protobuf-serialized between the JVM and the Python driver
+    worker, so this path needs ``google.protobuf`` installed (absent
+    in this sandbox — the test importorskips; the v1 path remains
+    the in-sandbox-proven default)."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).alias("value"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -360,3 +360,51 @@ def test_custom_sessionize_emits_on_timeout(spark, tmp_path):
     run()
     got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in seen}
     assert (1, 400_000_000, 420_000_000, 2) in got  # TTL-evicted session
+
+
+def test_tws_running_totals_matches_v1(spark, tmp_path):
+    """The v2 arbitrary-state API (transformWithStateInPandas, typed
+    ValueState) must produce the same cumulative totals across
+    micro-batch runs as the v1 applyInPandasWithState path — same
+    semantics, new engine surface. Requires protobuf (the v2 state
+    protocol is proto-serialized driver<->worker); environment-gated
+    exactly like the spark-avro jar."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (not in this sandbox)",
+    )
+    from heroku_kafka_connect_spark.streaming.stateful import running_totals_tws
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+
+    def run():
+        captured = []
+        stream = (
+            spark.readStream.schema("user_id bigint, ts_s long, value double")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+        )
+        q = (
+            running_totals_tws(stream)
+            .writeStream.foreachBatch(lambda df, _bid: captured.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.user_id: r for r in captured}
+
+    spark.createDataFrame(
+        [(1, 100, 1.25), (1, 200, 2.25), (2, 50, 5.0)],
+        "user_id bigint, ts_s long, value double",
+    ).write.parquet(src)
+    got1 = run()
+    assert got1[1].n_events == 2 and got1[1].sum_value == 3.5
+    assert got1[1].last_ts_us == 200_000_000 and got1[2].n_events == 1
+
+    spark.createDataFrame(
+        [(1, 300, 0.50)], "user_id bigint, ts_s long, value double"
+    ).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2[1].n_events == 3 and got2[1].sum_value == 4.0  # state resumed
