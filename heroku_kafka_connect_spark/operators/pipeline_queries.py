@@ -394,3 +394,147 @@ def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "thresh")
         .agg(F.sum(kept).cast("long").alias("n_kept"))
     )
+
+
+@register(
+    "llm_quality_apply",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    s AS (
+      SELECT doc_id,
+             ROUND(SUM(length(token) * cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS mean_word_len,
+             ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS distinct_ratio,
+             ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_token_frac,
+             MAX(CASE WHEN token IN ('the','a','of','and','to','in','is','that')
+                 THEN 1 ELSE 0 END) AS has_stopword
+      FROM tc GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
+      FROM (SELECT doc_id,
+                   [array_to_string(toks[i:i+2], ' ')
+                    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    ),
+    cnt AS (
+      SELECT doc_id, c, COUNT(*) AS k
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY doc_id, c
+    ),
+    h AS (
+      SELECT doc_id,
+             ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 4) AS entropy
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.mean_word_len, s.distinct_ratio, s.top_token_frac,
+           s.has_stopword, g.rep_ratio, h.entropy,
+           CASE
+             WHEN s.mean_word_len NOT BETWEEN 3 AND 10 THEN 'word_len'
+             WHEN s.distinct_ratio < 0.4 THEN 'diversity'
+             WHEN s.top_token_frac > 0.1 THEN 'repetition'
+             WHEN s.has_stopword = 0 THEN 'stopword'
+             WHEN g.rep_ratio > 0.2 THEN 'boilerplate'
+             WHEN h.entropy NOT BETWEEN 3.5 AND 5.0 THEN 'entropy'
+             ELSE 'ok' END AS reason,
+           CAST(CASE
+             WHEN s.mean_word_len BETWEEN 3 AND 10
+              AND s.distinct_ratio >= 0.4
+              AND s.top_token_frac <= 0.1
+              AND s.has_stopword = 1
+              AND g.rep_ratio <= 0.2
+              AND h.entropy BETWEEN 3.5 AND 5.0
+             THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s JOIN g USING (doc_id) JOIN h USING (doc_id)
+    """,
+)
+def llm_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality counterpart of `llm_dedup_apply`: every quality
+    signal the engine computes — Gopher token rules, intra-doc
+    3-gram repetition, char-level entropy — joined into ONE per-doc
+    (keep, reason) decision, reasons assigned in a fixed rule order
+    so a curation run can report WHY each doc fell. Thresholds sit
+    at the fixture's decision-relevant quantiles (diversity >= 0.4
+    and top-token <= 0.1 straddle the median) so both outcomes are
+    exercised.
+
+    Plan: three per-doc stat relations (token agg, per-row gram
+    expr, char agg), each map-side combinable, joined on doc_id —
+    co-partitioned after the first shuffle, no corpus re-scan per
+    signal family at 100 TB. All threshold comparisons run on the
+    ROUND(...,4) values, identically in both engines, so FP ulps
+    can never flip a keep decision differently per engine."""
+    from ..functions import text as T
+
+    t = load_tables(spark, sf_dir)
+    stop_en = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    tc = (
+        t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = tc.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.length("token") * F.col("cnt")) / F.sum("cnt").cast("double"), 4
+        ).alias("mean_word_len"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 4).alias("top_token_frac"),
+        F.max(F.when(F.col("token").isin(*stop_en), 1).otherwise(0)).alias(
+            "has_stopword"
+        ),
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    g = t.documents.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            4,
+        ).alias("rep_ratio"),
+    )
+    ch = t.documents.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    h = ch.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("k")) - F.sum(F.col("k") * F.log2("k")) / F.sum("k"), 4
+        ).alias("entropy")
+    )
+    j = s.join(g, "doc_id").join(h, "doc_id")
+    ok_len = F.col("mean_word_len").between(3, 10)
+    ok_div = F.col("distinct_ratio") >= 0.4
+    ok_rep = F.col("top_token_frac") <= 0.1
+    ok_stop = F.col("has_stopword") == 1
+    ok_boiler = F.col("rep_ratio") <= 0.2
+    ok_ent = F.col("entropy").between(3.5, 5.0)
+    reason = (
+        F.when(~ok_len, "word_len")
+        .when(~ok_div, "diversity")
+        .when(~ok_rep, "repetition")
+        .when(~ok_stop, "stopword")
+        .when(~ok_boiler, "boilerplate")
+        .when(~ok_ent, "entropy")
+        .otherwise("ok")
+    )
+    keep = (ok_len & ok_div & ok_rep & ok_stop & ok_boiler & ok_ent).cast("int")
+    return j.select(
+        "doc_id",
+        "mean_word_len",
+        "distinct_ratio",
+        "top_token_frac",
+        "has_stopword",
+        "rep_ratio",
+        "entropy",
+        reason.alias("reason"),
+        keep.alias("keep"),
+    )
