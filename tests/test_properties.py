@@ -149,3 +149,65 @@ def test_avro_codec_roundtrip_property(recs):
     for rec in recs:
         buf = avro_codec.encode_record(rec, _AVRO_SCHEMA)
         assert avro_codec.decode_record(buf, _AVRO_SCHEMA) == rec
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=60).map(
+        lambda s: " ".join(s.split()) or "x"
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=TEXTS)
+@CFG
+def test_token_blocks_are_lossless_chunking(spark, texts):
+    """Concatenating a doc's 16-token blocks must reproduce the doc's
+    token sequence exactly — block dedup can never lose or reorder
+    content (the invariant that makes a block-level clean pass safe
+    to reassemble)."""
+    from heroku_kafka_connect_spark import llmops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = df.select(
+        "text",
+        F.array_join(llmops.token_blocks("text", 16), " ").alias("rejoined"),
+    ).collect()
+    for r in got:
+        assert r.rejoined == r.text
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=0, max_size=30, unique=True))
+@CFG
+def test_ordered_pairs_complete_and_strictly_ordered(spark, ids):
+    """ordered_pairs over a sorted id array yields exactly n(n-1)/2
+    pairs, each with x < y — the pair-budget arithmetic every LSH
+    bucket relies on."""
+    from heroku_kafka_connect_spark import llmops
+
+    df = spark.createDataFrame([(sorted(ids),)], "ids array<bigint>")
+    rows = df.select(
+        F.explode(llmops.ordered_pairs(F.col("ids"))).alias("p")
+    ).select("p.x", "p.y").collect()
+    n = len(ids)
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.x < r.y for r in rows)
+    assert len({(r.x, r.y) for r in rows}) == len(rows)
+
+
+@given(keys=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=40))
+@CFG
+def test_md5_prefix_bucket_range_and_determinism(spark, keys):
+    """Buckets land in [0, buckets) and are a pure function of the
+    key — the contract that keeps hash sampling / splits / shards
+    aligned across tables, engines and reruns."""
+    from heroku_kafka_connect_spark import llmops
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = df.select("k", llmops.md5_prefix_bucket(F.col("k"), 100).alias("b")).collect()
+    b = df.select("k", llmops.md5_prefix_bucket(F.col("k"), 100).alias("b")).collect()
+    assert all(0 <= r.b < 100 for r in a)
+    assert {(r.k, r.b) for r in a} == {(r.k, r.b) for r in b}
