@@ -27,7 +27,13 @@ from ..session import load_tables
 from ..sinks import writers
 
 
+from ..functions.text import STOPWORDS
 from ..llmops import md5_prefix_bucket, sql_md5_prefix_bucket
+
+#: SQL spelling of the canonical English stopword list — built FROM
+#: functions.text.STOPWORDS so the quality oracles and the Spark
+#: side can never disagree with language-ID/stopword_ratio.
+_SQL_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
 def _pct_bucket(key: Column) -> Column:
@@ -398,7 +404,7 @@ def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_quality_apply",
-    oracle="""
+    oracle=f"""
     WITH tc AS (
       SELECT doc_id, token, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -409,7 +415,7 @@ def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(SUM(length(token) * cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS mean_word_len,
              ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS distinct_ratio,
              ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_token_frac,
-             MAX(CASE WHEN token IN ('the','a','of','and','to','in','is','that')
+             MAX(CASE WHEN token IN ({_SQL_STOP_EN})
                  THEN 1 ELSE 0 END) AS has_stopword
       FROM tc GROUP BY doc_id
     ),
@@ -471,7 +477,7 @@ def llm_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
 
     t = load_tables(spark, sf_dir)
-    stop_en = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    stop_en = STOPWORDS["en"]
     tc = (
         t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -489,7 +495,7 @@ def llm_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_stopword"
         ),
     )
-    toks = F.split(F.col("text"), " ")
+    toks = T.ws_tokens("text")  # same tokenizer as the token stats
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),

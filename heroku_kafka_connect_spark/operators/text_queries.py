@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.text import STOPWORDS
 from ..registry import register
+
+#: SQL spelling of the canonical English stopword list (built FROM
+#: functions.text.STOPWORDS — one list, both engines, every query)
+_SQL_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 from ..session import load_tables
 
 
@@ -78,13 +83,13 @@ def llm_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_langid",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            ROUND(CAST(len(list_filter(string_split(text, ' '),
-                     t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                     t -> t IN ({_SQL_STOP_EN}))) AS DOUBLE)
                  / len(string_split(text, ' ')), 4) AS en_stopword_ratio,
            CASE WHEN len(list_filter(string_split(text, ' '),
-                     t -> t IN ('the','a','of','and','to','in','is','that'))) > 0
+                     t -> t IN ({_SQL_STOP_EN}))) > 0
                 THEN 'en' ELSE 'unknown' END AS lang_guess
     FROM documents
     """,
@@ -232,7 +237,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_gopher_rules",
-    oracle="""
+    oracle=f"""
     WITH tc AS (
       SELECT doc_id, token, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -245,7 +250,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_distinct,
              CAST(MAX(cnt) AS BIGINT) AS top_cnt,
              CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
-             MAX(CASE WHEN token IN ('the','a','of','and','to','in','is','that')
+             MAX(CASE WHEN token IN ({_SQL_STOP_EN})
                  THEN 1 ELSE 0 END) AS has_stopword
       FROM tc GROUP BY doc_id
     )
@@ -282,7 +287,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (a transform-over-distinct top-count would be
     quadratic on long docs)."""
     t = load_tables(spark, sf_dir)
-    stop_en = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    stop_en = STOPWORDS["en"]
     tc = (
         t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
         .groupBy("doc_id", "token")

@@ -30,20 +30,26 @@ TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts_us b
 TOTALS_STATE = "n bigint, cents bigint, last_us bigint"
 
 
-def _totals_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Cumulative (count, exact-cents sum, max ts) per key. Money is
-    accumulated as int64 cents — float accumulation across batches
-    would drift with batch boundaries and break determinism."""
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+def _accumulate_totals(
+    totals: tuple[int, int, int], pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, int, int]:
+    """THE totals accumulation — shared by the v1 (applyInPandasWith
+    State) and v2 (transformWithStateInPandas) operators so the two
+    API surfaces cannot drift semantically. Money accumulates as
+    int64 cents: float accumulation across batches would drift with
+    batch boundaries and break determinism."""
+    n, cents, last_us = totals
     for pdf in pdfs:
         n += len(pdf)
         cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, cents, last_us))
-    yield pd.DataFrame(
+    return n, cents, last_us
+
+
+def _totals_row(key: tuple[Any, ...], totals: tuple[int, int, int]) -> pd.DataFrame:
+    n, cents, last_us = totals
+    return pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
@@ -51,6 +57,17 @@ def _totals_fn(
             "last_ts_us": [last_us],
         }
     )
+
+
+def _totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cumulative (count, exact-cents sum, max ts) per key."""
+    totals = _accumulate_totals(
+        state.get if state.exists else (0, 0, 0), pdfs
+    )
+    state.update(totals)
+    yield _totals_row(key, totals)
 
 
 def running_totals(
@@ -113,7 +130,13 @@ def make_sessionize_fn(gap_ms: int):
             if start_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us <= gap_us:
-                last_us, n = t, n + 1
+                # clamp, never assign: a LATE event (t < last_us,
+                # admitted by the watermark in a later batch) must
+                # not move the session end backwards — that emitted
+                # end < start and split continuous sessions
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
             else:  # intra-batch gap: close the running session now
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
@@ -170,60 +193,44 @@ def sessionize(
     )
 
 
-class RunningTotalsProcessor:
+def make_running_totals_processor():
     """`transformWithStateInPandas` (Spark 4 arbitrary-state v2 API)
-    port of ``running_totals``: same cumulative (count, exact-cents
-    sum, max ts) per key, kept in a typed ValueState instead of the
-    v1 tuple blob. The v2 API is the forward path — typed state
-    (value/list/map), timers, TTL — this processor is the template
-    the engine's stateful operators migrate onto.
+    processor for ``running_totals_tws``: same cumulative totals per
+    key, kept in a typed ValueState instead of the v1 tuple blob, and
+    computed by the SAME ``_accumulate_totals`` the v1 operator uses
+    — one accumulation, two API surfaces. The v2 API is the forward
+    path (typed state, timers, TTL); this is the migration template.
 
-    Defined lazily (class body builds on StatefulProcessor at call
-    time) so importing this module never requires the v2 API."""
+    A factory (class body built at call time) so importing this
+    module never requires the v2 API or its protobuf dependency."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    def __new__(cls, *a, **kw):  # pragma: no cover - thin dispatch
-        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            from pyspark.sql.types import LongType, StructField, StructType
 
-        class _Impl(StatefulProcessor):
-            def init(self, handle) -> None:
-                from pyspark.sql.types import LongType, StructField, StructType
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("cents", LongType()),
+                        StructField("last_us", LongType()),
+                    ]
+                ),
+            )
 
-                self._state = handle.getValueState(
-                    "totals",
-                    StructType(
-                        [
-                            StructField("n", LongType()),
-                            StructField("cents", LongType()),
-                            StructField("last_us", LongType()),
-                        ]
-                    ),
-                )
+        def handleInputRows(self, key, rows, timerValues):
+            totals = _accumulate_totals(
+                self._state.get() if self._state.exists() else (0, 0, 0), rows
+            )
+            self._state.update(totals)
+            yield _totals_row(key, totals)
 
-            def handleInputRows(self, key, rows, timerValues):
-                n, cents, last_us = (
-                    self._state.get() if self._state.exists() else (0, 0, 0)
-                )
-                for pdf in rows:
-                    n += len(pdf)
-                    cents += int(
-                        pdf["value"].mul(100).round().astype("int64").sum()
-                    )
-                    if len(pdf):
-                        last_us = max(last_us, int(pdf["ts_us"].max()))
-                self._state.update((n, cents, last_us))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [n],
-                        "sum_value": [cents / 100.0],
-                        "last_ts_us": [last_us],
-                    }
-                )
+        def close(self) -> None:
+            pass
 
-            def close(self) -> None:
-                pass
-
-        return _Impl()
+    return RunningTotalsProcessor()
 
 
 def running_totals_tws(
@@ -246,7 +253,7 @@ def running_totals_tws(
         F.col(value_col).alias("value"),
     )
     return prepared.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotalsProcessor(),
+        statefulProcessor=make_running_totals_processor(),
         outputStructType=TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",

@@ -408,3 +408,52 @@ def test_tws_running_totals_matches_v1(spark, tmp_path):
     ).write.mode("append").parquet(src)
     got2 = run()
     assert got2[1].n_events == 3 and got2[1].sum_value == 4.0  # state resumed
+
+
+def test_custom_sessionize_late_event_cannot_move_session_backwards(spark, tmp_path):
+    """A LATE event (admitted by the watermark in a later batch,
+    earlier than the open session's last event) must clamp into the
+    session — never drag session_end backwards (which emitted
+    end < start and split continuous sessions)."""
+    from heroku_kafka_connect_spark.streaming.stateful import sessionize
+
+    src, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("user int, ts_s long").parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+        )
+        out = sessionize(
+            stream, gap_ms=600_000, key_col="user", ts_col="ts",
+            watermark="10 minutes",
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 1000)], "user int, ts_s long").write.parquet(src)
+    run()
+    # late event at 700s: within the 10-min watermark AND the 10-min
+    # gap of the open session -> merges, session stays [700, 1000]
+    spark.createDataFrame([(1, 700)], "user int, ts_s long").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # push the watermark far ahead on both streams of the key space,
+    # then once more so the timeout batch fires
+    for t in (100_000, 100_001):
+        spark.createDataFrame([(2, t)], "user int, ts_s long").write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    sessions = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in seen
+    }
+    assert (1, 700_000_000, 1_000_000_000, 2) in sessions
+    assert all(s[1] <= s[2] for s in sessions)  # no inverted session anywhere
