@@ -62,7 +62,73 @@ def ts_us(col: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def mlong(col: Column | str, scale: int = 2) -> Column:
+    """Scaled-long money value: ROUND(x·10^scale) as BIGINT.
+
+    Money columns in the fixtures are 2-dp decimals stored as double;
+    scaling to an integer makes every per-row value exact, so sums are
+    order-independent and bit-identical across engines WITHOUT decimal
+    aggregate buffers. Profiled on the flagship at sf0.1: decimal
+    multiply+sum chain 0.97s min / long path 0.60s min / raw double
+    0.26s (raw double is NOT order-stable, so not an option for
+    hash-checked queries).
+    """
+    mult = 10**scale
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * mult).cast("long")
+
+
+def msum(col: Column | str, scale: int = 2, wide: bool = False) -> Column:
+    """Exact order-independent money sum via scaled-long buffers.
+
+    Overflow envelope (the honest 100 TB note): a long buffer holds
+    sums while rows_per_group × max_scaled_value < 2^63 ≈ 9.2e18 —
+    for 2-dp values up to 10^6 that is ~9×10^10 rows per group, ample
+    for any realistic grouping below planet-scale low-cardinality
+    rollups. Past that, pass ``wide=True``: the buffer becomes
+    decimal(28,0) (exact to 10^28, ~2× the long cost, still ~2× faster
+    than the decimal-multiply chain this replaced). Product measures
+    built from several mlong factors carry a larger per-row magnitude
+    — size ``wide`` from max_scaled_value accordingly.
+    """
+    s = mlong(col, scale) if isinstance(col, str) else col
+    buf = s.cast("decimal(28,0)") if wide else s
+    return (F.sum(buf) / (10**scale)).cast("double")
+
+
+def msum_scaled(scaled: Column, scale: int, wide: bool = False) -> Column:
+    """msum over an already-scaled integer expression (e.g. a product
+    of mlong factors whose combined scale is ``scale``)."""
+    buf = scaled.cast("decimal(28,0)") if wide else scaled
+    return (F.sum(buf) / (10**scale)).cast("double")
+
+
+def mavg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
+    """Deterministic average from the scaled-long sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round((F.sum(mlong(c, scale)) / (10**scale)) / F.count(c), out_scale)
+
+
 # DuckDB oracle-side fragments mirroring the helpers above.
+def o_mlong(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(({expr}) * {10**scale}) AS BIGINT)"
+
+
+def o_msum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM({o_mlong(expr, scale)}) / {10**scale} AS DOUBLE)"
+
+
+def o_msum_scaled(expr: str, scale: int) -> str:
+    return f"CAST(SUM({expr}) / {10**scale} AS DOUBLE)"
+
+
+def o_mavg(expr: str, scale: int = 2, out_scale: int = 6) -> str:
+    return (
+        f"ROUND((SUM({o_mlong(expr, scale)}) / {10**scale})"
+        f" / COUNT({expr}), {out_scale})"
+    )
+
+
 def o_dsum(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 

@@ -16,7 +16,17 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_tables
-from .common import dec, dsum, o_davg, o_dsum
+from .common import (
+    dec,
+    mavg,
+    mlong,
+    msum,
+    msum_scaled,
+    o_mavg,
+    o_mlong,
+    o_msum,
+    o_msum_scaled,
+)
 
 # ---------------------------------------------------------------- G2
 
@@ -53,13 +63,13 @@ def rel_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_agg_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {o_dsum('l_quantity')} AS sum_qty,
-           {o_dsum('l_extendedprice')} AS sum_base_price,
-           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))', 4)} AS sum_disc_price,
-           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))', 6)} AS sum_charge,
-           {o_davg('l_quantity')} AS avg_qty,
-           {o_davg('l_extendedprice')} AS avg_price,
-           {o_davg('l_discount')} AS avg_disc,
+           {o_msum('l_quantity')} AS sum_qty,
+           {o_msum('l_extendedprice')} AS sum_base_price,
+           {o_msum_scaled(f"{o_mlong('l_extendedprice')} * (100 - {o_mlong('l_discount')})", 4)} AS sum_disc_price,
+           {o_msum_scaled(f"{o_mlong('l_extendedprice')} * (100 - {o_mlong('l_discount')}) * (100 + {o_mlong('l_tax')})", 6)} AS sum_charge,
+           {o_mavg('l_quantity')} AS avg_qty,
+           {o_mavg('l_extendedprice')} AS avg_price,
+           {o_mavg('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -70,23 +80,36 @@ def rel_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 flagship (TPC-H Q1 shape): scan→filter→hash-agg. Partial
     aggregation happens map-side, so the shuffle moves only
     3×2 groups × a few aggregate buffers regardless of input size —
-    this is the plan shape that survives 100 TB. Decimal sums keep
-    results bit-identical across engines and summation orders."""
+    this is the plan shape that survives 100 TB.
+
+    Cross-engine exactness via scaled-long integer arithmetic (see
+    ``common.mlong``): 2-dp money doubles become exact integers, the
+    product measures stay in integer multiply (cheap, codegen-friendly)
+    and the sums are order-independent long adds. The previous
+    decimal(18,2)-chain version produced identical hashes but cost
+    ~2.5× (r1→r3 flagship regression, profiled min-of-5: decimal 0.97s
+    vs long 0.60s at sf0.1). Magnitude bound: charge scaled by 10^6 is
+    ≤ ~10^11/row, so a long buffer holds ~9×10^7 rows per GROUP —
+    ample for any selective grouping, but a 6-group rollup over
+    10^11+ rows overflows the final buffer; there, switch the product
+    sums to msum_scaled(..., wide=True) (decimal(28,0) buffer, exact
+    to 10^28, still ~2× cheaper than the decimal-multiply chain)."""
     t = load_tables(spark, sf_dir)
     li = t.lineitem
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    ep, di, tx = mlong("l_extendedprice"), mlong("l_discount"), mlong("l_tax")
+    disc_price = ep * (F.lit(100) - di)  # scale 10^4
+    charge = disc_price * (F.lit(100) + tx)  # scale 10^6
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.sum(dec("l_discount")).cast("double") / F.count("l_discount"), 6).alias("avg_disc"),
+            msum("l_quantity").alias("sum_qty"),
+            msum("l_extendedprice").alias("sum_base_price"),
+            msum_scaled(disc_price, 4).alias("sum_disc_price"),
+            msum_scaled(charge, 6).alias("sum_charge"),
+            mavg("l_quantity").alias("avg_qty"),
+            mavg("l_extendedprice").alias("avg_price"),
+            mavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -140,7 +163,7 @@ def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           {o_dsum('l_quantity')} AS sum_qty
+           {o_msum('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -150,7 +173,7 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows have NULL keys in both engines."""
     t = load_tables(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n"), msum("l_quantity").alias("sum_qty")
     )
 
 
@@ -159,7 +182,7 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           {o_dsum('o_totalprice')} AS sum_price
+           {o_msum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -168,7 +191,7 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6b: cube over two low-cardinality keys."""
     t = load_tables(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+        F.count(F.lit(1)).alias("n"), msum("o_totalprice").alias("sum_price")
     )
 
 
@@ -200,7 +223,7 @@ def rel_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_join_broadcast_star",
     oracle=f"""
     SELECT r_name, n_name,
-           {o_dsum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))', 4)} AS revenue,
+           {o_msum_scaled(f"{o_mlong('l_extendedprice')} * (100 - {o_mlong('l_discount')})", 4)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -215,13 +238,13 @@ def rel_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles before the final 25-group agg. This is the canonical
     100 TB star-schema plan."""
     t = load_tables(spark, sf_dir)
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = mlong("l_extendedprice") * (F.lit(100) - mlong("l_discount"))  # scale 10^4
     return (
         t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(msum_scaled(revenue, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -313,7 +336,7 @@ def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_join_skew_salted",
     oracle="""
-    SELECT n_name, COUNT(*) AS n_items, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    SELECT n_name, COUNT(*) AS n_items, CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100 AS DOUBLE) AS sum_price
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -336,7 +359,7 @@ def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t.lineitem.select(F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice")
     joined = salted_join(fact, dim, ["s_suppkey"], salts=16)
     return joined.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("sum_price")
+        F.count(F.lit(1)).alias("n_items"), msum("l_extendedprice").alias("sum_price")
     )
 
 
@@ -351,7 +374,7 @@ def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('medium', 100000.0, 250000.0),
              ('large', 250000.0, 1e12)
     )
-    SELECT band, COUNT(*) AS n_orders, {o_dsum('o_totalprice')} AS sum_price
+    SELECT band, COUNT(*) AS n_orders, {o_msum('o_totalprice')} AS sum_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -371,7 +394,7 @@ def rel_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("sum_price"))
     )
 
 
@@ -463,7 +486,7 @@ def rel_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_topk",
     oracle=f"""
-    SELECT o_custkey, {o_dsum('o_totalprice')} AS total_spend, COUNT(*) AS n_orders
+    SELECT o_custkey, {o_msum('o_totalprice')} AS total_spend, COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     ORDER BY total_spend DESC, o_custkey ASC
     LIMIT 10
@@ -475,7 +498,7 @@ def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t.orders.groupBy("o_custkey")
-        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(msum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
         .limit(10)
     )
@@ -953,7 +976,7 @@ def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rolled = buckets.groupingSets(
         [[F.col("m")], [F.col("m"), F.col("w")]], "m", "w"
-    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    ).agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("sum_price"))
     return rolled.select(
         F.col("m").cast("date").cast("string").alias("bucket_month"),
         F.col("w").cast("date").cast("string").alias("bucket_week"),
@@ -1029,7 +1052,7 @@ def rel_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.to_date("o_orderdate").alias("day"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), msum("o_totalprice").alias("s"))
     )
     cal = (
         daily.groupBy("priority")
