@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS] and prints two JSON lines: a full per-query
 detail line, then a compact FINAL headline line (the one the driver
 parses — kept < 1900 chars so tail-truncation can't eat it):
 {"metric": "headline_corpus_wall_sec", "value": total_sec,
- "unit": "sec", "timing": "min_of_2", "queries": {<headline only>},
+ "unit": "sec", "timing": "min_of_3", "queries": {<headline only>},
  "sf": ...}
 
 Queries execute via the noop sink (full execution, no driver
@@ -73,7 +73,7 @@ def build_output_lines(timings: dict[str, float], sf: float) -> tuple[str, str]:
             "metric": "headline_corpus_wall_sec",
             "value": headline_total,
             "unit": "sec",
-            "timing": "min_of_2",
+            "timing": "min_of_3",
             "full_corpus_wall_sec": round(sum(timings.values()), 3),
             "n_queries": len(timings),
             "queries": {n: timings[n] for n in HEADLINE},
@@ -99,13 +99,13 @@ def main() -> None:
     # headline first (steady-state, fixed order — comparable across
     # rounds), then the REST of the corpus so per-query regressions
     # anywhere are visible round-over-round. Headline queries take
-    # best-of-2: on a shared host, single-shot walls drift ±20-30%
+    # best-of-3: on a shared host, single-shot walls drift ±20-30%
     # with ambient load (measured: identical code, 16.2→23.7s), and
     # min-of-N is the standard way to report the code's actual cost
     # rather than the noisiest co-tenant's.
     timings: dict[str, float] = {}
     for name in HEADLINE + sorted(n for n in qs if n not in HEADLINE):
-        runs = 2 if name in HEADLINE else 1
+        runs = 3 if name in HEADLINE else 1
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -115,6 +115,11 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     detail, summary = build_output_lines(timings, sf)
+    # sidecar: the full per-query map survives even if the driver's
+    # stdout tail-capture window truncates the detail line (it did in
+    # r2/r3 — the window is ~2000 chars)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        f.write(detail + "\n")
     print(detail)
     print(summary)
     spark.stop()

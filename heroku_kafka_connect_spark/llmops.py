@@ -121,7 +121,12 @@ def token_blocks(text: Column | str, size: int = 16) -> Column:
     engines."""
     toks = tokens(text)
     nb = F.ceil(F.size(toks) / F.lit(float(size))).cast("int")
-    idx = F.sequence(F.lit(0), nb - F.lit(1))
+    # positive guard: sequence(0, -1) counts DOWN to [0, -1] — a
+    # zero-token input must yield zero blocks (the oracle's empty
+    # generate_series), not two bogus ones
+    idx = F.when(nb > 0, F.sequence(F.lit(0), nb - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * size + 1, size), " ")
     )
@@ -244,8 +249,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a", "b"])
     )
     cand_ids = live.select(F.explode("ids").alias("__id")).distinct()
+    # no broadcast HINT on cand_ids: on boilerplate-heavy corpora most
+    # docs land in SOME under-cap bucket, making the candidate set
+    # O(corpus) — a forced broadcast there is a driver/executor OOM.
+    # AQE (enabled in session.py) sees the actual post-agg size at
+    # runtime and picks broadcast when the set really is small.
     sh_cand = (
-        docs.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__id"))
+        docs.join(cand_ids, F.col(id_col) == F.col("__id"))
         .select("__id", shingles(text_col, shingle_n).alias("__sh"))
     )
     verified = (
@@ -730,7 +740,7 @@ def kmeans_lloyd(
         dims = assign.select(
             "cid", F.posexplode("__v").alias("dim", "val")
         )
-        cents = (
+        new_cents = (
             dims.groupBy("cid", "dim")
             .agg(
                 F.round(
@@ -746,5 +756,16 @@ def kmeans_lloyd(
                     lambda s: s["m"],
                 ).alias("cv")
             )
+        )
+        # a cid with zero assigned vectors vanishes from the mean agg;
+        # carry its previous centroid forward so the centroid set
+        # stays exactly k rows (an index built from it — ivf_write_-
+        # index — would otherwise silently write fewer partitions than
+        # n_probe cost assumptions expect). No-op when every cluster
+        # is populated, which is also the path the SQL oracle replays.
+        cents = (
+            cents.select("cid", F.col("cv").alias("__prev_cv"))
+            .join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("cv", "__prev_cv").alias("cv"))
         )
     return assign, cents

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import load_tables
 from .common import (
-    dec,
     mavg,
     mlong,
     msum,
@@ -569,8 +568,8 @@ def rel_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_running_sum",
     oracle="""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3, 6) AS sliding_avg3
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100 AS DOUBLE) AS running_total,
+           ROUND((SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w3 / 100) / COUNT(*) OVER w3, 6) AS sliding_avg3
     FROM events
     WINDOW w  AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -580,7 +579,8 @@ def rel_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G20: frame-spec windows — running total + 3-row sliding average
-    (decimal-exact so the running values hash identically)."""
+    (scaled-long exact — common.mlong — so the running values hash
+    identically without decimal window buffers)."""
     t = load_tables(spark, sf_dir)
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -589,8 +589,8 @@ def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
-        F.round(F.sum(dec("value")).over(w3).cast("double") / F.count(F.lit(1)).over(w3), 6).alias("sliding_avg3"),
+        (F.sum(mlong("value")).over(w) / 100).cast("double").alias("running_total"),
+        F.round((F.sum(mlong("value")).over(w3) / 100) / F.count(F.lit(1)).over(w3), 6).alias("sliding_avg3"),
     )
 
 
@@ -1214,7 +1214,7 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100 AS DOUBLE) AS sum_last_hour
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1229,7 +1229,7 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER value (all ts-peers join the frame, so ties need no
     tiebreak to stay deterministic) where ROWS frames bound by row
     count. One window shuffle on user_id; the frame scan is
-    streaming within each sorted partition. Decimal sum for the
+    streaming within each sorted partition. Scaled-long sum for the
     cross-engine FP determinism rule (operators/common.py)."""
     t = load_tables(spark, sf_dir)
     w = (
@@ -1242,7 +1242,7 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
+        (F.sum(mlong("value")).over(w) / 100).cast("double").alias("sum_last_hour"),
     )
 
 

@@ -118,7 +118,11 @@ def stage_table_name(table: str, suffix: str = "") -> str:
 
     if not suffix:
         return f"{table}__stage"
-    safe = re.sub(r"[^A-Za-z0-9_]", "_", suffix)
+    # cap the sanitized part: a long pipeline name near a backend's
+    # identifier limit (Postgres: 63 bytes) would otherwise truncate
+    # SERVER-side, shearing off the collision-breaking hash tag and
+    # re-creating the shared-stage race it exists to prevent
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", suffix)[:32]
     tag = hashlib.md5(suffix.encode()).hexdigest()[:6]
     return f"{table}__stage_{safe}_{tag}"
 

@@ -121,25 +121,37 @@ def make_sessionize_fn(gap_ms: int):
                 }
             )
             return
-        start_us, last_us, n = state.get if state.exists else (None, None, 0)
-        closed = []
-        ts_sorted = sorted(
-            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
-        )
-        for t in ts_sorted:
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                # clamp, never assign: a LATE event (t < last_us,
-                # admitted by the watermark in a later batch) must
-                # not move the session end backwards — that emitted
-                # end < start and split continuous sessions
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-            else:  # intra-batch gap: close the running session now
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+        # Gaps-and-islands merge over the batch events PLUS the open
+        # session interval, in sorted order — so a late event (admitted
+        # by the watermark in a later batch) is evaluated against both
+        # neighbors: within gap of the open session it merges (never
+        # dragging session_end backwards); EARLIER than session_start −
+        # gap it forms its own separate session instead of silently
+        # extending the open one (which made output depend on
+        # micro-batch boundaries — the same two events in one batch
+        # were split by the gap check).
+        items = [[int(t), int(t), 1] for pdf in pdfs for t in pdf["ts_us"].tolist()]
+        if state.exists:
+            items.append(list(state.get))
+        if not items:  # defensive: no events and no state
+            return
+        items.sort(key=lambda s: (s[0], s[1]))
+        merged = [items[0]]
+        for s in items[1:]:
+            prev = merged[-1]
+            if s[0] - prev[1] <= gap_us:
+                prev[1] = max(prev[1], s[1])
+                prev[2] += s[2]
+            else:
+                merged.append(s)
+        # all but the latest island are closed now; NB an island that
+        # closes here can in principle still be extended by an even
+        # later-arriving event when the watermark delay exceeds the
+        # gap — that event then (correctly) opens a new session rather
+        # than corrupting this one, the bounded-state trade-off of
+        # keeping ONE open interval per key
+        closed = [tuple(s) for s in merged[:-1]]
+        start_us, last_us, n = merged[-1]
         state.update((start_us, last_us, n))
         # TTL: wake this key when the watermark passes last + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_ms)

@@ -365,3 +365,21 @@ def test_ivf_trained_index_roundtrip_and_exactness(spark, tmp_path):
         for r in V.ivf_probe_topk(spark, path, q, 3, n_probe=4).collect()
     }
     assert got == exact
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    """A cluster with zero assigned vectors must keep its previous
+    centroid (k rows out, always) — not vanish from the mean agg and
+    shrink the IVF sidecar/partition count. Seeds 1 and 2 are the
+    IDENTICAL vector; cosine ties break to the lower cid, so cluster 2
+    gets zero members on every iteration."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assign, cents = llmops.kmeans_lloyd(emb, k=3, iters=2)
+    out = {r.cid: list(r.cv) for r in cents.collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[2] == [1.0, 0.0]  # carried forward from its seed
+    assigned_cids = {r.cid for r in assign.collect()}
+    assert 2 not in assigned_cids  # the tie really does starve cluster 2

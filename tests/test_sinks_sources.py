@@ -210,6 +210,15 @@ def test_stage_table_name_isolated_per_query():
     assert stage_table_name("target") == "target__stage"  # legacy single-writer
     assert f"USING {a} " in merge_sql("target", a, ["id", "v"], ["id"])
 
+    # long pipeline names: the sanitized part is capped so the FULL
+    # identifier stays inside common backend limits (Postgres 63
+    # bytes) — server-side truncation would shear off the
+    # collision-breaking hash and recreate the shared-stage race
+    long_a = stage_table_name("target", "pipe-" + "x" * 80 + "-a")
+    long_b = stage_table_name("target", "pipe-" + "x" * 80 + "-b")
+    assert long_a != long_b
+    assert len(long_a) <= 63 and len(long_b) <= 63
+
 
 def test_pkcs1_key_converted_to_pkcs8(tmp_path):
     """Kafka's PEM keystore only accepts PKCS#8 ('BEGIN PRIVATE KEY');

@@ -457,3 +457,52 @@ def test_custom_sessionize_late_event_cannot_move_session_backwards(spark, tmp_p
     }
     assert (1, 700_000_000, 1_000_000_000, 2) in sessions
     assert all(s[1] <= s[2] for s in sessions)  # no inverted session anywhere
+
+
+def test_custom_sessionize_very_late_event_forms_own_session(spark, tmp_path):
+    """A late event EARLIER than session_start - gap (admissible when
+    the watermark delay exceeds the gap) must become its own separate
+    session — not silently extend the open session's start backwards,
+    which made output depend on micro-batch boundaries (the same two
+    events in ONE batch are split by the gap check)."""
+    from heroku_kafka_connect_spark.streaming.stateful import sessionize
+
+    src, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    seen = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("user int, ts_s long").parquet(src)
+            .withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+        )
+        out = sessionize(
+            stream, gap_ms=600_000, key_col="user", ts_col="ts",
+            watermark="30 minutes",
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: seen.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 2000)], "user int, ts_s long").write.parquet(src)
+    run()
+    # 500s < 2000s - 600s gap, but within the 30-min watermark delay:
+    # admitted, and must close as its own (500, 500, 1) session
+    spark.createDataFrame([(1, 500)], "user int, ts_s long").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # advance the watermark so the open [2000, 2000] session times out
+    for t in (100_000, 100_001):
+        spark.createDataFrame([(2, t)], "user int, ts_s long").write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    sessions = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in seen
+    }
+    assert (1, 500_000_000, 500_000_000, 1) in sessions
+    assert (1, 2_000_000_000, 2_000_000_000, 1) in sessions
