@@ -92,9 +92,12 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches + Python/Arrow
     # worker pool (pandas-UDF queries otherwise pay ~3s one-time
-    # worker fork+import inside their first timing)
+    # worker fork+import inside their first timing; the Python
+    # DataSource runtime likewise pays ~4.5s one-time plan/worker
+    # setup — steady-state src_python_datasource is 0.6s)
     execute(qs["rel_agg_pricing_summary"].fn(spark, sf_dir))
     execute(qs["udf_scalar_pandas"].fn(spark, sf_dir))
+    execute(qs["src_python_datasource"].fn(spark, sf_dir))
 
     # headline first (steady-state, fixed order — comparable across
     # rounds), then the REST of the corpus so per-query regressions

@@ -414,7 +414,15 @@ def hyperplane_lsh_buckets(
     rationals (k/32768), so their decimal repr round-trips exactly
     into any IEEE-754 engine — which is what lets an oracle SQL embed
     the identical planes."""
-    v = F.col(vec_col).cast("array<double>")
+    bucket = lsh_bucket_expr(F.col(vec_col), n_planes=n_planes, dim=dim, seed=seed)
+    return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_bucket_expr(vec: Column, *, n_planes: int, dim: int, seed: int) -> Column:
+    """The sign-random-projection bucket id as a column expression —
+    shared by the single-table path above and the multi-table
+    ``ann_lsh_join`` (each table re-derives planes from seed+t)."""
+    v = vec.cast("array<double>")
     bits = []
     for p in range(n_planes):
         plane = [hyperplane_component(seed, p, d) for d in range(dim)]
@@ -424,8 +432,7 @@ def hyperplane_lsh_buckets(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    bucket = sum(bits[1:], bits[0])
-    return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return sum(bits[1:], bits[0])
 
 
 def ann_lsh_join(
@@ -436,22 +443,48 @@ def ann_lsh_join(
     k: int = 3,
     n_planes: int = 10,
     dim: int = 64,
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """I5: approximate KNN self-join — brute-force cosine only within
-    LSH buckets. Candidate count ≈ n²/2^planes, tunable to the
-    cluster. One shuffle: each vector hashes to exactly ONE bucket, so
-    a single groupBy collects bucket members and emits every directed
-    in-bucket pair once (no self-join → the hyperplane projections are
-    computed once, and no dedup pass is needed)."""
+    LSH buckets. Candidate count ≈ n²/2^planes per table, tunable to
+    the cluster. With ``n_tables=1``: one shuffle — each vector
+    hashes to exactly ONE bucket, a single groupBy collects bucket
+    members and emits every directed in-bucket pair once (no
+    self-join → the hyperplane projections are computed once, and no
+    dedup pass is needed).
+
+    ``n_tables>1`` is standard multi-table LSH — the recall knob: one
+    table of many planes has per-true-neighbor hit probability
+    cos_sim^planes-ish, which COLLAPSES on weakly-clustered data
+    (measured 0.03 recall@3 with 8 planes × 1 table on the random
+    fixture). L independent tables (planes re-derived from seed+t)
+    union their candidates: hit probability 1-(1-p)^L, cost L bucket
+    passes + one (a,b) dedup shuffle. Tables × planes trades recall
+    against candidate count; recall is MONITORED, not assumed —
+    llm_knn_recall + the pytest floor pins it ≥ 0.7."""
     from pyspark.sql import Window
 
     from .functions.vectors import cosine
 
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    b = hyperplane_lsh_buckets(
-        vectors.repartition(par, F.col(id_col)),
-        vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim,
-    ).select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"), "bucket")
+    v = F.col(vec_col).cast("array<double>")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_expr(v, n_planes=n_planes, dim=dim, seed=seed + t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = (
+        vectors.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("__id"), v.alias("__v"), F.explode(tables).alias("tb"))
+        .select("__id", "__v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
     ms = F.col("ms")
     directed = F.flatten(
         F.transform(
@@ -462,16 +495,26 @@ def ann_lsh_join(
             ),
         )
     )
-    scored = (
-        b.groupBy("bucket")
+    pairs = (
+        b.groupBy("t", "bucket")
         .agg(F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__v").alias("v"))).alias("ms"))
         .filter(F.size("ms") > 1)
         .select(F.explode(directed).alias("p"))
-        .select(
-            F.col("p.x.id").alias("a"),
-            F.col("p.y.id").alias("b"),
-            F.round(cosine(F.col("p.x.v"), F.col("p.y.v")), 4).alias("score"),
-        )
+    )
+    flat = pairs.select(
+        F.col("p.x.id").alias("a"),
+        F.col("p.y.id").alias("b"),
+        F.col("p.x.v").alias("__av"),
+        F.col("p.y.v").alias("__bv"),
+    )
+    if n_tables > 1:
+        # the same pair can surface from several tables — dedup before
+        # scoring so cosine is computed once per candidate
+        flat = flat.dropDuplicates(["a", "b"])
+    scored = flat.select(
+        "a",
+        "b",
+        F.round(cosine(F.col("__av"), F.col("__bv")), 4).alias("score"),
     )
     w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

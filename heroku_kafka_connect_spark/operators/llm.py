@@ -934,13 +934,54 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_pack_bins", oracle=None)
+@register(
+    "llm_pack_bins",
+    oracle="""
+    WITH RECURSIVE d0 AS (
+      SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    docs AS (
+      SELECT lang, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM d0
+    ),
+    steps AS (
+      SELECT lang, 0 AS rn, CAST([] AS BIGINT[]) AS caps,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin_id
+      FROM (SELECT DISTINCT lang FROM docs)
+      UNION ALL
+      SELECT s.lang AS lang, d.rn AS rn,
+             CASE WHEN fit.idx IS NULL
+                  THEN list_append(s.caps, 2048 - d.n_tokens)
+                  ELSE s.caps[1:fit.idx-1] || [s.caps[fit.idx] - d.n_tokens] || s.caps[fit.idx+1:]
+             END AS caps,
+             d.doc_id AS doc_id,
+             CASE WHEN fit.idx IS NULL THEN len(s.caps) ELSE fit.idx - 1 END AS bin_id
+      FROM steps s
+      JOIN docs d ON d.lang = s.lang AND d.rn = s.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT MIN(i) AS idx
+        FROM (SELECT unnest(s.caps) AS c, generate_subscripts(s.caps, 1) AS i)
+        WHERE c >= d.n_tokens
+      ) fit ON TRUE
+    )
+    SELECT s.doc_id, s.lang, dd.n_tokens, s.bin_id
+    FROM steps s JOIN d0 dd USING (doc_id)
+    WHERE s.rn > 0
+    """,
+)
 def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J35: true bin packing (first-fit-decreasing) per lang — the
     no-straddle counterpart of `llm_pack_sequences`, as an
-    applyInPandas grouped map (FFD is sequential within a group; SQL
-    cannot express it, hence rows-only — the packing invariants are
-    pinned by tests/test_llmops.py::test_ffd_bin_packing_invariants)."""
+    applyInPandas grouped map (FFD is sequential within a group, so
+    the Python loop runs per-group while Spark distributes groups).
+    The oracle replays the EXACT first-fit recurrence as a DuckDB
+    recursive CTE carrying each group's remaining-capacity list as
+    BIGINT[] state — every placement, not just the invariants, is
+    value-checked (same trick as the kmeans oracle's unrolled rounds).
+    The packing invariants are additionally pinned by
+    tests/test_llmops.py::test_ffd_bin_packing_invariants."""
     t = load_tables(spark, sf_dir)
     docs = t.documents.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
@@ -1051,17 +1092,32 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_recall_oracle(k: int = 3, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """SQL replica of ``llm_knn_recall``: the ann oracle's bucket CTEs
-    (same hyperplane literals) + an exact brute-force top-k CTE over
-    the same deterministic 10% query sample, overlap-counted."""
-    planes = [
-        "[" + ", ".join(repr(llmops.hyperplane_component(seed, p, d)) for d in range(dim)) + "]"
-        for p in range(n_planes)
-    ]
-    bucket = "\n           + ".join(
-        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, pl in enumerate(planes)
+def _knn_recall_oracle(
+    k: int = 3, n_planes: int = 4, dim: int = 64, seed: int = 42, n_tables: int = 12
+) -> str:
+    """SQL replica of ``llm_knn_recall``: per-table bucket CTEs (same
+    hyperplane literals, planes re-derived from seed+t exactly like
+    ``llmops.ann_lsh_join``) unioned into a DISTINCT candidate set +
+    an exact brute-force top-k CTE over the same deterministic 10%
+    query sample, overlap-counted."""
+
+    def bucket_expr(table_seed: int) -> str:
+        planes = [
+            "["
+            + ", ".join(
+                repr(llmops.hyperplane_component(table_seed, p, d)) for d in range(dim)
+            )
+            + "]"
+            for p in range(n_planes)
+        ]
+        return "\n           + ".join(
+            f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+
+    b_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket_expr(seed + t)} AS bucket FROM e"
+        for t in range(n_tables)
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1079,20 +1135,22 @@ def _knn_recall_oracle(k: int = 3, n_planes: int = 8, dim: int = 64, seed: int =
       WHERE rn <= {k}
     ),
     b AS (
-      SELECT vec_id, v,
-             {bucket} AS bucket
-      FROM e
+      {b_union}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      WHERE x.vec_id IN (SELECT query_id FROM q)
     ),
     lsh AS (
       SELECT a, b FROM (
-        SELECT x.vec_id AS a, y.vec_id AS b,
+        SELECT c.a, c.b,
                ROW_NUMBER() OVER (
-                 PARTITION BY x.vec_id
-                 ORDER BY ROUND(list_dot_product(x.v, y.v)
-                       / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
-                       4) DESC, y.vec_id ASC) AS rn
-        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-        WHERE x.vec_id IN (SELECT query_id FROM q))
+                 PARTITION BY c.a
+                 ORDER BY ROUND(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                       4) DESC, c.b ASC) AS rn
+        FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
       WHERE rn <= {k}
     )
     SELECT e.query_id,
@@ -1114,9 +1172,13 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed it to an aggregation for the corpus-level metric.
 
     The exact side broadcasts only the sample (k·|sample| rows leave
-    the scan); the LSH side reuses the one-bucket-shuffle self-join.
-    At 100 TB the recall probe costs one corpus pass + the sampled
-    brute force — independent of corpus pair count."""
+    the scan); the LSH side is MULTI-TABLE (4 planes × 12 tables —
+    single-table 8-plane probing measured recall@3 = 0.03 on the
+    fixture; see ``llmops.ann_lsh_join``). The pytest floor
+    (tests/test_llmops.py::test_ann_recall_floor) pins mean recall ≥
+    0.7 so parameter drift breaks loudly. At 100 TB the recall probe
+    costs n_tables bucket passes + the sampled brute force —
+    independent of corpus pair count."""
     t = load_tables(spark, sf_dir)
     sample = t.embeddings.filter(llmops.md5_prefix_bucket(F.col("vec_id"), 100) < 10)
     exact = (
@@ -1134,7 +1196,7 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     lsh = (
-        llmops.ann_lsh_join(t.embeddings, k=3, n_planes=8)
+        llmops.ann_lsh_join(t.embeddings, k=3, n_planes=4, n_tables=12)
         .join(
             F.broadcast(sample.select(F.col("vec_id").alias("a"))),
             "a",

@@ -383,3 +383,16 @@ def test_kmeans_empty_cluster_carries_forward(spark):
     assert out[2] == [1.0, 0.0]  # carried forward from its seed
     assigned_cids = {r.cid for r in assign.collect()}
     assert 2 not in assigned_cids  # the tie really does starve cluster 2
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """llm_knn_recall computes recall@3 of the hyperplane-LSH path vs
+    exact brute force — but nothing failed if recall collapsed. Pin a
+    floor so LSH parameter drift (n_planes, bucket width, hash family)
+    breaks loudly instead of silently degrading ANN quality."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    rows = all_queries()["llm_knn_recall"].fn(spark, sf_dir).collect()
+    assert rows, "recall sample is empty — sample rate vs fixture size drifted"
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.7, f"mean recall@3 {mean_recall:.3f} < 0.7 floor"

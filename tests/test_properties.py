@@ -211,3 +211,92 @@ def test_md5_prefix_bucket_range_and_determinism(spark, keys):
     b = df.select("k", llmops.md5_prefix_bucket(F.col("k"), 100).alias("b")).collect()
     assert all(0 <= r.b < 100 for r in a)
     assert {(r.k, r.b) for r in a} == {(r.k, r.b) for r in b}
+
+
+class _FakeGroupState:
+    """Minimal GroupState stub for driving make_sessionize_fn's pure
+    merge logic without a streaming query."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def _oracle_islands(ts_list, gap_us):
+    out = []
+    for t in sorted(ts_list):
+        if out and t - out[-1][1] <= gap_us:
+            out[-1][1] = max(out[-1][1], t)
+            out[-1][2] += 1
+        else:
+            out.append([t, t, 1])
+    return [tuple(s) for s in out]
+
+
+@given(
+    ts=st.lists(st.integers(0, 4000), min_size=1, max_size=30),
+    cuts=st.lists(st.integers(1, 29), max_size=4),
+    shuffle_seed=st.integers(0, 2**16),
+)
+@settings(max_examples=60, deadline=None)
+def test_sessionize_invariant_under_batch_splits_and_intra_batch_order(
+    ts, cuts, shuffle_seed
+):
+    """Replay determinism of the sessionize merge: chunk the SORTED
+    event sequence at arbitrary points into micro-batches, shuffle
+    each batch internally, and the emitted sessions (closed + the
+    final open interval) must equal global gaps-and-islands over the
+    whole sequence — output must not depend on micro-batch boundaries
+    or intra-batch arrival order. (Out-of-order LATE batches are the
+    separately-tested bounded-state trade-off:
+    tests/test_streaming.py very-late-event tests.)"""
+    import random
+
+    import pandas as pd
+
+    from heroku_kafka_connect_spark.streaming import stateful
+
+    # gap_ms granularity is 1000 µs: 1 ms gap + ×100-spread event
+    # times makes islands actually form and split
+    fn = stateful.make_sessionize_fn(gap_ms=1)
+    gap_us = 1000
+    ts = [t * 100 for t in ts]
+
+    events = sorted(ts)
+    bounds = sorted({c for c in cuts if c < len(events)})
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        if b > prev:
+            batches.append(events[prev:b])
+            prev = b
+    rng = random.Random(shuffle_seed)
+    state = _FakeGroupState()
+    emitted = []
+    for batch in batches:
+        batch = batch[:]
+        rng.shuffle(batch)
+        pdf = pd.DataFrame({"ts_us": batch})
+        for out in fn(("u",), [pdf], state):
+            emitted.extend(
+                zip(out.session_start_us, out.session_end_us, out.n_events)
+            )
+    if state.exists:
+        emitted.append(state.get)
+    assert sorted(emitted) == _oracle_islands(ts, gap_us)

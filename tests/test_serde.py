@@ -401,6 +401,30 @@ def test_jvm_avro_route_when_jar_present(spark, sf_dir):
     df = all_queries()["avro_body_roundtrip"].fn(spark, sf_dir)
     assert df.count() > 0
 
+    # dual-path byte-equality (VERDICT r3 item 6): the JVM to_avro
+    # encoding of a record must be byte-identical to the pure-Python
+    # codec's — binary Avro of a flat record has exactly one encoding,
+    # so any divergence is a codec bug, not a representation choice
+    import json as _json
+
+    from heroku_kafka_connect_spark.serde import avro_codec
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    rows = [(1, "x"), (-7, "yz"), (2**40, "")]
+    src = spark.createDataFrame(rows, "a long, b string")
+    jvm = [
+        r.w
+        for r in src.select(
+            avro_wire.to_avro_body(F.struct("a", "b"), _json.dumps(schema)).alias("w")
+        ).collect()
+    ]
+    py = [avro_codec.encode_record({"a": a, "b": b}, schema) for a, b in rows]
+    assert sorted(jvm) == sorted(py)
+
 
 def test_from_avro_body_py_null_is_tombstone(spark):
     """A null BODY through the unframed decoder is a Kafka tombstone →

@@ -84,16 +84,14 @@ def compare(name, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001"))
-    ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
-
+def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
+    """Programmatic entry (pytest -m corpus uses this): run every
+    registered query vs its oracle at ``sf_dir``; returns
+    (n_pass, n_fail, n_rows_only, failures)."""
     qs = all_queries()
-    names = args.names or sorted(qs)
-    spark = get_spark("check-correctness")
-    con = duck_con(args.sf)
+    names = names or sorted(qs)
+    spark = spark or get_spark("check-correctness")
+    con = duck_con(sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
@@ -104,7 +102,7 @@ def main() -> int:
         q = qs[name]
         t0 = time.time()
         try:
-            sdf = q.fn(spark, args.sf)
+            sdf = q.fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
         except Exception:
             n_fail += 1
@@ -136,6 +134,15 @@ def main() -> int:
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     if failures:
         print("failures:", " ".join(failures))
+    return n_pass, n_fail, n_rows_only, failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    _, n_fail, _, _ = run_corpus(args.sf, args.names or None)
     return 1 if n_fail else 0
 
 
