@@ -145,3 +145,33 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
         .select(F.col(id_col), "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- PII scrub
+
+#: Cross-engine PII patterns (Java regex == RE2 on these constructs:
+#: char classes, bounded repeats, \b — no lookaround, no backrefs).
+#: Kept deliberately conservative; a production blocklist would add
+#: IBAN/SSN/credit-card shapes the same way.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def pii_scrub(text: Column | str) -> tuple[Column, Column, Column, Column]:
+    """(n_emails, n_ips, n_phones, scrubbed) — the C4/Dolma-style PII
+    pass as pure JVM regex columns. Scrub order matters and is fixed
+    (emails → IPv4s → phones): each count is taken on the text AS THE
+    PREVIOUS STAGE LEFT IT, so digit runs inside an already-redacted
+    email can never double-count as a phone. The same sequence is
+    replayable in DuckDB (RE2) because the patterns avoid every
+    construct the two engines disagree on — the oracle of
+    llm_pii_scrub runs it verbatim."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return n_emails, n_ips, n_phones, t3

@@ -445,6 +445,7 @@ def ann_lsh_join(
     dim: int = 64,
     n_tables: int = 1,
     seed: int = 42,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """I5: approximate KNN self-join — brute-force cosine only within
     LSH buckets. Candidate count ≈ n²/2^planes per table, tunable to
@@ -507,6 +508,12 @@ def ann_lsh_join(
         F.col("p.x.v").alias("__av"),
         F.col("p.y.v").alias("__bv"),
     )
+    if queries is not None:
+        # monitoring path (llm_knn_recall): every vector participates
+        # as a CANDIDATE, but only the sampled query ids need scoring —
+        # semi-join before dedup/cosine cuts the pair shuffle (two
+        # 64-double arrays per row) and the scoring by the sample rate
+        flat = flat.join(F.broadcast(queries.select("a")), "a", "left_semi")
     if n_tables > 1:
         # the same pair can surface from several tables — dedup before
         # scoring so cosine is computed once per candidate

@@ -1122,7 +1122,7 @@ def _knn_recall_oracle(
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE {llmops.sql_md5_prefix_bucket('vec_id', 100)} < 10),
+          WHERE {llmops.sql_md5_prefix_bucket('vec_id', 100)} < 5),
     exact AS (
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, e.vec_id,
@@ -1166,9 +1166,10 @@ def _knn_recall_oracle(
 def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a query: recall@3 of the hyperplane-LSH path
     (`llm_knn_lsh`) against exact brute-force top-3, on a
-    deterministic 10% query sample (`llmops.md5_prefix_bucket` — the
+    deterministic 5% query sample (`llmops.md5_prefix_bucket` — the
     production pattern: you never recall-check every vector, you
-    monitor a stable sample). Per-query overlap count and recall;
+    monitor a stable sample; the rate is the monitor's COST knob,
+    since both the exact side and the LSH scoring scale with it). Per-query overlap count and recall;
     feed it to an aggregation for the corpus-level metric.
 
     The exact side broadcasts only the sample (k·|sample| rows leave
@@ -1180,7 +1181,7 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs n_tables bucket passes + the sampled brute force —
     independent of corpus pair count."""
     t = load_tables(spark, sf_dir)
-    sample = t.embeddings.filter(llmops.md5_prefix_bucket(F.col("vec_id"), 100) < 10)
+    sample = t.embeddings.filter(llmops.md5_prefix_bucket(F.col("vec_id"), 100) < 5)
     exact = (
         brute_force_topk(t.embeddings, sample, 4)
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1195,15 +1196,13 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn2") <= 3)
         .select("query_id", "vec_id")
     )
-    lsh = (
-        llmops.ann_lsh_join(t.embeddings, k=3, n_planes=4, n_tables=12)
-        .join(
-            F.broadcast(sample.select(F.col("vec_id").alias("a"))),
-            "a",
-            "left_semi",
-        )
-        .select("a", "b")
-    )
+    lsh = llmops.ann_lsh_join(
+        t.embeddings,
+        k=3,
+        n_planes=4,
+        n_tables=12,
+        queries=sample.select(F.col("vec_id").alias("a")),
+    ).select("a", "b")
     return (
         exact.join(
             lsh,
@@ -1339,4 +1338,74 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         F.col("component").alias("cluster_id"),
         F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    blocks AS (
+      SELECT doc_id, i.i AS idx,
+             array_to_string(t[(i.i*16+1):(i.i*16+16)], ' ') AS block
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(len(t)/16.0) AS INT) - 1)) AS i
+      ) i
+    ),
+    df AS (SELECT md5(block) AS h, COUNT(DISTINCT doc_id) AS nd
+           FROM blocks GROUP BY md5(block))
+    SELECT b.doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+             string_agg(CASE WHEN d.nd = 1 THEN b.block END, ' ' ORDER BY b.idx),
+             '')) AS clean_hash
+    FROM blocks b JOIN df d ON d.h = md5(b.block)
+    GROUP BY b.doc_id
+    """,
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of paragraph-level boilerplate removal (CCNet
+    actually REMOVES the shared paragraphs; `llm_dedup_paragraph` only
+    flags them): keep each doc's blocks whose hash occurs in exactly
+    one document, rebuild the cleaned text in original block order,
+    and emit its hash plus kept/total counts. A doc made entirely of
+    boilerplate survives as an empty string (n_kept = 0) — the
+    downstream length filter drops it, keeping the strip and filter
+    decisions separately auditable.
+
+    Plan: same three key-partitioned exchanges as the detection query
+    (block explode -> doc-frequency agg -> join back -> per-doc agg);
+    the only addition is the block INDEX traveling alongside the hash
+    so reconstruction preserves order. Blocks join back by md5, text
+    reassembles from the per-doc collect_list — bounded by the doc's
+    own size, never corpus-sized."""
+    t = load_tables(spark, sf_dir)
+    blocks = t.documents.select(
+        "doc_id",
+        F.posexplode(llmops.token_blocks("text", 16)).alias("idx", "block"),
+    ).select("doc_id", "idx", "block", F.md5("block").alias("h"))
+    docfreq = blocks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        blocks.join(docfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("nd") == 1, F.struct("idx", "block")
+                                )
+                            )
+                        ),
+                        lambda s: s["block"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
     )

@@ -15,7 +15,7 @@ from ..registry import register
 from ..session import load_tables
 from ..streaming import windows
 from ..streaming.runner import read_events_stream, run_available_now
-from .common import dec
+from .common import msum
 
 
 @register(
@@ -25,7 +25,7 @@ from .common import dec
            (epoch_us(ts) // 600000000) * 600000000 + 600000000 AS window_end_us,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100 AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -36,7 +36,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return windows.tumbling(t.events, "ts", "10 minutes", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
+        msum("value").alias("sum_value"),
     ).select(*windows.window_bounds_us(), "event_type", "n", "sum_value")
 
 
@@ -46,7 +46,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ws AS window_start_us,
            ws + 600000000 AS window_end_us,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100 AS DOUBLE) AS sum_value
     FROM (
       SELECT ((epoch_us(ts) // 300000000) - g.g) * 300000000 AS ws, value
       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS g) g
@@ -60,7 +60,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return windows.sliding(t.events, "ts", "10 minutes", "5 minutes").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
+        msum("value").alias("sum_value"),
     ).select(*windows.window_bounds_us(), "n", "sum_value")
 
 

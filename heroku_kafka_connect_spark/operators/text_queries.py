@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import llmops
 from ..functions import text as T
 from ..functions.text import STOPWORDS
 from ..registry import register
@@ -420,4 +421,90 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .select("w1", "w2", "n", "p_w2_given_w1")
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN {{b}} < 3
+                THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN {{b}} < 2
+                THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             || CASE WHEN {{b}} < 1
+                THEN ' tel +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{{email}}')) AS BIGINT) AS n_emails,
+             regexp_replace(text, '{{email}}', '<EMAIL>', 'g') AS t1
+      FROM planted
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '{{ipv4}}')) AS BIGINT) AS n_ips,
+             regexp_replace(t1, '{{ipv4}}', '<IP>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ips,
+             CAST(len(regexp_extract_all(t2, '{{phone}}')) AS BIGINT) AS n_phones,
+             regexp_replace(t2, '{{phone}}', '<PHONE>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS clean_hash
+    FROM s3
+    """.format(
+        b=f"({llmops.sql_md5_prefix_bucket('doc_id', 10)})",
+        email=T.PII_EMAIL_RE,
+        ipv4=T.PII_IPV4_RE,
+        phone=T.PII_PHONE_RE,
+    ),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the C4/Dolma scrub stage): count and
+    mask emails, IPv4s, and phone numbers per document. The fixture
+    corpus is PII-free, so the query PLANTS deterministic PII into an
+    md5-selected subset (30% emails, 20% IPs, 10% phones — same
+    md5_prefix_bucket idiom as sampling/splits) and the scrub must
+    find exactly those; the oracle replays plant AND scrub verbatim
+    (functions.text.pii_scrub — Java regex and RE2 agree on these
+    pattern constructs). Pure JVM regex columns, zero Python in the
+    hot path; at 100 TB this is a narrow map-only pass."""
+    t = load_tables(spark, sf_dir)
+    b = llmops.md5_prefix_bucket(F.col("doc_id"), 10)
+    did = F.col("doc_id").cast("string")
+    planted = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                b < 3,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                b < 2,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                b < 1,
+                F.concat(
+                    F.lit(" tel +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_emails, n_ips, n_phones, clean = T.pii_scrub("text")
+    return planted.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
     )

@@ -396,3 +396,30 @@ def test_ann_recall_floor(spark, sf_dir):
     assert rows, "recall sample is empty — sample rate vs fixture size drifted"
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.7, f"mean recall@3 {mean_recall:.3f} < 0.7 floor"
+
+
+def test_pii_scrub_counts_and_masks(spark):
+    """Planted-PII unit check: each category counted on the text as the
+    previous scrub stage left it (an already-redacted email's digits
+    can never re-count as a phone), masks replace ALL occurrences."""
+    rows = [
+        (1, "write to a.user+tag@sub.example.org or b@x.io today"),
+        (2, "server 192.168.0.1 and 10.0.255.7 up"),
+        (3, "call +1 (555) 010-1234 now"),
+        (4, "mixed bob@x.co at 10.1.1.1 tel +44 20 7946 0958 end"),
+        (5, "clean text with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_e, n_i, n_p, clean = T.pii_scrub("text")
+    got = {
+        r.doc_id: (r.ne, r.ni, r.np, r.c)
+        for r in df.select(
+            "doc_id", n_e.alias("ne"), n_i.alias("ni"), n_p.alias("np"), clean.alias("c")
+        ).collect()
+    }
+    assert got[1][:3] == (2, 0, 0) and got[1][3] == "write to <EMAIL> or <EMAIL> today"
+    assert got[2][:3] == (0, 2, 0) and got[2][3] == "server <IP> and <IP> up"
+    assert got[3][:3] == (0, 0, 1) and got[3][3] == "call <PHONE> now"
+    assert got[4][:3] == (1, 1, 1)
+    assert got[4][3] == "mixed <EMAIL> at <IP> tel <PHONE> end"
+    assert got[5][:3] == (0, 0, 0) and got[5][3] == rows[4][1]
