@@ -362,6 +362,65 @@ def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_join_bucketed",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {o_msum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the pattern SCALE.md prescribes
+    for REPEATED fact⋈fact joins at 100 TB, demonstrated for real:
+    both sides are written `bucketBy(8, join_key)` + `sortBy` into
+    bucketed parquet tables, and the merge-hinted join then reads the
+    co-bucketed scans directly — the ONLY exchange left in the plan
+    is the final 5-group aggregation (pinned by
+    tests/test_scale_patterns.py::test_bucketed_join_has_no_join_exchange).
+    Amortization logic: one bucketed write costs a shuffle, every
+    subsequent join on that key costs none — the break-even is two
+    joins, and a warehouse fact table is joined far more often than
+    written. The in-memory catalog makes tables session-scoped, so
+    the query (re)creates them idempotently under /tmp — on a real
+    cluster this is a one-time CTAS into the metastore."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    loc = f"/tmp/hkcs_bucketed_{tag}"
+    (
+        t.orders.select("o_custkey", "o_totalprice")
+        .write.format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .option("path", f"{loc}/orders_b")
+        .saveAsTable(f"hkcs_orders_b_{tag}")
+    )
+    (
+        t.customer.select("c_custkey", "c_mktsegment")
+        .write.format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .option("path", f"{loc}/customer_b")
+        .saveAsTable(f"hkcs_customer_b_{tag}")
+    )
+    o = spark.table(f"hkcs_orders_b_{tag}")
+    c = spark.table(f"hkcs_customer_b_{tag}")
+    return (
+        o.hint("merge")
+        .join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- G13 (range join)
 
 

@@ -84,3 +84,21 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_bucketed_join_query_has_only_agg_exchange(spark, sf_dir):
+    """The REGISTERED rel_join_bucketed query (writes both sides
+    bucketBy(8, key), merge-hinted join) must leave exactly one
+    Exchange in the executed plan — the final 5-group aggregation.
+    The join itself reads co-bucketed scans shuffle-free."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    df = all_queries()["rel_join_bucketed"].fn(spark, sf_dir)
+    df.collect()
+    # AQE's toString prints Final AND Initial plans — assert on Final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
