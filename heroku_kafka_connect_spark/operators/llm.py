@@ -324,7 +324,10 @@ def llm_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_APPLY_ORACLE = """
+#: shared CTE chain: exact canon -> survivor shingle pairs -> CC ->
+#: per-doc manifest relation (doc_id, canonical_id, keep, reason).
+#: Both llm_dedup_apply and llm_split_leakage_safe build on it.
+_MANIFEST_CTES = """
     WITH RECURSIVE ex AS (
       SELECT lang, md5(text) AS h, MIN(doc_id) AS canon
       FROM documents GROUP BY lang, md5(text)
@@ -360,15 +363,47 @@ _DEDUP_APPLY_ORACLE = """
       UNION
       SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
     ),
-    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
-    SELECT d1.doc_id,
-           COALESCE(c.component, d1.canon) AS canonical_id,
-           CASE WHEN d1.doc_id = COALESCE(c.component, d1.canon) THEN 1 ELSE 0 END AS keep,
-           CASE WHEN d1.doc_id <> d1.canon THEN 'exact'
-                WHEN d1.doc_id <> COALESCE(c.component, d1.canon) THEN 'near'
-                ELSE 'unique' END AS reason
-    FROM d1 LEFT JOIN comp c ON c.node = d1.canon
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    manifest AS (
+      SELECT d1.doc_id,
+             COALESCE(c.component, d1.canon) AS canonical_id,
+             CASE WHEN d1.doc_id = COALESCE(c.component, d1.canon) THEN 1 ELSE 0 END AS keep,
+             CASE WHEN d1.doc_id <> d1.canon THEN 'exact'
+                  WHEN d1.doc_id <> COALESCE(c.component, d1.canon) THEN 'near'
+                  ELSE 'unique' END AS reason
+      FROM d1 LEFT JOIN comp c ON c.node = d1.canon
+    )
     """
+
+_DEDUP_APPLY_ORACLE = _MANIFEST_CTES + """
+    SELECT doc_id, canonical_id, keep, reason FROM manifest
+    """
+
+
+def _dedup_manifest(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, keep, reason) — the shared manifest
+    relation behind llm_dedup_apply and llm_split_leakage_safe; see
+    llm_dedup_apply's docstring for the plan shape."""
+    ew = Window.partitionBy("lang", F.md5("text"))
+    d1 = docs.withColumn("canon", F.min("doc_id").over(ew))
+    surv = d1.filter(F.col("doc_id") == F.col("canon")).select(
+        "doc_id", "lang", "source", "text"
+    )
+    edges = _ngram_pairs(surv).select("a", "b")
+    comp = llmops.connected_components(edges, "a", "b").select(
+        F.col("node").alias("canon"), F.col("component")
+    )
+    out = d1.select("doc_id", "canon").join(comp, "canon", "left")
+    final_canon = F.coalesce(F.col("component"), F.col("canon"))
+    return out.select(
+        "doc_id",
+        final_canon.alias("canonical_id"),
+        F.when(F.col("doc_id") == final_canon, 1).otherwise(0).alias("keep"),
+        F.when(F.col("doc_id") != F.col("canon"), F.lit("exact"))
+        .when(F.col("doc_id") != final_canon, F.lit("near"))
+        .otherwise(F.lit("unique"))
+        .alias("reason"),
+    )
 
 
 @register("llm_dedup_apply", oracle=_DEDUP_APPLY_ORACLE)
@@ -391,29 +426,7 @@ def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — the data-proportional work is one window shuffle,
     one blocked pair join, and two manifest joins."""
     t = load_tables(spark, sf_dir)
-    docs = t.documents
-    # exact canon via window-min over (lang, content-hash): ONE
-    # shuffle, no agg+join re-scan of the corpus
-    ew = Window.partitionBy("lang", F.md5("text"))
-    d1 = docs.withColumn("canon", F.min("doc_id").over(ew))
-    surv = d1.filter(F.col("doc_id") == F.col("canon")).select(
-        "doc_id", "lang", "source", "text"
-    )
-    edges = _ngram_pairs(surv).select("a", "b")
-    comp = llmops.connected_components(edges, "a", "b").select(
-        F.col("node").alias("canon"), F.col("component")
-    )
-    out = d1.select("doc_id", "canon").join(comp, "canon", "left")
-    final_canon = F.coalesce(F.col("component"), F.col("canon"))
-    return out.select(
-        "doc_id",
-        final_canon.alias("canonical_id"),
-        F.when(F.col("doc_id") == final_canon, 1).otherwise(0).alias("keep"),
-        F.when(F.col("doc_id") != F.col("canon"), F.lit("exact"))
-        .when(F.col("doc_id") != final_canon, F.lit("near"))
-        .otherwise(F.lit("unique"))
-        .alias("reason"),
-    )
+    return _dedup_manifest(t.documents)
 
 
 @register(
@@ -1408,4 +1421,39 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_hash"),
         )
+    )
+
+
+@register(
+    "llm_split_leakage_safe",
+    oracle=_MANIFEST_CTES
+    + f"""
+    SELECT doc_id, canonical_id, keep,
+           CASE WHEN {llmops.sql_md5_prefix_bucket('canonical_id', 100)} < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM manifest
+    """,
+)
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/eval split: the split bucket is computed on
+    the doc's CANONICAL id from the dedup manifest, not its own id —
+    so a document and every exact/near duplicate of it land in the
+    SAME split by construction. A doc-id-hash split (llm_split_train_
+    eval) leaks whenever near-dups straddle the boundary: the model
+    effectively trains on its eval set. Composes the shared manifest
+    relation (_dedup_manifest) with the same md5-prefix bucket idiom
+    every other sampling/split op uses; the no-straddle invariant is
+    pinned by tests/test_llmops.py::test_leakage_safe_split_keeps_
+    clusters_together. At 100 TB the added cost over the naive split
+    is the dedup manifest itself — which the pipeline already
+    materializes."""
+    t = load_tables(spark, sf_dir)
+    m = _dedup_manifest(t.documents)
+    return m.select(
+        "doc_id",
+        "canonical_id",
+        "keep",
+        F.when(llmops.md5_prefix_bucket(F.col("canonical_id"), 100) < 90, "train")
+        .otherwise("eval")
+        .alias("split"),
     )

@@ -423,3 +423,38 @@ def test_pii_scrub_counts_and_masks(spark):
     assert got[4][:3] == (1, 1, 1)
     assert got[4][3] == "mixed <EMAIL> at <IP> tel <PHONE> end"
     assert got[5][:3] == (0, 0, 0) and got[5][3] == rows[4][1]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The no-straddle invariant: every document shares its split with
+    its canonical — so no exact/near duplicate pair ever crosses the
+    train/eval boundary (the leakage a doc-id-hash split permits)."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    rows = all_queries()["llm_split_leakage_safe"].fn(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    assert all(r.split == split_of[r.canonical_id] for r in rows)
+    # and the split is non-degenerate on the fixture
+    assert {r.split for r in rows} == {"train", "eval"}
+    # leakage really occurs without the canonical indirection: at
+    # least one non-canonical doc's OWN hash bucket disagrees with
+    # its cluster's split (the bug this operator exists to prevent)
+    from heroku_kafka_connect_spark import llmops
+    from pyspark.sql import functions as F
+
+    naive = {
+        r.doc_id: r.b
+        for r in spark.createDataFrame(
+            [(r.doc_id,) for r in rows], "doc_id long"
+        ).select(
+            "doc_id",
+            (llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 90).alias("b"),
+        ).collect()
+    }
+    would_leak = [
+        r.doc_id
+        for r in rows
+        if r.doc_id != r.canonical_id
+        and (naive[r.doc_id] != naive[r.canonical_id])
+    ]
+    assert would_leak, "fixture has no cross-split dup pair; invariant vacuous"

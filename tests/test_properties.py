@@ -300,3 +300,43 @@ def test_sessionize_invariant_under_batch_splits_and_intra_batch_order(
     if state.exists:
         emitted.append(state.get)
     assert sorted(emitted) == _oracle_islands(ts, gap_us)
+
+
+@given(
+    cents=st.lists(st.integers(-10**8, 10**8), min_size=1, max_size=40),
+    groups=st.integers(1, 3),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_msum_matches_duckdb_exactly_on_arbitrary_money(spark, cents, groups):
+    """The r4 scaled-long money-sum family must be BIT-identical to
+    its DuckDB oracle spelling for arbitrary 2-dp inputs (not just the
+    fixture's): same ROUND(x*100) integers, same long sums, same final
+    double division — any drift here silently breaks every
+    hash-checked aggregate."""
+    import duckdb
+
+    from heroku_kafka_connect_spark.operators.common import (
+        mavg,
+        msum,
+        o_mavg,
+        o_msum,
+    )
+
+    rows = [(i % groups, c / 100.0) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r.g: (r.s, r.a)
+        for r in df.groupBy("g")
+        .agg(msum("v").alias("s"), mavg("v").alias("a"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        g: (s, a)
+        for g, s, a in con.execute(
+            f"SELECT g, {o_msum('v')} AS s, {o_mavg('v')} AS a FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
