@@ -1457,3 +1457,167 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("eval")
         .alias("split"),
     )
+
+
+def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
+                        split: int = 400) -> str:
+    """SQL replica of ``llm_dedup_incremental`` — the two-sided
+    (new-batch × indexed-corpus) variant of ``_minhash_oracle``, same
+    md5+affine family, plus the exact-hash precedence tier."""
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    keys = ",\n        ".join(
+        "md5(concat_ws(',', '{j}', {ms}))".format(
+            j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    exact AS (
+      SELECT n.doc_id AS doc_id, MIN(o.doc_id) AS match_id
+      FROM documents n JOIN documents o
+        ON n.lang IS NOT DISTINCT FROM o.lang AND md5(n.text) = md5(o.text)
+      WHERE n.doc_id >= {split} AND o.doc_id < {split}
+      GROUP BY n.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.key = y.key
+      WHERE x.doc_id >= {split} AND y.doc_id < {split}
+    ),
+    ver AS (
+      SELECT c.a, c.b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS j
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+    ),
+    best AS (
+      SELECT a, b, j FROM (
+        SELECT a, b, j,
+               ROW_NUMBER() OVER (PARTITION BY a ORDER BY j DESC, b ASC) AS rn
+        FROM ver WHERE j >= {threshold})
+      WHERE rn = 1
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact'
+                WHEN best.b IS NOT NULL THEN 'near'
+                ELSE 'new' END AS status,
+           COALESCE(e.match_id, best.b) AS match_id,
+           CASE WHEN e.match_id IS NOT NULL THEN NULL ELSE best.j END AS jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {split}) n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN best ON best.a = n.doc_id
+    """
+
+
+@register("llm_dedup_incremental", oracle=_incremental_oracle())
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the continuously-growing-corpus
+    pattern: classify each NEW document (doc_id >= 400 stands in for
+    the arriving batch) against the INDEXED corpus (doc_id < 400)
+    without recomputing corpus×corpus pairs. Tier 1: exact — content
+    hash equi-join against the index, smallest indexed match wins.
+    Tier 2: near — minhash band keys for both sides (same md5+affine
+    family as llm_dedup_near, so the oracle replays everything),
+    candidates restricted to new×indexed per bucket, exact-Jaccard
+    verified, best match per new doc (highest jaccard, smallest id).
+    Everything else is genuinely 'new'.
+
+    Scale shape: the per-batch cost is banding the DELTA plus one
+    band-key join — in production the indexed side's band table is
+    PERSISTED (it is exactly `_lsh_shingle_buckets`' banded relation,
+    appended batch after batch), so the corpus is re-scanned never;
+    here both sides band inline because the fixture has no state
+    directory. Within-batch duplicates are the standard
+    llm_dedup_near/apply path over the batch alone. Hot buckets: the
+    new×old in-bucket product is bounded by |batch| × occupancy —
+    cap/report via minhash_lsh_overflow exactly as the full path
+    does."""
+    t = load_tables(spark, sf_dir)
+    return incremental_classify(t.documents, split=400)
+
+
+def incremental_classify(docs: DataFrame, *, split: int) -> DataFrame:
+    """(doc_id, status, match_id, jaccard) for every doc_id >= split
+    against the indexed corpus doc_id < split — the reusable body of
+    ``llm_dedup_incremental`` (the exact tier is vacuous on the
+    duplicate-free fixture, so tests/test_llmops.py exercises it on
+    synthetic docs through this entry)."""
+    sh, buckets = llmops._lsh_shingle_buckets(docs, "doc_id", "text", 3, 8, 4)
+    b2 = buckets.select(
+        "key",
+        F.filter("ids", lambda i: i < F.lit(split)).alias("old"),
+        F.filter("ids", lambda i: i >= F.lit(split)).alias("new"),
+    ).filter((F.size("old") > 0) & (F.size("new") > 0))
+    cand = (
+        b2.select(F.explode("new").alias("a"), "old")
+        .select("a", F.explode("old").alias("b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(sh.select(F.col("__id").alias("a"), F.col("__sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("__id").alias("b"), F.col("__sh").alias("sh_b")), "b")
+        .withColumn("j", llmops.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= 0.5)
+    )
+    best = (
+        ver.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.col("j").desc(), F.col("b").asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("a", F.col("b").alias("near_id"), "j")
+    )
+    new_docs = docs.filter(F.col("doc_id") >= split)
+    old_docs = docs.filter(F.col("doc_id") < split)
+    exact = (
+        new_docs.alias("n")
+        .join(
+            old_docs.alias("o"),
+            F.col("n.lang").eqNullSafe(F.col("o.lang"))
+            & (F.md5(F.col("n.text")) == F.md5(F.col("o.text"))),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("o.doc_id")).alias("exact_id"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, F.col("doc_id") == F.col("a"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), "exact")
+            .when(F.col("near_id").isNotNull(), "near")
+            .otherwise("new")
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+            F.when(F.col("exact_id").isNotNull(), F.lit(None).cast("double"))
+            .otherwise(F.col("j"))
+            .alias("jaccard"),
+        )
+    )

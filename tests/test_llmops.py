@@ -458,3 +458,34 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         and (naive[r.doc_id] != naive[r.canonical_id])
     ]
     assert would_leak, "fixture has no cross-split dup pair; invariant vacuous"
+
+
+def test_incremental_classify_three_tiers(spark):
+    """All three incremental-dedup tiers on planted data: an exact
+    byte-copy of an indexed doc wins the exact tier (jaccard NULL), a
+    one-token edit lands in near with its match, and unrelated
+    content is 'new'. The fixture corpus has no byte-identical dups,
+    so the exact tier is only exercisable here."""
+    from heroku_kafka_connect_spark.operators.llm import incremental_classify
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark engines and parquet files"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s0"),
+            (1, far, "en", "s0"),
+            # new batch:
+            (10, base, "en", "s1"),   # exact copy of 0
+            (11, near, "en", "s1"),   # near-dup of 0
+            (12, "totally unrelated words about gardening and soup", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r.doc_id: (r.status, r.match_id, r.jaccard)
+        for r in incremental_classify(docs, split=10).collect()
+    }
+    assert got[10] == ("exact", 0, None)
+    assert got[11][0] == "near" and got[11][1] == 0 and got[11][2] >= 0.5
+    assert got[12] == ("new", None, None)
