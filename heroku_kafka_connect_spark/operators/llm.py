@@ -1621,3 +1621,151 @@ def incremental_classify(docs: DataFrame, *, split: int) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, i.i AS chunk_id
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0,
+          CAST(ceil(greatest(len(t) - 32, 0) / 16.0) AS INT))) AS i
+      ) i
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * 16 AS BIGINT) AS start_tok,
+           CAST(least(chunk_id * 16 + 32, len(t)) AS BIGINT) AS end_tok,
+           array_to_string(t[(chunk_id*16+1):(chunk_id*16+32)], ' ') AS chunk
+    FROM idx
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 32-token windows at stride 16
+    (50% overlap) with token offsets — the retrieval counterpart of
+    the non-overlapping `token_blocks` (which feeds dedup). Chunk
+    count per doc = ceil(max(len-32,0)/16)+1, so every token is in at
+    least one chunk and consecutive chunks share 16 tokens (the
+    overlap that keeps answers spanning a boundary retrievable).
+    Offsets ride along so a retriever can map a chunk hit back into
+    the source doc. Narrow explode, zero shuffle — embarrassingly
+    parallel at 100 TB; feed the chunk column to the embedding stage
+    and the (doc_id, start_tok) pair is the stable chunk key."""
+    t = load_tables(spark, sf_dir)
+    size, stride = 32, 16
+    toks = llmops.tokens("text")
+    n = F.size(toks)
+    n_chunks = (F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(float(stride)))).cast("int") + 1
+    return (
+        t.documents.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("chunk_id") * stride + size, F.size("t"))
+            .cast("long")
+            .alias("end_tok"),
+            F.array_join(
+                F.slice("t", F.col("chunk_id") * stride + 1, size), " "
+            ).alias("chunk"),
+        )
+    )
+
+
+def dataset_audit(docs: DataFrame, embeddings: DataFrame, *, dim: int = 64) -> DataFrame:
+    """One-row dataset health report over the documents↔embeddings
+    pair — the pre-training sanity gate a pipeline runs before
+    spending GPU time: referential orphans in both directions,
+    wrong-dimension or non-finite embeddings, empty/null documents,
+    duplicated keys. Each signal is a cheap aggregate or a left-anti
+    join on the id — two key shuffles total, no data-sized state."""
+    inf = float("inf")
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("n_dup_doc_ids"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(
+            F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", 1).otherwise(0)
+        ).alias("n_empty_docs"),
+    )
+    e = embeddings.agg(
+        F.count(F.lit(1)).alias("n_embeddings"),
+        F.sum(F.when(F.size("embedding") != dim, 1).otherwise(0)).alias("n_bad_dim"),
+        F.sum(
+            F.when(
+                F.exists(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf)),
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_nonfinite"),
+    )
+    missing = (
+        docs.join(embeddings, docs.doc_id == embeddings.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_docs_missing_embedding"))
+    )
+    orphan = (
+        embeddings.join(docs, embeddings.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_embeddings"))
+    )
+    return d.crossJoin(e).crossJoin(missing).crossJoin(orphan).select(
+        "n_docs",
+        "n_embeddings",
+        "n_docs_missing_embedding",
+        "n_orphan_embeddings",
+        "n_bad_dim",
+        "n_nonfinite",
+        "n_dup_doc_ids",
+        "n_null_text",
+        "n_empty_docs",
+    )
+
+
+@register(
+    "llm_dataset_audit",
+    oracle="""
+    WITH d AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(*) - COUNT(DISTINCT doc_id) AS n_dup_doc_ids,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+             CAST(SUM(CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs
+      FROM documents
+    ),
+    e AS (
+      SELECT COUNT(*) AS n_embeddings,
+             CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+             CAST(SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                                x -> isnan(x) OR isinf(x))) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+      FROM embeddings
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_docs_missing_embedding
+      FROM documents dd LEFT JOIN embeddings ee ON dd.doc_id = ee.vec_id
+      WHERE ee.vec_id IS NULL
+    ),
+    o AS (
+      SELECT COUNT(*) AS n_orphan_embeddings
+      FROM embeddings ee LEFT JOIN documents dd ON ee.vec_id = dd.doc_id
+      WHERE dd.doc_id IS NULL
+    )
+    SELECT n_docs, n_embeddings, n_docs_missing_embedding, n_orphan_embeddings,
+           n_bad_dim, n_nonfinite, n_dup_doc_ids, n_null_text, n_empty_docs
+    FROM d, e, m, o
+    """,
+)
+def llm_dataset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset health audit as a query (see ``dataset_audit``): the
+    fixture is clean, so every anomaly counter is zero here — the
+    non-zero paths are exercised on planted-anomaly frames in
+    tests/test_llmops.py::test_dataset_audit_counts_planted_anomalies.
+    All four relations reduce before the single-row crossJoins, so
+    the joins are constant-size."""
+    t = load_tables(spark, sf_dir)
+    return dataset_audit(t.documents, t.embeddings)

@@ -489,3 +489,63 @@ def test_incremental_classify_three_tiers(spark):
     assert got[10] == ("exact", 0, None)
     assert got[11][0] == "near" and got[11][1] == 0 and got[11][2] >= 0.5
     assert got[12] == ("new", None, None)
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Overlap-chunking invariants: chunks tile the doc with stride 16
+    / size 32, end offsets clamp to doc length, every token index is
+    inside at least one [start, end) span, and rejoining stride-sized
+    prefixes reproduces the doc."""
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    rows = all_queries()["llm_chunk_overlap"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in list(by_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[-1].end_tok  # last end clamps to doc length
+        covered = set()
+        for r in chunks:
+            assert r.start_tok == r.chunk_id * 16
+            assert r.end_tok <= n and r.end_tok - r.start_tok <= 32
+            covered.update(range(r.start_tok, r.end_tok))
+        assert covered == set(range(n)), f"doc {doc_id} has uncovered tokens"
+
+
+def test_dataset_audit_counts_planted_anomalies(spark):
+    """Every audit counter fires on a frame with planted problems:
+    a doc missing its embedding, an orphan embedding, a wrong-dim
+    vector, a NaN vector, a duplicate doc_id, a null text and an
+    empty text."""
+    from heroku_kafka_connect_spark.operators.llm import dataset_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fine text"),
+            (2, None),           # null text
+            (3, "   "),          # empty after trim
+            (3, "dup id"),       # duplicate doc_id
+            (4, "no embedding"), # missing embedding
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1] * 64),
+            (2, [0.2] * 64),
+            (3, [0.3] * 8),                      # bad dim
+            (9, [0.4] * 64),                     # orphan
+            (1, [float("nan")] + [0.0] * 63),    # nonfinite (dup vec row ok)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = dataset_audit(docs, emb).collect()[0]
+    assert r.n_docs == 5 and r.n_embeddings == 5
+    assert r.n_docs_missing_embedding == 1   # doc 4
+    assert r.n_orphan_embeddings == 1        # vec 9
+    assert r.n_bad_dim == 1
+    assert r.n_nonfinite == 1
+    assert r.n_dup_doc_ids == 1
+    assert r.n_null_text == 1
+    assert r.n_empty_docs == 2               # null text counts as empty too

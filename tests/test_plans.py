@@ -111,6 +111,8 @@ BNLJ_OK = {
     "llm_knn_recall",     # exact side: corpus scan x broadcast hash-sampled
                           # query set (pick the sample modulus so the
                           # broadcast stays small at any corpus size)
+    "llm_dataset_audit",  # four 1-row aggregate relations cross-joined
+                          # into the single summary row — constant size
 }
 
 

@@ -340,3 +340,65 @@ def test_msum_matches_duckdb_exactly_on_arbitrary_money(spark, cents, groups):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab @.+-()0123456789x",
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pii_scrub_matches_duckdb_on_adversarial_text(spark, texts):
+    """Java-regex vs RE2 dialect parity for the PII patterns on
+    adversarial soup (digit runs, dots, plus signs, parens, @s):
+    counts AND scrubbed text must agree with the DuckDB replay —
+    leftmost-first matching, greedy repeats, and \\b must behave
+    identically or the llm_pii_scrub oracle silently rots."""
+    import duckdb
+
+    from heroku_kafka_connect_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    ne, ni, np_, clean = pii_scrub("text")
+    got = {
+        r.i: (r.ne, r.ni, r.np, r.c)
+        for r in df.select(
+            "i", ne.alias("ne"), ni.alias("ni"), np_.alias("np"), clean.alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        i: (ne, ni, np2, c)
+        for i, ne, ni, np2, c in con.execute(
+            f"""
+            SELECT i,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}')),
+                   len(regexp_extract_all(t1, '{PII_IPV4_RE}')),
+                   len(regexp_extract_all(t2, '{PII_PHONE_RE}')),
+                   regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g')
+            FROM (
+              SELECT i, text, t1,
+                     regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+              FROM (
+                SELECT i, text,
+                       regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                FROM t))
+            """
+        ).fetchall()
+    }
+    assert got == want
