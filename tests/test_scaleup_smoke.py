@@ -125,3 +125,40 @@ def test_llm_pipeline_shapes_survive_synthetic_100k(spark):
     assert stats.count() == 100_000
     wall = time.time() - t0
     assert wall < 120, f"llm shapes at 100k synthetic docs took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_minhash_hot_bucket_cap_at_volume(spark):
+    """The LSH-inherent failure mode at volume: 5k byte-identical
+    boilerplate docs among 100k put 5000 ids into every one of their
+    band buckets — uncapped that is ~12.5M pairs PER BAND from one
+    bucket. The cap must (a) keep the query fast, (b) emit zero
+    boiler×boiler pairs, and (c) surface the capped buckets in the
+    overflow report instead of silently dropping them."""
+    from heroku_kafka_connect_spark import llmops
+
+    n_uniq, n_boiler = 95_000, 5_000
+    uniq = spark.range(n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{s}"))), 1, 8)
+              for s in range(8)],
+        ).alias("text"),
+    )
+    boiler = spark.range(n_boiler).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("spark common boilerplate text shared by very many documents exactly verbatim").alias("text"),
+    )
+    docs = uniq.unionByName(boiler)
+
+    t0 = time.time()
+    pairs = llmops.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=256)
+    boiler_pairs = pairs.filter((F.col("a") >= 10_000_000) & (F.col("b") >= 10_000_000))
+    assert boiler_pairs.count() == 0
+    wall = time.time() - t0
+    assert wall < 180, f"hot-bucket capped pass took {wall:.0f}s"
+
+    overflow = llmops.minhash_lsh_overflow(docs, max_bucket=256)
+    hot = overflow.select("n_ids").collect()
+    assert hot and max(r.n_ids for r in hot) == n_boiler
