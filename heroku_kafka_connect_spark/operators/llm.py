@@ -1769,3 +1769,176 @@ def llm_dataset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joins are constant-size."""
     t = load_tables(spark, sf_dir)
     return dataset_audit(t.documents, t.embeddings)
+
+
+@register(
+    "llm_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           ({llmops.sql_hex32("'ws:' || doc_id")} / 4294967296.0)
+             / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: weighted sampling without replacement via priority
+    (sequential Poisson / Ohlsson) sampling: each doc draws a
+    deterministic uniform u = hex32(md5('ws:'||doc_id)) / 2^32 and
+    gets priority u / weight (weight = n_chars, a stand-in for any
+    quality or length weight); the global k smallest priorities form
+    a without-replacement sample with inclusion probability ~ weight.
+    Unlike A-ES (u^(1/w)) this uses only IEEE division — correctly
+    rounded in both engines — so the oracle hash-matches on the
+    double itself, no rounding fudge. Scale: priorities are a narrow
+    per-row projection and the k-smallest select compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    t = load_tables(spark, sf_dir)
+    u = llmops.hex32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) / F.lit(
+        4294967296.0
+    )
+    pri = (u / F.col("n_chars").cast("double")).alias("priority")
+    return (
+        t.documents.select("doc_id", "source", "n_chars", pri)
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+      SELECT word, COUNT(*) AS freq FROM w
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    p AS (
+      SELECT substr(word, i, 1) AS left_sym,
+             substr(word, i + 1, 1) AS right_sym,
+             freq
+      FROM wf, LATERAL (
+        SELECT unnest(generate_series(1, length(word) - 1)) AS i
+      ) s
+      WHERE length(word) >= 2
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY left_sym, right_sym
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: BPE tokenizer training, the inner-loop statistic: symbol-
+    pair frequencies weighted by word frequency (Sennrich et al.
+    2016). One merge iteration = argmax over this relation; training
+    loops it with the chosen pair merged. Scale shape: the corpus
+    reduces FIRST to the (word, freq) relation (one shuffle, heavy
+    map-side combine — word frequency follows Zipf so partial aggs
+    collapse most of the volume), then pair explode runs over the
+    DISTINCT-word relation, which is vocabulary-sized, not
+    corpus-sized; the final pair agg is charset^2-bounded. Guards the
+    Spark sequence(1, len-1) descending-sequence pitfall (token_blocks
+    / mm_payload_chunks) for 1-char words."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(llmops.tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n = F.length("word")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("left_sym"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("right_sym"),
+                ),
+            )
+        ).alias("pr"),
+    )
+    return pairs.groupBy(
+        F.col("pr.left_sym").alias("left_sym"),
+        F.col("pr.right_sym").alias("right_sym"),
+    ).agg(F.sum("freq").alias("pair_count"))
+
+
+@register(
+    "llm_vocab_encode",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      WHERE length(toks[i]) > 0
+    ),
+    vf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS tid
+      FROM vf
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= 16
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS oov_rate,
+           string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ',' ORDER BY t.pos)
+             AS token_ids
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: vocabulary build + corpus encoding — the tokenize step of
+    training-data prep: (1) rank tokens by corpus frequency (ties by
+    token) and keep the top 16 as the vocab, ids = rank-1; (2) encode
+    every document as its comma-joined id sequence with OOV -> -1,
+    reporting per-doc token/OOV counts and OOV rate. Scale shape:
+    vocab build is an agg plus a TOP-K (vocabulary-sized sort input,
+    LIMIT'd — never a global corpus sort); the id assignment window
+    runs on 16 rows; encoding joins the exploded corpus to the vocab
+    via BROADCAST hash join (no corpus shuffle for the lookup) and
+    re-assembles order with sort_array over (pos, id) structs."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(llmops.tokens("text")).alias("pos", "token")
+    ).filter(F.length("token") > 0)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(16)
+    )
+    vocab = top.select(
+        "token",
+        (
+            F.row_number().over(Window.orderBy(F.desc("c"), "token")) - 1
+        ).alias("tid"),
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("tid", F.lit(-1)).alias("tid"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") < 0, 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("tid") < 0, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 4
+        ).alias("oov_rate"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("token_ids"),
+    )

@@ -549,3 +549,87 @@ def test_dataset_audit_counts_planted_anomalies(spark):
     assert r.n_dup_doc_ids == 1
     assert r.n_null_text == 1
     assert r.n_empty_docs == 2               # null text counts as empty too
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """Priority sampling invariants: exactly k rows, priorities are
+    u/weight for the documented hash, and weighting by n_chars pulls
+    the sample's mean length above the corpus mean."""
+    import hashlib
+
+    from heroku_kafka_connect_spark.registry import all_queries
+    from heroku_kafka_connect_spark.session import load_tables
+
+    rows = all_queries()["llm_sample_weighted"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    for r in rows[:20]:
+        u = int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:8], 16) / 2**32
+        assert r.priority == u / r.n_chars
+    docs = load_tables(spark, sf_dir).documents
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # length-weighted sample skews long
+
+
+def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
+    """Third-engine check: recompute frequency-weighted symbol-pair
+    counts in pure Python over the same fixture and compare the full
+    relation (Spark vs DuckDB is already the registered oracle; this
+    pins both against a from-scratch implementation)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf = Counter()
+    for t in texts.column("text").to_pylist():
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    expect = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            expect[(w[i], w[i + 1])] += f
+    got = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in all_queries()["llm_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_vocab_encode_roundtrip_and_rates(spark, sf_dir):
+    """Encoding invariants: id sequence length == n_tokens, OOV rate
+    consistent with counts, every non-negative id is in [0, 16), and
+    decoding non-OOV ids through the vocab reproduces the original
+    tokens in position order."""
+    from heroku_kafka_connect_spark.registry import all_queries
+    from heroku_kafka_connect_spark.session import load_tables
+
+    enc = {
+        r.doc_id: r
+        for r in all_queries()["llm_vocab_encode"].fn(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir).documents
+    # rebuild the vocab the same way to decode
+    from collections import Counter
+
+    wf = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                wf[w] += 1
+    vocab = [w for w, _ in sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:16]]
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        toks = [w for w in row.text.split(" ") if w]
+        r = enc[row.doc_id]
+        ids = [int(x) for x in r.token_ids.split(",")]
+        assert len(ids) == r.n_tokens == len(toks)
+        assert r.n_oov == sum(1 for i in ids if i == -1)
+        assert r.oov_rate == round(r.n_oov / r.n_tokens, 4)
+        for tok, tid in zip(toks, ids):
+            if tid >= 0:
+                assert 0 <= tid < 16 and vocab[tid] == tok
+            else:
+                assert tok not in vocab

@@ -130,3 +130,12 @@ def test_corpus_wide_physical_bans(spark, sf_dir):
                 f"{name} degenerates to a nested-loop join:\n{p}"
             )
         assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF:\n{p}"
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    """Vocab lookup must be a broadcast hash join (the corpus never
+    shuffles for the encode) and the top-16 vocab build must be a
+    TakeOrderedAndProject, not a global sort of token counts."""
+    p = plan_of(spark, "llm_vocab_encode", sf_dir)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
