@@ -486,10 +486,26 @@ def ann_lsh_join(
         .select(F.col(id_col).alias("__id"), v.alias("__v"), F.explode(tables).alias("tb"))
         .select("__id", "__v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     )
+    if queries is not None:
+        # monitoring path (llm_knn_recall): every vector participates
+        # as a CANDIDATE, but only the sampled query ids anchor pairs.
+        # Flag bucket members as queries BEFORE the bucket groupBy and
+        # build directed pairs only FROM flagged members — the pair
+        # explode shrinks by the sample rate (vs exploding |bucket|²
+        # and semi-joining after, which materializes every in-bucket
+        # pair with both 64-double vectors first; at fixture scale the
+        # win is noise, at 100 TB it is the difference between the
+        # monitor costing sample_rate·|bucket|² and |bucket|²).
+        qf = queries.select(F.col("a").alias("__id"), F.lit(True).alias("__isq"))
+        b = b.join(F.broadcast(qf), "__id", "left").withColumn(
+            "__isq", F.coalesce("__isq", F.lit(False))
+        )
+    else:
+        b = b.withColumn("__isq", F.lit(True))
     ms = F.col("ms")
     directed = F.flatten(
         F.transform(
-            ms,
+            F.filter(ms, lambda x: x["isq"]),
             lambda x: F.transform(
                 F.filter(ms, lambda y: y["id"] != x["id"]),
                 lambda y: F.struct(x.alias("x"), y.alias("y")),
@@ -498,7 +514,15 @@ def ann_lsh_join(
     )
     pairs = (
         b.groupBy("t", "bucket")
-        .agg(F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__v").alias("v"))).alias("ms"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__id").alias("id"),
+                    F.col("__v").alias("v"),
+                    F.col("__isq").alias("isq"),
+                )
+            ).alias("ms")
+        )
         .filter(F.size("ms") > 1)
         .select(F.explode(directed).alias("p"))
     )
@@ -508,12 +532,6 @@ def ann_lsh_join(
         F.col("p.x.v").alias("__av"),
         F.col("p.y.v").alias("__bv"),
     )
-    if queries is not None:
-        # monitoring path (llm_knn_recall): every vector participates
-        # as a CANDIDATE, but only the sampled query ids need scoring —
-        # semi-join before dedup/cosine cuts the pair shuffle (two
-        # 64-double arrays per row) and the scoring by the sample rate
-        flat = flat.join(F.broadcast(queries.select("a")), "a", "left_semi")
     if n_tables > 1:
         # the same pair can surface from several tables — dedup before
         # scoring so cosine is computed once per candidate
