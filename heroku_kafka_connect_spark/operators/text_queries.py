@@ -508,3 +508,118 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.cast("long").alias("n_phones"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+def _textrank_oracle(iters: int = 3, d: str = "0.85", base: str = "0.15") -> str:
+    """SQL replica of ``text_textrank``: the weighted-PageRank rounds
+    unrolled as CTE pairs (contrib_i from rank_{i-1}, rank_i from
+    contrib_i). Exactness: every per-edge contribution is rounded to
+    9 dp and summed as a scaled long (order-independent — the same
+    mlong/msum trick as the money sums), and every new rank is
+    ROUND(...,9), so both engines iterate over identical doubles."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    c{i} AS (
+      SELECT de.v,
+             CAST(ROUND((({prev}.r * de.w) / wt.tw) * 1000000000) AS BIGINT) AS cl
+      FROM de
+      JOIN {prev} ON {prev}.token = de.u
+      JOIN wt ON wt.u = de.u
+    ),
+    r{i} AS (
+      SELECT v AS token, ROUND({base} + {d} * (SUM(cl) / 1000000000.0), 9) AS r
+      FROM c{i} GROUP BY v
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    pr AS (
+      SELECT least(ts[i], ts[i + 1]) AS a, greatest(ts[i], ts[i + 1]) AS b
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+      WHERE len(ts) >= 2 AND ts[i] <> ts[i + 1]
+    ),
+    e AS (SELECT a, b, COUNT(*) AS w FROM pr GROUP BY a, b),
+    de AS (SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b AS u, a AS v, w FROM e),
+    wt AS (SELECT u, CAST(SUM(w) AS BIGINT) AS tw FROM de GROUP BY u),
+    r0 AS (SELECT u AS token, CAST(1.0 AS DOUBLE) AS r FROM wt),{",".join(rounds)}
+    SELECT {prev}.token, {prev}.r AS rank, wt.tw AS total_cooc
+    FROM {prev} JOIN wt ON wt.u = {prev}.token
+    ORDER BY rank DESC, token ASC
+    LIMIT 20
+    """
+
+
+@register("text_textrank", oracle=_textrank_oracle())
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank (d=0.85, 3 iterations, init 1.0) over the token
+    co-occurrence graph — undirected edges between CONSECUTIVE tokens,
+    weight = corpus co-occurrence count — reporting the top-20 tokens.
+    The third iterative algorithm in the repo next to Lloyd's k-means
+    and connected components, and like them bit-identically replayed
+    by the oracle: per-edge contributions round to 9 dp and sum as
+    scaled longs (order-independent), each new rank rounds to 9 dp,
+    so both engines walk identical doubles through all rounds.
+
+    Scale shape: the expensive part is the edge build — a narrow
+    per-doc pair explode (no self-join on (doc, pos)) followed by ONE
+    count shuffle that Zipf collapses map-side. Everything after runs
+    on the VOCABULARY-sized graph: the per-iteration joins are
+    tiny-on-tiny (AQE broadcasts them), and the corpus is never
+    touched again — at 100 TB the iteration cost is independent of
+    corpus size."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(llmops.tokens("text"), lambda x: F.length(x) > 0)
+    n = F.size("ts")
+    pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = (
+        t.documents.select(toks.alias("ts"))
+        .select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.least(F.element_at("ts", i), F.element_at("ts", i + 1)).alias("a"),
+                        F.greatest(F.element_at("ts", i), F.element_at("ts", i + 1)).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    de = e.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    wt = de.groupBy("u").agg(F.sum("w").alias("tw"))
+    ranks = wt.select(F.col("u").alias("token"), F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (
+            de.join(ranks, ranks.token == de.u)
+            .join(wt, "u")
+            .select(
+                "v",
+                F.round(((F.col("r") * F.col("w")) / F.col("tw")) * 1_000_000_000)
+                .cast("long")
+                .alias("cl"),
+            )
+        )
+        ranks = contrib.groupBy("v").agg(
+            F.round(
+                F.lit(0.15) + F.lit(0.85) * (F.sum("cl") / F.lit(1_000_000_000.0)), 9
+            ).alias("r")
+        ).select(F.col("v").alias("token"), "r")
+    return (
+        ranks.join(wt, wt.u == ranks.token)
+        .select("token", F.col("r").alias("rank"), F.col("tw").cast("long").alias("total_cooc"))
+        .orderBy(F.desc("rank"), "token")
+        .limit(20)
+    )

@@ -633,3 +633,46 @@ def test_vocab_encode_roundtrip_and_rates(spark, sf_dir):
                 assert 0 <= tid < 16 and vocab[tid] == tok
             else:
                 assert tok not in vocab
+
+
+def test_textrank_matches_pure_python(spark, sf_dir):
+    """Third-engine check for the TextRank query: re-run the weighted
+    PageRank (same rounding contract — 9-dp contributions summed as
+    scaled longs, 9-dp ranks) in pure Python over the same fixture and
+    compare the top-20 exactly. Also pins the damping floor: every
+    rank must exceed the (1-d) base mass of 0.15."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    edges = Counter()
+    for t in texts.column("text").to_pylist():
+        ts = [w for w in t.split(" ") if w]
+        for x, y in zip(ts, ts[1:]):
+            if x != y:
+                edges[(min(x, y), max(x, y))] += 1
+    de = defaultdict(list)
+    tw = Counter()
+    for (a, b), w in edges.items():
+        de[a].append((b, w))
+        de[b].append((a, w))
+        tw[a] += w
+        tw[b] += w
+    r = {u: 1.0 for u in tw}
+    for _ in range(3):
+        s = Counter()
+        for u, outs in de.items():
+            for v, w in outs:
+                s[v] += int(round((r[u] * w / tw[u]) * 1_000_000_000))
+        r = {v: round(0.15 + 0.85 * (s[v] / 1_000_000_000.0), 9) for v in s}
+    expect = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (row.token, row.rank, row.total_cooc)
+        for row in all_queries()["text_textrank"].fn(spark, sf_dir).collect()
+    ]
+    assert [(tok, rk) for tok, rk, _ in got] == expect
+    for tok, rk, cooc in got:
+        assert rk > 0.15 and cooc == tw[tok]
