@@ -1942,3 +1942,216 @@ def llm_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("token_ids"),
     )
+
+
+#: shared oracle fragment: distinct 4-token shingles per doc — the
+#: same shingle definition as llm_contamination / the dedup family
+_G4 = """
+      SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                                           FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register(
+    "llm_substring_dup_rate",
+    oracle=f"""
+    WITH g AS ({_G4}),
+    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           ROUND(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+    FROM g JOIN dfq ON g.gram = dfq.gram
+    GROUP BY g.doc_id
+    """,
+)
+def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication rate (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4 ExactSubstr
+    metric, shingle-approximated): per document, the fraction of its
+    distinct 4-token grams that also appear in ANY other document.
+    Docs with high dup_frac are mostly boilerplate/copied text even
+    when no single whole-doc duplicate exists — the signal whole-doc
+    MinHash misses.
+
+    Scale shape: one shingle explode → (gram, doc) pairs; gram
+    document-frequency is a hash agg of that relation; the join back
+    is gram-keyed (co-partitioned with the df agg, AQE reuses the
+    exchange). Nothing is quadratic: cost is O(total shingles), and
+    the per-doc rollup is the only further shuffle."""
+    t = load_tables(spark, sf_dir)
+    g = t.documents.select("doc_id", F.explode(llmops.shingles("text", 4)).alias("gram"))
+    dfq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(dfq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "llm_containment_pairs",
+    oracle=f"""
+    WITH g AS ({_G4}),
+    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    rg AS (SELECT g.doc_id, g.gram FROM g JOIN dfq ON g.gram = dfq.gram
+           WHERE dfq.df BETWEEN 2 AND 6),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rg a JOIN rg b ON a.gram = b.gram
+      WHERE a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b, s.n_shared,
+           ROUND(s.n_shared / CAST(LEAST(za.n, zb.n) AS DOUBLE), 4) AS containment
+    FROM shared s
+    JOIN sz za ON za.doc_id = s.id_a
+    JOIN sz zb ON zb.doc_id = s.id_b
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment similarity |A∩B| / min(|A|,|B|) over shingle
+    sets — catches a short doc wholly embedded in a long one, where
+    Jaccard (÷ union) stays low and near-dup misses the pair.
+
+    Candidate generation is RARE-GRAM BLOCKING: only grams shared by
+    2–6 documents propose pairs, so stop-phrase grams (high df) never
+    fan out quadratically — the same df-cap idea as the MinHash
+    hot-bucket cap, but exact. The containment count itself is then
+    computed exactly for candidates only: two gram-keyed hash joins,
+    each bounded by |candidate pairs| × shingles-per-doc. All-pairs
+    never appears at any stage."""
+    t = load_tables(spark, sf_dir)
+    g = t.documents.select("doc_id", F.explode(llmops.shingles("text", 4)).alias("gram"))
+    dfq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rg = g.join(dfq.filter(F.col("df").between(2, 6)).select("gram"), "gram")
+    a, b = rg.alias("a"), rg.alias("b")
+    cand = (
+        a.join(b, F.col("a.gram") == F.col("b.gram"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = g.alias("ga"), g.alias("gb")
+    shared = (
+        cand.join(ga, F.col("id_a") == F.col("ga.doc_id"))
+        .join(
+            gb,
+            (F.col("id_b") == F.col("gb.doc_id")) & (F.col("gb.gram") == F.col("ga.gram")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
+    "llm_pq_encode",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i - 1 AS pos, (i - 1) // 8 AS sub,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cb AS (
+      SELECT label AS code_label, pos,
+             CAST(ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+      FROM dims GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT d.vec_id, d.sub, cb.code_label,
+             CAST(SUM((d.v - cb.c) * (d.v - cb.c)) AS BIGINT) AS d2
+      FROM dims d JOIN cb ON d.pos = cb.pos
+      GROUP BY d.vec_id, d.sub, cb.code_label
+    ),
+    best AS (
+      SELECT vec_id, sub, code_label, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_label) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           array_to_string(list(code_label ORDER BY sub), ',') AS codes,
+           CAST(SUM(d2) AS BIGINT) AS total_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each 64-dim
+    vector into 8 contiguous 8-dim subvectors and encode each with the
+    id of its nearest codeword — here the per-(label, subspace)
+    centroid, i.e. a supervised codebook of 10 codewords per subspace.
+    Output: 8 codes per vector (64 floats → 8 small ints, the memory
+    step that makes billion-vector ANN indexes fit in RAM) plus the
+    total squared quantization error.
+
+    Cross-engine exactness: components quantize to milli-units
+    (ROUND(x·1000) — exact integers), codewords are ROUND(int-sum /
+    count) (one correctly-rounded double division, identical in both
+    engines), so every distance is an exact BIGINT and argmin cannot
+    be flipped by FP ulps; ties break on code_label.
+
+    Scale shape: codebook = one tiny agg (|labels|·dim rows) that
+    joins back broadcast; distances are a dim-keyed join + hash agg —
+    linear in n_vectors·n_codewords, never pairwise in vectors. The
+    argmin is a (vec, sub)-partitioned rank with WindowGroupLimit."""
+    t = load_tables(spark, sf_dir)
+    dims = t.embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("pos") / 8).alias("sub"),
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("v"),
+    )
+    cb = dims.groupBy(F.col("label").alias("code_label"), "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)).cast("double")).cast("long").alias("c")
+    )
+    dist = (
+        dims.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "sub", "code_label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code_label")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code_label"))),
+                lambda s: s["code_label"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.sum("d2").alias("total_err"),
+    )

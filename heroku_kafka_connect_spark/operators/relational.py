@@ -194,6 +194,31 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {o_msum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6c: explicit GROUPING SETS — two *disjoint* one-dimensional
+    reports plus a grand total from a single scan (neither rollup nor
+    cube can express this set list). Physically identical to rollup:
+    one Expand (3 replicas/row) feeding one partial+final hash-agg, so
+    the corpus is read once no matter how many report dimensions ride
+    along — the 100 TB alternative to N separate GROUP BY scans."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"), msum("o_totalprice").alias("sum_price"))
+
+
 # ---------------------------------------------------------------- G7
 
 

@@ -311,3 +311,39 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.unix_micros("ts").alias("ts_us"),
     )
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+    WITH w AS (
+      SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start_us ORDER BY n DESC, event_type) AS rn
+          FROM w)
+    WHERE rn <= 2
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 2 busiest event types per 10-minute tumbling
+    window — the trending-topics shape. On a live stream this runs as
+    windowed agg (update mode) + rank on the complete windows; in the
+    unified model the batch plan below is semantically identical.
+    Scale: the rank partitions by window, so WindowGroupLimit pushes
+    the k-cut map-side and only ~k rows per window per task reach the
+    exchange; no global sort anywhere. Tie-break on event_type keeps
+    the selected rows deterministic across engines."""
+    t = load_tables(spark, sf_dir)
+    agg = windows.tumbling(t.events, "ts", "10 minutes", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("window").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(windows.window_bounds_us()[0], "event_type", "n", "rank")
+    )

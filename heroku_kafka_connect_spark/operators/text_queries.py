@@ -623,3 +623,75 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('vector', 'join', 'window') GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(s.total AS DOUBLE) / s.n)))
+               * 1000000) AS BIGINT) AS c
+      FROM tf JOIN dfreq d ON tf.token = d.token
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(c) / 1000000.0, 4) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
+    top-10 docs. The lexical-search counterpart of `llm_sim_topk` —
+    what a curation pipeline uses to pull topical slices out of a raw
+    corpus without embeddings.
+
+    Scale shape: the term filter lands BEFORE the (doc, term) count,
+    so only rows containing query terms survive the first shuffle;
+    document length and corpus stats are separate tiny aggregates that
+    join back broadcast (df: |query| rows; stats: 1 row). Global top-k
+    is TakeOrderedAndProject — no corpus sort. Cross-engine hashing:
+    per-term contributions are scaled to integer micro-units before
+    the per-doc SUM, so the sum is order-independent (double adds are
+    not associative; integer adds are — see common.mlong)."""
+    t = load_tables(spark, sf_dir)
+    terms = ["vector", "join", "window"]
+    toks = t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("total")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total").cast("double") / F.col("n")
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * 2.2) / denom * 1000000).cast("long").alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c") / 1000000.0, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
