@@ -2155,3 +2155,73 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         F.sum("d2").alias("total_err"),
     )
+
+
+@register(
+    "llm_edit_verify_pairs",
+    oracle=f"""
+    WITH g AS ({_G4}),
+    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    rg AS (SELECT g.doc_id, g.gram FROM g JOIN dfq ON g.gram = dfq.gram
+           WHERE dfq.df = 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rg a JOIN rg b ON a.gram = b.gram
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS INTEGER)
+             AS edit_dist,
+           ROUND(1.0 - levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
+                 / CAST(GREATEST(length(substr(da.text, 1, 64)),
+                                 length(substr(db.text, 1, 64))) AS DOUBLE), 4)
+             AS prefix_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    """,
+)
+def llm_edit_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates — the
+    character-level second opinion after set-based (shingle/minhash)
+    signals: Levenshtein distance over the first 64 chars of each
+    candidate pair, plus the normalized prefix similarity.
+
+    Two cost bounds make this safe at 100 TB: (1) candidates come
+    from EXCLUSIVE rare-gram blocking (grams shared by exactly two
+    docs), so pair count is ≤ distinct-rare-gram count, never
+    quadratic; (2) the O(m·n) DP runs on fixed 64-char prefixes —
+    constant work per pair, JVM-side (`F.levenshtein` is a codegen
+    built-in; identical classic DP in DuckDB, so distances are exact
+    integers in both engines)."""
+    t = load_tables(spark, sf_dir)
+    g = t.documents.select("doc_id", F.explode(llmops.shingles("text", 4)).alias("gram"))
+    dfq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rg = g.join(dfq.filter(F.col("df") == 2).select("gram"), "gram")
+    a, b = rg.alias("a"), rg.alias("b")
+    cand = (
+        a.join(b, F.col("a.gram") == F.col("b.gram"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    da = t.documents.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 64).alias("pa")
+    )
+    db = t.documents.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 64).alias("pb")
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("edit_dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
+                4,
+            ).alias("prefix_sim"),
+        )
+    )

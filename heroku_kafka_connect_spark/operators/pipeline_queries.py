@@ -27,6 +27,7 @@ from ..session import load_tables
 from ..sinks import writers
 
 
+from ..functions import text as T
 from ..functions.text import STOPWORDS
 from ..llmops import md5_prefix_bucket, sql_md5_prefix_bucket
 
@@ -543,4 +544,130 @@ def llm_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         reason.alias("reason"),
         keep.alias("keep"),
+    )
+
+
+@register(
+    "llm_curriculum_order",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1 AS BIGINT) AS global_idx
+    FROM b
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document gets a GLOBAL training
+    ordinal — short docs first (stage 0/1/2 by length), shuffled
+    within each stage by key hash. The oracle states it as one global
+    ROW_NUMBER; the Spark plan computes the identical index WITHOUT a
+    single-partition global window (the thing that deadlocks at
+    100 TB): per-bucket counts (3 rows) -> prefix-sum offsets on that
+    tiny relation -> bucket-partitioned row_number + offset. This
+    offset+local-rank decomposition is the standard distributed
+    global-index pattern — same answer, all parallelism preserved."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 250, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # prefix sum over the |buckets|-row relation (3 rows — not the corpus)
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bucket", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("offset")
+    )
+    wrn = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(wrn))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("offset") + F.col("rn") - 1).cast("long").alias("global_idx"),
+        )
+    )
+
+
+@register(
+    "llm_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT SUM(cnt) AS n FROM vocab),
+    s AS (
+      SELECT t.doc_id,
+             ROUND(-SUM(log2(v.cnt / CAST(total.n AS DOUBLE))) / COUNT(*), 4) AS score
+      FROM tok t JOIN vocab v USING (token), total
+      GROUP BY t.doc_id
+    ),
+    hist AS (SELECT score, COUNT(*) AS c FROM s GROUP BY score),
+    cum AS (
+      SELECT score,
+             COALESCE(SUM(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+      FROM hist
+    ),
+    nd AS (SELECT COUNT(*) AS total_docs FROM s)
+    SELECT s.doc_id, s.score,
+           CAST((cum.cum_lt * 10) // nd.total_docs AS INTEGER) AS decile,
+           (cum.cum_lt * 10) // nd.total_docs BETWEEN 1 AND 8 AS keep
+    FROM s JOIN cum ON s.score = cum.score CROSS JOIN nd
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-decile filter (CCNet's LM-quality split): score every
+    doc by unigram cross-entropy, cut the corpus into exact deciles,
+    keep the middle eight (tail deciles = boilerplate / rare-token
+    soup). The decile is computed WITHOUT a corpus-wide NTILE window
+    (single partition at scale): scores are 4-dp-rounded, so the
+    score HISTOGRAM is a small relation — prefix-sum it for
+    strictly-less cumulative counts and join back; decile =
+    floor(10·cum_lt/N). Exact quantiles, tie-stable (equal scores
+    share a decile), and the only corpus-sized exchanges are the LM
+    build and the score agg — the same two TF-IDF already pays."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    s = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.log2(F.col("cnt") / F.col("n").cast("double")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("score")
+        )
+    )
+    hist = s.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    # prefix sum over the |distinct scores| histogram — small relation
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "score", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum_lt")
+    )
+    nd = s.agg(F.count(F.lit(1)).alias("total_docs"))
+    decile = F.floor((F.col("cum_lt") * 10) / F.col("total_docs"))
+    return (
+        s.join(F.broadcast(cum), "score")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "score",
+            decile.cast("int").alias("decile"),
+            decile.between(1, 8).alias("keep"),
+        )
     )

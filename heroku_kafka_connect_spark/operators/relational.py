@@ -1364,3 +1364,45 @@ def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "rel_agg_state_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_msum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: yesterday's per-key aggregate
+    STATE (orders before the cutoff) merges with today's DELTA batch
+    (orders after) by re-aggregating the partial states — counts add,
+    scaled-long sums add — reproducing the full-history aggregate
+    bit-for-bit (the oracle is the one-shot GROUP BY; equality IS the
+    correctness claim). This merge works only because every buffer is
+    mergeable — counts and exact integer sums, no raw-double or
+    order-dependent state. At 100 TB this is the nightly pattern: the
+    state table is |keys| rows, the delta scan is pruned to one
+    partition by the cutoff predicate, and history is never re-read."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(mlong("o_totalprice")).alias("s"),
+        )
+
+    state = partial(t.orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(t.orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("s") / 100).cast("double").alias("sum_price"),
+        )
+    )

@@ -113,6 +113,10 @@ BNLJ_OK = {
                           # broadcast stays small at any corpus size)
     "llm_dataset_audit",  # four 1-row aggregate relations cross-joined
                           # into the single summary row — constant size
+    "text_bm25_topk",     # corpus stats (N, total dl) = 1-row broadcast
+                          # into the idf/avgdl expressions
+    "llm_perplexity_buckets",  # token total + doc total: two 1-row
+                          # broadcasts into p(w) and the decile divisor
 }
 
 
