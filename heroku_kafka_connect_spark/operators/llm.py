@@ -2225,3 +2225,132 @@ def llm_edit_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix_sim"),
         )
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE oracle: s{r} = sequences after r merges, t{r} =
+    the r-th winning pair. Mirrors the Spark loop step for step."""
+    parts = [
+        """
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq
+      FROM w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i+1] FOR i IN range(1, len(syms))]) AS pr,
+               freq
+        FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM s{r - 1})
+      ) GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{r} AS (
+      SELECT replace(s, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS s,
+             freq
+      FROM s{r - 1}, t{r} t
+    )""")
+    sel = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS step, a || ' ' || b AS pair, a || b AS merged, cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("llm_bpe_train", oracle=_bpe_oracle())
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual merge LOOP (Sennrich 2016
+    alg. 1) — 3 iterations: count adjacent symbol pairs weighted by
+    word frequency, adopt the most frequent pair as a merge, rewrite
+    every word, repeat. Complements `llm_bpe_pair_counts` (which
+    stops at round-1 statistics).
+
+    Loop-on-a-cluster design: like the k-means trainer, each round is
+    a dataflow over the VOCABULARY relation — the corpus collapses to
+    (word, freq) once (Zipf: tiny vs corpus) and never re-enters. A
+    round = one pair-count agg (charset²-bounded keys) + a 1-row
+    argmax broadcast into a narrow rewrite projection. Nothing
+    iterates per row in Python; 3 rounds = 3 such stages chained in
+    one plan, bit-identically replayed by the oracle's unrolled CTEs.
+
+    Merge-rewrite semantics: both engines rewrite via left-to-right
+    non-overlapping string replace on the space-delimited symbol
+    string (' a b '→' ab '), so runs like 'a a a' merge the FIRST
+    occurrence only per pass — the convention both `replace()`
+    implementations share, pinned by test either side."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        t.documents.select(F.explode(llmops.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # ' a b c ' — one space between symbols, sentinel spaces at ends.
+    # Each round's state is localCheckpoint'ed (the kmeans/CC house
+    # pattern): round r+1 reads round r's materialized vocabulary
+    # instead of re-deriving the whole chain from the corpus — on a
+    # cluster this is the cached loop-state RDD, and it turns the
+    # 3-round plan from O(rounds²) recomputation into O(rounds).
+    vocab = w.select(
+        F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, 4):
+        syms = F.split(F.trim(F.col("s")), " ")
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("a"),
+                        F.element_at(syms, i + 2).alias("b"),
+                    ),
+                )
+            ).alias("pr"),
+            "freq",
+        ).select("pr.a", "pr.b", "freq")
+        pc = pairs.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
+        top = (
+            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("step"),
+                F.concat_ws(" ", "a", "b").alias("pair"),
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        tr = top.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        vocab = (
+            vocab.crossJoin(F.broadcast(tr))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

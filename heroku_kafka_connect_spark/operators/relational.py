@@ -25,6 +25,7 @@ from .common import (
     o_mlong,
     o_msum,
     o_msum_scaled,
+    ts_us,
 )
 
 # ---------------------------------------------------------------- G2
@@ -1405,4 +1406,155 @@ def rel_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_orders"),
             (F.sum("s") / 100).cast("double").alias("sum_price"),
         )
+    )
+
+
+@register(
+    "rel_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                ELSE 1 END AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the first
+    view, the first click strictly AFTER that view, and the first
+    purchase strictly after that click — the sequence-constrained
+    conversion query every event-analytics engine ships. Expressed as
+    three user-keyed min-aggregations chained by inequality-filtered
+    joins: every shuffle is on user_id, so after the first exchange
+    the chain is co-partitioned (AQE reuses the partitioning) and
+    nothing ever materializes per-event state. Stage counts fall out
+    of a group-by on the result."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", ts_us("ts").alias("us"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "rel_retention_cohorts",
+    oracle="""
+    WITH d AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+    f AS (SELECT user_id, MIN(week) AS cohort_week FROM d GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, week FROM d)
+    SELECT f.cohort_week, a.week - f.cohort_week AS offset_weeks,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week;
+    for each (cohort, weeks-since) cell, how many came back. The
+    product-analytics staple. Weeks are epoch-µs integer division
+    (identical bucketing both engines). Plan: one user-keyed min-agg
+    for cohorts, one distinct over (user, week) — both shuffles on
+    user_id so they co-partition; the final cell agg carries
+    |cohorts|×|offsets| rows. No windows, no per-event state."""
+    t = load_tables(spark, sf_dir)
+    wk = F.floor(ts_us("ts") / F.lit(604_800_000_000)).cast("long")
+    d = t.events.select("user_id", wk.alias("week"))
+    f = d.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    a = d.distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+def _zorder_sql(xe: str, ye: str, bits: int = 8) -> str:
+    """Oracle fragment: bit-interleave two ``bits``-wide ints."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "rel_zorder_index",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey % 256 AS x,
+           CAST(FLOOR(o_totalprice) AS BIGINT) % 256 AS y,
+           {_zorder_sql('o_custkey % 256', 'CAST(FLOOR(o_totalprice) AS BIGINT) % 256')} AS zorder,
+           ({_zorder_sql('o_custkey % 256', 'CAST(FLOOR(o_totalprice) AS BIGINT) % 256')}) // 4096
+             AS file_bucket
+    FROM orders
+    """,
+)
+def rel_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout index: interleave the low 8 bits of two
+    bucketized columns so rows close in BOTH dimensions land in the
+    same file_bucket. This is the multi-dimensional clustering trick
+    behind Delta/Iceberg OPTIMIZE ZORDER — sort/partition 100 TB by
+    this key once and min/max file statistics prune scans for
+    predicates on EITHER column (a single-column sort only prunes
+    one). Pure bit arithmetic (shift/and/multiply on exact ints,
+    identical in both engines), narrow map-only projection — the
+    index costs nothing; the wins come when writers range-partition
+    on it."""
+    t = load_tables(spark, sf_dir)
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.floor("o_totalprice").cast("long") % 256).cast("long")
+
+    def interleave(xc, yc, bits=8):
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            z = z + F.shiftright(xc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            z = z + F.shiftright(yc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        return z
+
+    zc = interleave(x, y)
+    return t.orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        zc.alias("zorder"),
+        F.floor(zc / F.lit(4096)).cast("long").alias("file_bucket"),
     )

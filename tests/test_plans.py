@@ -117,6 +117,8 @@ BNLJ_OK = {
                           # into the idf/avgdl expressions
     "llm_perplexity_buckets",  # token total + doc total: two 1-row
                           # broadcasts into p(w) and the decile divisor
+    "llm_bpe_train",      # per merge round: the 1-row argmax pair
+                          # broadcast into the vocabulary rewrite
 }
 
 
