@@ -1,0 +1,181 @@
+"""Invariant + third-engine tests for the round-4 operator batch
+(BM25, PQ, curriculum, perplexity deciles, funnel, z-order, BPE
+merge loop). The DuckDB oracles pin exact values; these pin the
+SEMANTICS against from-scratch implementations and structural
+invariants the oracle can't express (bijectivity, monotonicity,
+bit-level round-trips)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from heroku_kafka_connect_spark.registry import all_queries
+
+
+def _q(spark, sf_dir, name):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+def test_bpe_train_matches_pure_python(spark, sf_dir):
+    """Third-engine check for the merge LOOP: replay 3 BPE rounds in
+    pure Python with the same left-to-right non-overlapping
+    str.replace merge semantics and compare (pair, merged, cnt) per
+    step."""
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf = Counter()
+    for t in texts.column("text").to_pylist():
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    seqs = {(" " + " ".join(w) + " "): f for w, f in wf.items()}
+    # merge seqs with equal char-joins (distinct words can't collide,
+    # but keep the accumulation honest)
+    expect = []
+    for _ in range(3):
+        pc = Counter()
+        for s, f in seqs.items():
+            syms = s.strip().split(" ")
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        # argmax with (cnt desc, a asc, b asc)
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((f"{a} {b}", f"{a}{b}", cnt))
+        merged = Counter()
+        for s, f in seqs.items():
+            merged[s.replace(f" {a} {b} ", f" {a}{b} ")] += f
+        seqs = dict(merged)
+    got = [
+        (r.pair, r.merged, r.cnt)
+        for r in sorted(_q(spark, sf_dir, "llm_bpe_train").collect(), key=lambda r: r.step)
+    ]
+    assert got == expect
+
+
+def test_zorder_bits_roundtrip(spark, sf_dir):
+    """The Morton index must de-interleave back to (x, y) exactly, and
+    file_bucket must be the top bits — checked row-by-row against a
+    pure-Python interleave."""
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = _q(spark, sf_dir, "rel_zorder_index").collect()
+    assert rows
+    for r in rows:
+        assert r.zorder == morton(r.x, r.y), (r.o_orderkey, r.x, r.y)
+        assert r.file_bucket == r.zorder // 4096
+
+
+def test_curriculum_order_is_bijection(spark, sf_dir):
+    """global_idx must be a permutation of 0..N-1 with buckets in
+    non-decreasing order along it (stage 0 docs first)."""
+    rows = _q(spark, sf_dir, "llm_curriculum_order").collect()
+    idxs = sorted(r.global_idx for r in rows)
+    assert idxs == list(range(len(rows)))
+    by_idx = sorted(rows, key=lambda r: r.global_idx)
+    buckets = [r.bucket for r in by_idx]
+    assert buckets == sorted(buckets)
+
+
+def test_perplexity_buckets_are_exact_deciles(spark, sf_dir):
+    """Deciles partition the corpus: monotone in score, sizes ~N/10
+    (ties may merge neighbors but never reorder), keep == middle 8."""
+    rows = _q(spark, sf_dir, "llm_perplexity_buckets").collect()
+    n = len(rows)
+    by_score = sorted(rows, key=lambda r: (r.score, r.doc_id))
+    deciles = [r.decile for r in by_score]
+    assert deciles == sorted(deciles)  # monotone with score
+    assert all(0 <= d <= 9 for d in deciles)
+    for r in rows:
+        assert r.keep == (1 <= r.decile <= 8)
+    # with few ties the decile sizes stay near N/10
+    sizes = Counter(deciles)
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) <= n // 10 + max(Counter(r.score for r in rows).values())
+
+
+def test_funnel_stages_are_time_ordered(spark, sf_dir):
+    """Each reached stage must have a strictly later first-timestamp
+    than the previous one, and stage must match which are present."""
+    rows = _q(spark, sf_dir, "rel_event_funnel").collect()
+    assert rows
+    assert any(r.stage == 3 for r in rows)  # fixture reaches full depth
+    for r in rows:
+        if r.stage >= 2:
+            assert r.t_click > r.t_view
+        else:
+            assert r.t_click is None
+        if r.stage == 3:
+            assert r.t_purchase > r.t_click
+        else:
+            assert r.t_purchase is None
+
+
+def test_edit_verify_pairs_match_pure_python_dp(spark, sf_dir):
+    """Third-engine spot check: classic DP Levenshtein over the same
+    64-char prefixes for every candidate pair."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()))
+    rows = _q(spark, sf_dir, "llm_edit_verify_pairs").collect()
+    assert rows
+    for r in rows:
+        assert r.edit_dist == lev(texts[r.id_a][:64], texts[r.id_b][:64])
+
+
+def test_containment_bounds_and_identity(spark, sf_dir):
+    """Containment is a true max-containment: within (0, 1], equal to
+    n_shared / min(|A|,|B|), and n_shared never exceeds either side's
+    distinct-shingle count."""
+    from heroku_kafka_connect_spark import llmops
+    from heroku_kafka_connect_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r.doc_id: r.n
+        for r in load_tables(spark, sf_dir)
+        .documents.select(
+            "doc_id", F.size(llmops.shingles("text", 4)).alias("n")
+        )
+        .collect()
+    }
+    rows = _q(spark, sf_dir, "llm_containment_pairs").collect()
+    assert rows
+    for r in rows:
+        lo = min(sizes[r.id_a], sizes[r.id_b])
+        assert 1 <= r.n_shared <= lo
+        # SQL ROUND is half-away-from-zero, Python's is banker's —
+        # compare within the 4-dp quantum instead of re-rounding
+        assert abs(r.containment - r.n_shared / lo) <= 5e-5 + 1e-12
+
+
+def test_pq_codes_within_codebook(spark, sf_dir):
+    """Every PQ code must be a real label id, codes length must be 8,
+    and total_err must be non-negative."""
+    labels = set(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label"])
+        .column("label")
+        .to_pylist()
+    )
+    rows = _q(spark, sf_dir, "llm_pq_encode").collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 8
+        assert set(codes) <= labels
+        assert r.total_err >= 0
