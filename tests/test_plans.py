@@ -138,6 +138,25 @@ def test_corpus_wide_physical_bans(spark, sf_dir):
         assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF:\n{p}"
 
 
+def test_curriculum_global_index_avoids_global_window(spark, sf_dir):
+    """J85: the corpus-wide ordinal must come from a bucket-partitioned
+    rank + broadcast offsets — the one SinglePartition exchange in the
+    plan belongs to the 3-row bucket-count prefix sum, never the
+    corpus."""
+    p = plan_of(spark, "llm_curriculum_order", sf_dir)
+    assert "windowspecdefinition(bucket" in p  # corpus rank is partitioned
+    assert p.count("Exchange SinglePartition") == 1  # 3-row offsets only
+    assert "BroadcastHashJoin" in p  # offsets join back broadcast
+
+
+def test_zorder_index_is_narrow(spark, sf_dir):
+    """J91: layout-index projection must stay a zero-exchange map-only
+    codegen stage."""
+    p = plan_of(spark, "rel_zorder_index", sf_dir)
+    assert "Exchange" not in p
+    assert "*(1)" in p
+
+
 def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
     """Vocab lookup must be a broadcast hash join (the corpus never
     shuffles for the encode) and the top-16 vocab build must be a
