@@ -2354,3 +2354,78 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "llm_dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS nh
+      FROM documents
+    )
+    SELECT lang, nh AS norm_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM n GROUP BY lang, nh
+    """,
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup: hash AFTER lowercasing,
+    stripping punctuation and collapsing whitespace — catches the
+    re-encoded / re-punctuated copies that byte-hash dedup
+    (llm_dedup_exact) misses while staying a single hash-shuffle agg.
+    This is the first rung real pipelines add above raw md5 (C4 and
+    RefinedWeb both normalize before exact dedup). The regexes live
+    in the Java∩RE2 dialect so both engines normalize identically;
+    at 100 TB the normalize+hash is a narrow map and the only
+    exchange is the 128-bit-hash groupBy."""
+    t = load_tables(spark, sf_dir)
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return t.documents.groupBy("lang", norm.alias("norm_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+_KEEP_BEST_ORACLE = _MANIFEST_CTES + """
+    SELECT m.doc_id, m.canonical_id, d.n_chars,
+           CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY m.canonical_id
+                  ORDER BY d.n_chars DESC, m.doc_id) = 1
+                THEN 1 ELSE 0 END AS keep_best
+    FROM manifest m JOIN documents d ON d.doc_id = m.doc_id
+    """
+
+
+@register("llm_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: instead of keeping the
+    LOWEST-id member of each duplicate cluster (llm_dedup_apply's
+    policy — arbitrary but cheap), keep the HIGHEST-QUALITY member
+    (longest doc, id tiebreak) — the policy curation teams actually
+    want, since near-dup clusters often contain one full article and
+    N truncated scrapes of it. Built on the same shared manifest
+    relation; the only extra cost is one cluster-partitioned rank
+    (WindowGroupLimit-friendly) after joining the quality signal
+    back by doc_id. Swapping n_chars for any model-based score column
+    changes nothing structurally."""
+    t = load_tables(spark, sf_dir)
+    m = _dedup_manifest(t.documents).select("doc_id", "canonical_id")
+    q = t.documents.select("doc_id", "n_chars")
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        m.join(q, "doc_id")
+        .withColumn(
+            "keep_best", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+        )
+        .select("doc_id", "canonical_id", "n_chars", "keep_best")
+    )

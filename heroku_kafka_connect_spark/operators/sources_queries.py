@@ -181,3 +181,76 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
+
+
+@register(
+    "src_partition_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: Hive-style partitioned dataset + partition PRUNING — the
+    single most important scan optimization at 100 TB: the fixture is
+    written `partitionBy(o_orderpriority)` (one directory per value),
+    and the filtered read shows `PartitionFilters:
+    [isnotnull(...), (o_orderpriority = 1-URGENT)]` with only that
+    directory's files ever listed — 4/5 of the data is skipped before
+    a single byte is read, vs a PushedFilter which still opens every
+    footer. Written once per (sf, session) under /tmp; on a real
+    lake this is the table's permanent layout, chosen by write-time
+    `partitionBy` on the ingest path (sinks/writers.py)."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    loc = f"/tmp/hkcs_part_orders_{tag}"
+    (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(loc)
+    )
+    return (
+        spark.read.parquet(loc)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "src_schema_merge",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source
+    FROM documents
+    """,
+)
+def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: schema-evolution read (`mergeSchema`) — a v1 writer emitted
+    (doc_id, lang), a later v2 writer added `source`; one read over
+    both generations returns the WIDENED schema with nulls where v1
+    rows predate the column. This is how a 100 TB lake absorbs
+    additive schema change without rewriting history: merging is a
+    FOOTER-level union (Spark reconciles the Parquet schemas at
+    planning), the row data is never touched. Non-additive changes
+    (type narrowing, renames) still belong to the staged-MERGE path
+    in sinks/writers.py."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    loc = f"/tmp/hkcs_schemagen_{tag}"
+    docs = t.documents
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{loc}/gen=v1")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source").write.mode(
+        "overwrite"
+    ).parquet(f"{loc}/gen=v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{loc}/gen=v1", f"{loc}/gen=v2")
+        .select("doc_id", "lang", "source")
+    )

@@ -149,6 +149,16 @@ def test_curriculum_global_index_avoids_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in p  # offsets join back broadcast
 
 
+def test_partition_pruning_reaches_the_listing(spark, sf_dir):
+    """A9: the priority filter must become a PartitionFilter (directory
+    skip at listing time), NOT a PushedFilter (footer-open per file) —
+    and the partition column must not be read from row data."""
+    p = plan_of(spark, "src_partition_pruning", sf_dir)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in p
+    assert "(o_orderpriority" in p.split("PartitionFilters:")[1].split("]")[0]
+    assert "PushedFilters: []" in p
+
+
 def test_zorder_index_is_narrow(spark, sf_dir):
     """J91: layout-index projection must stay a zero-exchange map-only
     codegen stage."""
