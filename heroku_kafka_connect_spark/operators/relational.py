@@ -1558,3 +1558,45 @@ def rel_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         zc.alias("zorder"),
         F.floor(zc / F.lit(4096)).cast("long").alias("file_bucket"),
     )
+
+
+@register(
+    "rel_data_skew_report",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_custkey),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+    SELECT c.key, c.cnt,
+           ROUND(c.cnt / CAST(s.n_rows AS DOUBLE), 6) AS frac,
+           ROUND(c.cnt / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 4) AS x_avg
+    FROM c, s
+    ORDER BY c.cnt DESC, c.key LIMIT 5
+    """,
+)
+def rel_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE deciding
+    between a plain shuffle join, AQE skew splitting, and the salted
+    join (rel_join_skew_salted): the 5 heaviest keys with their share
+    of all rows and their multiple of the mean key load. At 100 TB
+    this is one hash agg (map-side combined) + a 1-row stats
+    broadcast + TakeOrderedAndProject — the diagnostic costs one
+    pass, the wrong join strategy costs the cluster."""
+    t = load_tables(spark, sf_dir)
+    c = t.orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = c.agg(F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows"))
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows").cast("double"), 6).alias("frac"),
+            F.round(
+                F.col("cnt") / (F.col("n_rows").cast("double") / F.col("n_keys")), 4
+            ).alias("x_avg"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(5)
+    )

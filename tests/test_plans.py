@@ -119,6 +119,8 @@ BNLJ_OK = {
                           # broadcasts into p(w) and the decile divisor
     "llm_bpe_train",      # per merge round: the 1-row argmax pair
                           # broadcast into the vocabulary rewrite
+    "rel_data_skew_report",  # 1-row (n_keys, n_rows) stats broadcast
+                          # into the per-key share projection
 }
 
 
