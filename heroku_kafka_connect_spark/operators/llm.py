@@ -2137,10 +2137,8 @@ def _pq_parts(
             F.floor(F.col("pos") / 8).alias("sub"),
             F.round(F.col("val").cast("double") * 1000).cast("long").alias("v"),
         )
-        cb = dims.groupBy(F.col("label").alias("code_label"), "pos").agg(
-            F.round(F.sum("v") / F.count(F.lit(1)).cast("double"))
-            .cast("long")
-            .alias("c")
+        cb = dims.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("code_label"), "pos", F.col("v").alias("c")
         )
         dist = (
             dims.join(F.broadcast(cb), "pos")
@@ -2169,9 +2167,8 @@ _PQ_CTES = """
       FROM embeddings, range(1, 65) t(i)
     ),
     cb AS (
-      SELECT label AS code_label, pos,
-             CAST(ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
-      FROM dims GROUP BY label, pos
+      SELECT vec_id AS code_label, pos, v AS c
+      FROM dims WHERE vec_id < 10
     ),
     dist AS (
       SELECT d.vec_id, d.sub, cb.code_label,
@@ -2199,16 +2196,18 @@ _PQ_CTES = """
 def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each 64-dim
     vector into 8 contiguous 8-dim subvectors and encode each with the
-    id of its nearest codeword — here the per-(label, subspace)
-    centroid, i.e. a supervised codebook of 10 codewords per subspace.
+    id of its nearest codeword — here the subvectors of the 10
+    smallest-id vectors, the same deterministic sample-init convention
+    as llm_kmeans_train (label-mean codewords were measured DEGENERATE
+    on this corpus: labels explain ~2% of variance, so all 10 means
+    nearly coincide; sample codewords are spread like the data).
     Output: 8 codes per vector (64 floats → 8 small ints, the memory
     step that makes billion-vector ANN indexes fit in RAM) plus the
     total squared quantization error.
 
     Cross-engine exactness: components quantize to milli-units
-    (ROUND(x·1000) — exact integers), codewords are ROUND(int-sum /
-    count) (one correctly-rounded double division, identical in both
-    engines), so every distance is an exact BIGINT and argmin cannot
+    (ROUND(x·1000) — exact integers) and codewords are those same
+    integers, so every distance is an exact BIGINT and argmin cannot
     be flipped by FP ulps; ties break on code_label.
 
     Scale shape: codebook = one tiny agg (|labels|·dim rows) that
@@ -2648,3 +2647,98 @@ def llm_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round((sy / 1e6) / n - slope * (sx / 1e6) / n, 4).alias("zipf_intercept"),
     )
+
+
+@register(
+    "llm_pq_recall",
+    oracle=_PQ_CTES + """
+    , lut AS (
+      SELECT d.vec_id AS query_id, d.sub, cb.code_label,
+             CAST(SUM((d.v - cb.c) * (d.v - cb.c)) AS BIGINT) AS l
+      FROM dims d JOIN cb ON d.pos = cb.pos
+      WHERE d.vec_id < 5
+      GROUP BY d.vec_id, d.sub, cb.code_label
+    ),
+    adist AS (
+      SELECT l.query_id, b.vec_id, CAST(SUM(l.l) AS BIGINT) AS adist
+      FROM best b JOIN lut l ON l.sub = b.sub AND l.code_label = b.code_label
+      WHERE b.rn = 1 AND b.vec_id <> l.query_id
+      GROUP BY l.query_id, b.vec_id
+    ),
+    pq_top AS (
+      SELECT query_id, vec_id FROM adist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) <= 5
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qd.vec_id AS query_id, d.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qd.vec_id
+                 ORDER BY SUM((d.v - qd.v) * (d.v - qd.v)), d.vec_id ASC) AS rn
+        FROM dims d JOIN dims qd ON d.pos = qd.pos
+        WHERE qd.vec_id < 5 AND d.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, d.vec_id)
+      WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(p.vec_id) / 5.0, 4) AS recall
+    FROM exact e LEFT JOIN pq_top p
+      ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC path (llm_pq_search) against EXACT L2
+    top-5 over the same milli-unit vectors — the standard PQ
+    benchmark (Jégou et al. §V measure recall of quantized-L2 vs
+    exact-L2), isolating pure codebook quantization loss; every
+    distance on both sides is an exact BIGINT, so the metric carries
+    a full value oracle, unlike typical float ANN benchmarks. Cost:
+    both sides restrict to the fixed query set — O(queries·corpus)
+    exact, O(queries·codes) PQ. The pytest floor
+    (tests/test_round4_ops.py) makes codebook drift break loudly."""
+    dims, cb, best = _pq_parts(spark, sf_dir)
+    qd = (
+        dims.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "pos", F.col("v").alias("qv"))
+    )
+    exact = (
+        dims.join(F.broadcast(qd), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).alias("d"))
+        .withColumn(
+            "__rn2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn2") <= 5)
+        .select("query_id", "vec_id")
+    )
+    pq_top = _pq_search_top(spark, sf_dir)
+    return (
+        exact.join(
+            pq_top.select(
+                F.col("query_id").alias("pq_qid"), F.col("vec_id").alias("pq_vid")
+            ),
+            (F.col("query_id") == F.col("pq_qid"))
+            & (F.col("vec_id") == F.col("pq_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("pq_vid").alias("n_overlap"),
+            F.round(F.count("pq_vid") / F.lit(5.0), 4).alias("recall"),
+        )
+    )
+
+
+def _pq_search_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The llm_pq_search result relation (top-5 codes-only neighbors
+    per query) — factored so the recall probe scores EXACTLY what the
+    search query returns."""
+    return llm_pq_search(spark, sf_dir)

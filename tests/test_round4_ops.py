@@ -165,17 +165,28 @@ def test_containment_bounds_and_identity(spark, sf_dir):
 
 
 def test_pq_codes_within_codebook(spark, sf_dir):
-    """Every PQ code must be a real label id, codes length must be 8,
-    and total_err must be non-negative."""
-    labels = set(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label"])
-        .column("label")
-        .to_pylist()
-    )
+    """Every PQ code must be a codebook id (the 10 sample-init
+    vectors), codes length must be 8, total_err non-negative, and a
+    codebook vector must encode itself with zero error."""
     rows = _q(spark, sf_dir, "llm_pq_encode").collect()
     assert rows
+    by_id = {}
     for r in rows:
         codes = [int(c) for c in r.codes.split(",")]
         assert len(codes) == 8
-        assert set(codes) <= labels
+        assert set(codes) <= set(range(10))
         assert r.total_err >= 0
+        by_id[r.vec_id] = r
+    for j in range(10):
+        assert by_id[j].total_err == 0
+        assert by_id[j].codes == ",".join([str(j)] * 8)
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """Mean recall@5 of the PQ/ADC path vs exact L2 must stay well
+    above chance (5/n_vecs ≈ 0.01) — codebook or quantization drift
+    breaks loudly. Observed 0.16-0.36 across fixtures with the
+    sample-init codebook; floor at 0.1."""
+    rows = _q(spark, sf_dir, "llm_pq_recall").collect()
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.1, [(r.query_id, r.recall) for r in rows]
