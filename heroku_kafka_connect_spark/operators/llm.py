@@ -2742,3 +2742,68 @@ def _pq_search_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query) — factored so the recall probe scores EXACTLY what the
     search query returns."""
     return llm_pq_search(spark, sf_dir)
+
+
+@register(
+    "llm_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, e.vec_id, e.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+                               ORDER BY score DESC, e.vec_id ASC) <= 3
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar vectors with a DIFFERENT label — the examples that
+    teach an embedding model the most (random negatives are trivially
+    separable; hard ones define the margin). Same broadcast-anchors ×
+    corpus-scan shape as llm_knn_join with the label-mismatch
+    predicate fused into the scan filter, so negatives never pass
+    through a separate filtering stage; at 100 TB mine from the
+    IVF/LSH candidate set instead of the exact scan — the predicate
+    and ranking stay identical."""
+    from ..functions.vectors import dot, norm
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (norm(F.col("v")) * norm(F.col("qv"))),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("query_id", "vec_id", "label", "score")
+    )

@@ -1600,3 +1600,28 @@ def rel_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(5)
     )
+
+
+@register(
+    "rel_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6d: GROUPING() markers — the only correct way to tell a
+    subtotal row's NULL from a data NULL in rollup/cube output (a
+    consumer keying on `col IS NULL` silently miscounts the moment a
+    real NULL enters the data). Zero extra cost: the marker bits ride
+    the same Expand operator the rollup already uses."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -121,6 +121,8 @@ BNLJ_OK = {
                           # broadcast into the vocabulary rewrite
     "rel_data_skew_report",  # 1-row (n_keys, n_rows) stats broadcast
                           # into the per-key share projection
+    "llm_hard_negatives",  # corpus scan x 5 broadcast anchor vectors
+                          # (label-mismatch predicate fused in-scan)
 }
 
 
