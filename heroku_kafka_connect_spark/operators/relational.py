@@ -1625,3 +1625,70 @@ def rel_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "rel_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority, median(adev) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(d.med, 4) AS median_price,
+           ROUND(a.mad, 4) AS mad_price,
+           CAST(SUM(CASE WHEN d.adev > 2.5 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+    GROUP BY d.o_orderpriority, d.med, a.mad
+    """,
+)
+def rel_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact median, MAD (median absolute
+    deviation) and a MAD-based outlier count — mean/stddev break on
+    the heavy-tailed value distributions data-quality checks care
+    about; median/MAD don't. Two grouped exact percentiles (Spark
+    `percentile` and DuckDB `median` share the p·(n-1) linear-
+    interpolation convention — verified identical on fixture money
+    values) joined back by group key, so everything stays
+    co-partitioned after the first shuffle. At 100 TB swap the exact
+    percentile for `approx_percentile` with a tolerance when the
+    group cardinality makes exact sort-based medians expensive — the
+    report shape is unchanged."""
+    t = load_tables(spark, sf_dir)
+    med = t.orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = t.orders.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("adev") > 2.5 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("med", 4).alias("median_price"),
+            F.round("mad", 4).alias("mad_price"),
+            "n_outliers",
+        )
+    )
