@@ -2807,3 +2807,92 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .select("query_id", "vec_id", "label", "score")
     )
+
+
+def _span_bucket_sql(pos_expr: str) -> str:
+    """Oracle fragment: the shared md5-prefix bucket of (doc_id, pos)."""
+    return llmops.sql_md5_prefix_bucket(
+        f"CAST(doc_id AS VARCHAR) || ':' || CAST({pos_expr} AS VARCHAR)", 100
+    )
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1, 'tok': toks[i]}} FOR i IN range(1, len(toks) + 1)]) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    ),
+    m AS (
+      SELECT doc_id, pos, tok,
+             ({_span_bucket_sql('pos')}) < 7
+             OR (pos >= 1 AND ({_span_bucket_sql('pos - 1')}) < 7)
+             OR (pos >= 2 AND ({_span_bucket_sql('pos - 2')}) < 7) AS masked
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           ROUND(SUM(CASE WHEN masked THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS mask_rate,
+           array_to_string(list(CASE WHEN masked THEN '_' ELSE tok END ORDER BY pos), ' ')
+             AS corrupted,
+           COALESCE(array_to_string(list(tok ORDER BY pos) FILTER (WHERE masked), ' '), '')
+             AS targets
+    FROM m GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4),
+    deterministic: ~7% of positions start a 3-token mask span (so
+    ~18% of tokens mask, before overlap), chosen by the corpus-wide
+    md5-prefix bucket of (doc_id, position) — the same no-RNG idiom
+    as splits/sampling, so the same doc always corrupts identically
+    on any engine, any rerun, any partitioning (the property that
+    makes denoising pretraining data reproducible and resumable).
+
+    Fully narrow: each token decides its own mask membership by
+    hashing its position and the two before it — no self-join, no
+    window, no shuffle until the per-doc reassembly agg. Output =
+    corrupted text (masked tokens → '_') + the target sequence."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(llmops.tokens("text")).alias("pos", "tok")
+    )
+
+    def bucket(p):
+        key = F.concat_ws(
+            ":", F.col("doc_id").cast("string"), p.cast("string")
+        )
+        return llmops.md5_prefix_bucket(key, 100)
+
+    p = F.col("pos")
+    masked = (
+        (bucket(p) < 7)
+        | ((p >= 1) & (bucket(p - 1) < 7))
+        | ((p >= 2) & (bucket(p - 2) < 7))
+    )
+    m = toks.withColumn("masked", masked)
+    sorted_structs = F.sort_array(F.collect_list(F.struct("pos", "tok", "masked")))
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).alias("n_masked"),
+        F.round(
+            F.sum(F.col("masked").cast("int")) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mask_rate"),
+        F.array_join(
+            F.transform(
+                sorted_structs,
+                lambda s: F.when(s["masked"], F.lit("_")).otherwise(s["tok"]),
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.transform(
+                F.filter(sorted_structs, lambda s: s["masked"]), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("targets"),
+    )

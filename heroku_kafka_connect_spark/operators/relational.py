@@ -1692,3 +1692,85 @@ def rel_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "rel_asof_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    w AS (
+      SELECT event_id, user_id, us, event_type,
+             last_value(c_us IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click,
+             first_value(c_us IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+           CASE
+             WHEN prev_click IS NULL THEN next_click
+             WHEN next_click IS NULL THEN prev_click
+             WHEN us - prev_click <= next_click - us THEN prev_click
+             ELSE next_click
+           END AS nearest_click_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14b: NEAREST-neighbor as-of join — for each purchase, the
+    click closest in time in EITHER direction (backward-only as-of is
+    `rel_join_asof`; sensor/trade alignment usually wants nearest).
+    Same union+window decomposition, evaluated in both directions in
+    ONE pass: a running last(ignoreNulls) gives the previous click, a
+    first(ignoreNulls) over the forward frame gives the next, and a
+    tie-break prefers the earlier one. Still exactly one shuffle on
+    user_id and O(n log n) per key — no inequality join appears.
+    Clicks sort before purchases at identical timestamps on both
+    sides, so a same-instant click counts as 'previous' in both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    u = t.events.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("us"),
+        "event_type",
+        F.when(F.col("event_type") == "click", ts_us("ts")).alias("c_us"),
+    )
+    tie = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    order = [F.col("us").asc(), tie.asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.withColumn("prev_click", F.last("c_us", ignorenulls=True).over(wb)).withColumn(
+        "next_click", F.first("c_us", ignorenulls=True).over(wf)
+    )
+    nearest = (
+        F.when(F.col("prev_click").isNull(), F.col("next_click"))
+        .when(F.col("next_click").isNull(), F.col("prev_click"))
+        .when(
+            F.col("us") - F.col("prev_click") <= F.col("next_click") - F.col("us"),
+            F.col("prev_click"),
+        )
+        .otherwise(F.col("next_click"))
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        nearest.alias("nearest_click_us"),
+    )
