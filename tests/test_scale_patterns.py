@@ -102,3 +102,51 @@ def test_bucketed_join_query_has_only_agg_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Runtime row-level filtering: with the bloom-filter optimizer on
+    and broadcast disabled (both large sides at 100 TB), a selective
+    dim-side filter must inject a BloomFilter aggregate that prunes
+    the FACT side's shuffle input — rows from the 4/5 non-matching
+    priorities drop before the exchange, which at scale is the
+    difference between shuffling the corpus and shuffling a fifth of
+    it. Conf is set/restored around execution (these flags are
+    session-wide, which is why this lives as a pinned pattern rather
+    than a registered query)."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan, plan
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
