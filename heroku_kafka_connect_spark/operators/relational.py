@@ -1774,3 +1774,52 @@ def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("purchase_us"),
         nearest.alias("nearest_click_us"),
     )
+
+
+@register(
+    "rel_anomaly_mad_ts",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT median(n) AS med FROM d),
+    a AS (SELECT median(abs(d.n - m.med)) AS mad FROM d, m)
+    SELECT d.day, d.n,
+           ROUND(m.med, 4) AS med,
+           ROUND(a.mad, 4) AS mad,
+           abs(d.n - m.med) > 2 * a.mad AS is_anomaly
+    FROM d, m, a
+    """,
+)
+def rel_anomaly_mad_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags over the daily event-volume series:
+    a day is anomalous when its count deviates from the series median
+    by more than 2×MAD — the robust control-band rule ops dashboards
+    use (mean/stddev bands get dragged by the very outliers they
+    should flag). The corpus collapses to one row per day FIRST; the
+    medians then run over that |days|-sized relation (tiny forever —
+    3 years is ~1100 rows), broadcast back as 1-row relations. The
+    expensive thing — the daily rollup — is one map-side-combinable
+    agg at any scale."""
+    t = load_tables(spark, sf_dir)
+    d = t.events.groupBy(
+        F.floor(ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = d.agg(F.percentile("n", F.lit(0.5)).alias("med"))
+    a = (
+        d.crossJoin(F.broadcast(m))
+        .select(F.abs(F.col("n") - F.col("med")).alias("adev"))
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    )
+    return (
+        d.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(a))
+        .select(
+            "day",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (F.abs(F.col("n") - F.col("med")) > 2 * F.col("mad")).alias("is_anomaly"),
+        )
+    )

@@ -695,3 +695,70 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "llm_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+      WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS n FROM c12)
+    SELECT c12.w1, c12.w2, c12.n12,
+           ROUND(ln((c12.n12 * CAST(tot.n AS DOUBLE)) / (c1.n1 * CAST(c2.n2 AS DOUBLE))), 4)
+             AS pmi
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1 JOIN c2 ON c12.w2 = c2.w2 CROSS JOIN tot
+    WHERE c12.n12 >= 5
+    ORDER BY pmi DESC, c12.w1, c12.w2 LIMIT 20
+    """,
+)
+def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation detector (Church & Hanks 1990): pairs that co-occur
+    far above chance ('new york'-style units) score high; a min-count
+    floor (n12 ≥ 5) suppresses the unstable rare-pair tail. Feeds
+    tokenizer merge choices and phrase mining.
+
+    Determinism: PMI = ln((n12·N)/(n1·n2)) evaluated on exact BIGINT
+    counts in an identical expression shape, so both engines divide
+    the same exact integers and ln the same double. Scale: bigrams
+    never leave their map task; all exchanges are vocab-bounded
+    aggs + key joins, with the 1-row total broadcast; top-20 is
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(llmops.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    c2 = c12.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = c12.agg(F.sum("n12").alias("n"))
+    pmi = F.log(
+        (F.col("n12") * F.col("n").cast("double"))
+        / (F.col("n1") * F.col("n2").cast("double"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n12") >= 5)
+        .select("w1", "w2", "n12", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -158,3 +158,62 @@ def udf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = parallelize_scan(t.documents.select("doc_id", "text"), "doc_id")
     return docs.mapInPandas(_explode_tokens, "doc_id bigint, token string")
+
+
+@register(
+    "udf_pandas_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def udf_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: Arrow-vectorized vector math — cosine scores computed in a
+    pandas UDF with numpy, proving the Python fast path can carry the
+    similarity hot loop when the expression tree (64 zip_with/
+    aggregate lambdas per row JVM-side) becomes the bottleneck.
+
+    Float determinism is the interesting part: numpy's np.dot uses
+    pairwise/SIMD summation, which diverges from the engines'
+    left-to-right fold in the last ulps and CAN flip a ROUND(…,4)
+    boundary — so the kernel below accumulates dimension-by-dimension
+    (vectorized across ROWS, sequential across the 64 dims), exactly
+    reproducing the fold order of `functions.vectors.dot` and
+    DuckDB's list_dot_product. Same numbers, still SIMD-wide over the
+    batch. The query vector is a 1-row bounded driver hop (same
+    contract as the IVF centroid materialization)."""
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    qv = np.array(
+        t.embeddings.filter(F.col("vec_id") == 0).head().embedding, dtype=np.float64
+    )
+    qn = 0.0
+    for d in range(len(qv)):  # left-to-right fold, matching the oracle
+        qn += qv[d] * qv[d]
+    qnorm = float(np.sqrt(qn))
+
+    @pandas_udf("double")
+    def cos_score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(m))
+        nrm = np.zeros(len(m))
+        for d in range(m.shape[1]):  # fold order: dim 0 -> 63
+            dot += m[:, d] * qv[d]
+            nrm += m[:, d] * m[:, d]
+        return pd.Series(dot / (np.sqrt(nrm) * qnorm))
+
+    e = parallelize_scan(t.embeddings.filter(F.col("vec_id") != 0), "vec_id")
+    return (
+        e.select("vec_id", F.round(cos_score("embedding"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )

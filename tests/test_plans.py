@@ -123,6 +123,9 @@ BNLJ_OK = {
                           # into the per-key share projection
     "llm_hard_negatives",  # corpus scan x 5 broadcast anchor vectors
                           # (label-mismatch predicate fused in-scan)
+    "llm_cooccurrence_pmi",  # 1-row bigram total broadcast into PMI
+    "rel_anomaly_mad_ts",  # 1-row median/MAD relations broadcast into
+                          # the daily-series control band
 }
 
 
