@@ -5,7 +5,7 @@ incremental reads return a stable, non-trivial subset at every sf."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -253,4 +253,56 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(f"{loc}/gen=v1", f"{loc}/gen=v2")
         .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "src_offset_gap_audit",
+    oracle="""
+    WITH k AS (SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'),
+    l AS (SELECT key, lag(key) OVER (ORDER BY key) AS prev FROM k)
+    SELECT prev + 1 AS gap_start, key - 1 AS gap_end, key - prev - 1 AS n_missing
+    FROM l WHERE prev IS NOT NULL AND key - prev > 1
+    """,
+)
+def src_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: offset-continuity audit for incremental ingest — the ranges
+    of ids MISSING from an ingested slice (here the 'F'-status
+    partition), i.e. the holes an incrementing-mode consumer must
+    re-poll. The oracle states it as one global LAG; the Spark plan
+    computes the identical ranges WITHOUT a single-partition sort:
+    keys bucket by key>>10, intra-bucket gaps come from a
+    bucket-partitioned lag, and cross-bucket gaps from a lag over the
+    per-bucket (min,max) boundary relation (|buckets| rows — tiny at
+    any scale). Same offset+local-window decomposition as
+    llm_curriculum_order: full parallelism on the corpus-sized part,
+    the serial part bounded by key-space/1024."""
+    t = load_tables(spark, sf_dir)
+    k = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key"),
+        F.floor(F.col("o_orderkey") / 1024).alias("b"),
+    )
+    wi = Window.partitionBy("b").orderBy("key")
+    intra = (
+        k.withColumn("prev", F.lag("key").over(wi))
+        .filter(F.col("prev").isNotNull() & (F.col("key") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("key") - 1).alias("gap_end"),
+        )
+    )
+    bounds = k.groupBy("b").agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+    wb = Window.orderBy("b")  # |buckets| rows — key-space/1024, not corpus
+    inter = (
+        bounds.withColumn("prev_mx", F.lag("mx").over(wb))
+        .filter(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
+        .select(
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("mn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
     )
