@@ -2896,3 +2896,129 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("targets"),
     )
+
+
+def _bpe_apply_oracle(rounds: int = 3) -> str:
+    """Unrolled trainer CTEs (word carried through each rewrite) + the
+    corpus encode join — llm_bpe_train's chain with (word, s{r})."""
+    parts = [
+        """
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq
+      FROM w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i+1] FOR i IN range(1, len(syms))]) AS pr,
+               freq
+        FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM s{r - 1})
+      ) GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{r} AS (
+      SELECT word,
+             replace(s, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS s,
+             freq
+      FROM s{r - 1}, t{r} t
+    )""")
+    parts.append(f""",
+    enc AS (
+      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+      FROM s{rounds}
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_sym) AS BIGINT) AS n_symbols,
+           ROUND(SUM(enc.n_sym) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_symbols_per_word
+    FROM tok JOIN enc ON tok.word = enc.word
+    GROUP BY tok.doc_id""")
+    return "".join(parts)
+
+
+@register("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE: encode the corpus with the 3 merges
+    llm_bpe_train learns, reporting per-doc symbol counts (the
+    pre-merge count is chars-per-word; each adopted merge shortens
+    every word containing its pair). This is the tokenizer-deployment
+    path: training touches the vocabulary relation only, and encoding
+    is a WORD-KEYED join — the corpus never re-enters the merge loop,
+    and the encoded vocabulary (Zipf-bounded) is what ships to the
+    training job. Same checkpointed round state as the trainer; the
+    word column rides along so the final state joins back to the
+    exploded corpus."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        t.documents.select(F.explode(llmops.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = w.select(
+        "word",
+        F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    for _ in range(3):
+        syms = F.split(F.trim(F.col("s")), " ")
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("a"),
+                        F.element_at(syms, i + 2).alias("b"),
+                    ),
+                )
+            ).alias("pr"),
+            "freq",
+        ).select("pr.a", "pr.b", "freq")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    enc = vocab.select("word", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym"))
+    tok = t.documents.select("doc_id", F.explode(llmops.tokens("text")).alias("word"))
+    return (
+        tok.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+            F.round(F.sum("n_sym") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "avg_symbols_per_word"
+            ),
+        )
+    )

@@ -671,3 +671,74 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             decile.between(1, 8).alias("keep"),
         )
     )
+
+
+@register(
+    "llm_quality_lr_score",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    f AS (
+      SELECT doc_id,
+             ROUND(SUM(length(token) * cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS mean_word_len,
+             ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS distinct_ratio,
+             ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_token_frac
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, mean_word_len, distinct_ratio, top_token_frac,
+           ROUND(1.0 / (1.0 + exp(-(
+             -2.0 + 0.3 * mean_word_len + 4.0 * distinct_ratio
+             - 6.0 * top_token_frac))), 4) AS p_keep,
+           1.0 / (1.0 + exp(-(
+             -2.0 + 0.3 * mean_word_len + 4.0 * distinct_ratio
+             - 6.0 * top_token_frac))) >= 0.5 AS keep
+    FROM f
+    """,
+)
+def llm_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as a columnar expression: a
+    logistic-regression scorer with FIXED weights over engineered
+    features — the structural stand-in for the fastText/LR quality
+    classifiers real curation pipelines train (CCNet, GPT-3's
+    WebText-similarity filter). The point at 100 TB: linear-model
+    INFERENCE needs no Python and no model server — w·x + sigmoid
+    compiles into whole-stage codegen next to the feature
+    aggregation, so scoring is free once the features are computed.
+    Swapping trained weights for these literals changes nothing
+    structurally. Features are ROUND(…,4)-stabilized BEFORE the dot
+    product (the quality_apply convention), so the sigmoid sees
+    identical doubles in both engines and the 0.5 keep-threshold
+    cannot flip."""
+    tc = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    f = tc.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.length("token") * F.col("cnt")) / F.sum("cnt").cast("double"), 4
+        ).alias("mean_word_len"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 4).alias("top_token_frac"),
+    )
+    z = (
+        -2.0
+        + 0.3 * F.col("mean_word_len")
+        + 4.0 * F.col("distinct_ratio")
+        - 6.0 * F.col("top_token_frac")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return f.select(
+        "doc_id",
+        "mean_word_len",
+        "distinct_ratio",
+        "top_token_frac",
+        F.round(p, 4).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )

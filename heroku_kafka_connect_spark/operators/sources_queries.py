@@ -256,6 +256,42 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def gap_ranges(keys: DataFrame, bucket_size: int = 1024) -> DataFrame:
+    """(gap_start, gap_end, n_missing) between consecutive values of
+    ``keys.key`` — the bucketed-lag decomposition (intra-bucket window
+    + |buckets|-row boundary lag) equivalent to one global LAG but
+    with no single-partition corpus sort. Property-tested equal to
+    the naive global computation on random key sets
+    (tests/test_properties.py)."""
+    k = keys.select("key", F.floor(F.col("key") / bucket_size).alias("b"))
+    wi = Window.partitionBy("b").orderBy("key")
+    intra = (
+        k.withColumn("prev", F.lag("key").over(wi))
+        .filter(F.col("prev").isNotNull() & (F.col("key") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("key") - 1).alias("gap_end"),
+        )
+    )
+    bounds = k.groupBy("b").agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+    wb = Window.orderBy("b")  # |buckets| rows — key-space/bucket_size, not corpus
+    inter = (
+        bounds.withColumn("prev_mx", F.lag("mx").over(wb))
+        .filter(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
+        .select(
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("mn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+    )
+
+
 @register(
     "src_offset_gap_audit",
     oracle="""
@@ -278,31 +314,7 @@ def src_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_curriculum_order: full parallelism on the corpus-sized part,
     the serial part bounded by key-space/1024."""
     t = load_tables(spark, sf_dir)
-    k = t.orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_orderkey").alias("key"),
-        F.floor(F.col("o_orderkey") / 1024).alias("b"),
+    keys = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key")
     )
-    wi = Window.partitionBy("b").orderBy("key")
-    intra = (
-        k.withColumn("prev", F.lag("key").over(wi))
-        .filter(F.col("prev").isNotNull() & (F.col("key") - F.col("prev") > 1))
-        .select(
-            (F.col("prev") + 1).alias("gap_start"),
-            (F.col("key") - 1).alias("gap_end"),
-        )
-    )
-    bounds = k.groupBy("b").agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
-    wb = Window.orderBy("b")  # |buckets| rows — key-space/1024, not corpus
-    inter = (
-        bounds.withColumn("prev_mx", F.lag("mx").over(wb))
-        .filter(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
-        .select(
-            (F.col("prev_mx") + 1).alias("gap_start"),
-            (F.col("mn") - 1).alias("gap_end"),
-        )
-    )
-    return intra.unionByName(inter).select(
-        "gap_start",
-        "gap_end",
-        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
-    )
+    return gap_ranges(keys, bucket_size=1024)

@@ -402,3 +402,29 @@ def test_pii_scrub_matches_duckdb_on_adversarial_text(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=200), min_size=2, max_size=60),
+    bucket=st.sampled_from([4, 8, 16, 1024]),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gap_ranges_bucketed_equals_global(spark, keys, bucket):
+    """The bucketed-lag decomposition (src_offset_gap_audit's core)
+    must return exactly the gaps a naive global scan finds, for any
+    key set and any bucket size — including buckets far smaller than
+    the key range, which maximizes cross-boundary gaps."""
+    from heroku_kafka_connect_spark.operators.sources_queries import gap_ranges
+
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "key long")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in gap_ranges(df, bucket_size=bucket).collect()
+    )
+    ks = sorted(keys)
+    expect = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ks, ks[1:])
+        if b - a > 1
+    ]
+    assert got == expect
