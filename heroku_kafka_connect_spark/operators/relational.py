@@ -1823,3 +1823,101 @@ def rel_anomaly_mad_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("n") - F.col("med")) > 2 * F.col("mad")).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "rel_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, v,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, v) - us AS dur
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_us,
+           ROUND(SUM(v * dur) / (100.0 * SUM(dur)), 4) AS twav
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape): each
+    observation holds until the next one, so its weight is the
+    interval it was live — the correct average for irregularly-
+    sampled series, where the plain mean over-weights bursts. One
+    user-partitioned lead() for durations + one agg; both shuffles on
+    user_id, co-partitioned. Determinism: values quantize to integer
+    cents and durations are exact µs, so the weighted sum is an exact
+    integer product-sum (order-independent) — the same scaled-long
+    discipline as the money aggregates."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id", ts_us("ts").alias("us"), mlong("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "v")
+    d = e.withColumn("dur", F.lead("us").over(w) - F.col("us")).filter(
+        F.col("dur").isNotNull()
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").alias("total_us"),
+        F.round(F.sum(F.col("v") * F.col("dur")) / (100.0 * F.sum("dur")), 4).alias(
+            "twav"
+        ),
+    )
+
+
+@register(
+    "rel_rolling_median",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, us, value,
+             list_sort(list(value) OVER win) AS frame,
+             COUNT(*) OVER win AS n_frame
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, us, value, frame[3] AS rolling_median
+    FROM w WHERE n_frame = 5
+    """,
+)
+def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 5-observation frame per user —
+    robust smoothing for noisy series (a rolling MEAN chases every
+    spike; the median ignores them). No native windowed-median
+    exists in either engine, so the frame is collected and sorted
+    per row and the middle element taken — emitted only for full
+    frames so the statistic is always a true 5-median. Cost honesty:
+    collect-per-row is O(frame²) per partition row; the frame is a
+    CONSTANT 5, so this stays linear and shuffle-count is the usual
+    single window exchange. For wide frames switch to the two-heap /
+    approx_percentile pattern instead — the query shape (one
+    user-key window) is unchanged. The median element itself crosses
+    engines untouched (no arithmetic), so the compare is exact."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select("event_id", "user_id", ts_us("ts").alias("us"), "value")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    w = e.withColumn("frame", F.sort_array(F.collect_list("value").over(win))).withColumn(
+        "n_frame", F.count(F.lit(1)).over(win)
+    )
+    return w.filter(F.col("n_frame") == 5).select(
+        "event_id",
+        "user_id",
+        "us",
+        "value",
+        F.element_at("frame", 3).alias("rolling_median"),
+    )
