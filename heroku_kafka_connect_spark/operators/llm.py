@@ -3022,3 +3022,41 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_dedup_report",
+    oracle=_MANIFEST_CTES + """
+    SELECT reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM manifest) AS DOUBLE), 4)
+             AS frac
+    FROM manifest GROUP BY reason
+    """,
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run report — what every curation pipeline prints at
+    the end: docs by outcome (unique / exact-dup / near-dup), cluster
+    counts, and each outcome's share of the corpus. Rides the
+    SESSION-MATERIALIZED manifest (_MANIFEST_MEMO), so after any of
+    the manifest consumers has run, this report costs one tiny agg
+    over |docs| rows — exactly the marginal cost it has in production
+    where the manifest is a written table."""
+    t = load_tables(spark, sf_dir)
+    m = _dedup_manifest_for(spark, sf_dir, t.documents)
+    total = m.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        m.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("canonical_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "reason",
+            "n_docs",
+            "n_clusters",
+            F.round(F.col("n_docs") / F.col("tot").cast("double"), 4).alias("frac"),
+        )
+    )

@@ -126,6 +126,8 @@ BNLJ_OK = {
     "llm_cooccurrence_pmi",  # 1-row bigram total broadcast into PMI
     "rel_anomaly_mad_ts",  # 1-row median/MAD relations broadcast into
                           # the daily-series control band
+    "llm_dedup_report",   # 1-row corpus total broadcast into the
+                          # per-reason share projection
 }
 
 
