@@ -1878,6 +1878,7 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+      WHERE value IS NOT NULL
     ),
     w AS (
       SELECT event_id, user_id, us, value,
@@ -1903,9 +1904,15 @@ def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     single window exchange. For wide frames switch to the two-heap /
     approx_percentile pattern instead — the query shape (one
     user-key window) is unchanged. The median element itself crosses
-    engines untouched (no arithmetic), so the compare is exact."""
+    engines untouched (no arithmetic), so the compare is exact.
+    NULL values are filtered on BOTH sides before windowing: Spark's
+    collect_list drops NULLs while DuckDB's list() keeps them (and
+    list_sort puts them first), so a NULL in-frame would otherwise
+    shift which element is the median in each engine."""
     t = load_tables(spark, sf_dir)
-    e = t.events.select("event_id", "user_id", ts_us("ts").alias("us"), "value")
+    e = t.events.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", ts_us("ts").alias("us"), "value"
+    )
     win = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")

@@ -18,6 +18,33 @@ _INC_OFFSET = jdbc.Offset(incrementing=800)
 _TS_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00")
 _TSINC_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00", incrementing=800)
 
+#: (applicationId, location) pairs already written this session.
+#: The derived fixtures below (partitioned orders, two-generation
+#: docs) are deterministic functions of the immutable sf_dir parquet,
+#: so one write per session suffices — repeat invocations (bench runs
+#: time these as READS) must not silently pay a full rewrite, and the
+#: application-unique path means two concurrent runs on the same
+#: sf_dir never race a reader against an in-progress overwrite.
+_WRITE_MEMO: set[tuple[str, str]] = set()
+
+
+def _derived_fixture(spark: SparkSession, sf_dir: str, kind: str, write) -> str:
+    """Write-once per session: build the derived fixture at a path
+    unique to (application, sf_dir, kind) and memoize, so the
+    registered query only pays the scan on re-invocation."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:10]
+    loc = f"/tmp/hkcs_{kind}_{tag}"
+    key = (app, loc)
+    if key not in _WRITE_MEMO:
+        for k in [k for k in _WRITE_MEMO if k[0] != app]:
+            _WRITE_MEMO.discard(k)
+        write(loc)
+        _WRITE_MEMO.add(key)
+    return loc
+
 
 @register(
     "src_bulk_scan",
@@ -198,20 +225,23 @@ def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     [isnotnull(...), (o_orderpriority = 1-URGENT)]` with only that
     directory's files ever listed — 4/5 of the data is skipped before
     a single byte is read, vs a PushedFilter which still opens every
-    footer. Written once per (sf, session) under /tmp; on a real
-    lake this is the table's permanent layout, chosen by write-time
-    `partitionBy` on the ingest path (sinks/writers.py)."""
-    import hashlib
-
+    footer. Written ONCE per (application, sf) under a session-unique
+    /tmp path (_derived_fixture); on a real lake this is the table's
+    permanent layout, chosen by write-time `partitionBy` on the
+    ingest path (sinks/writers.py)."""
     t = load_tables(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    loc = f"/tmp/hkcs_part_orders_{tag}"
-    (
-        t.orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(loc)
-    )
+
+    def _write(loc: str) -> None:
+        (
+            t.orders.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(loc)
+        )
+
+    loc = _derived_fixture(spark, sf_dir, "part_orders", _write)
     return (
         spark.read.parquet(loc)
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -237,18 +267,18 @@ def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning), the row data is never touched. Non-additive changes
     (type narrowing, renames) still belong to the staged-MERGE path
     in sinks/writers.py."""
-    import hashlib
-
     t = load_tables(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    loc = f"/tmp/hkcs_schemagen_{tag}"
     docs = t.documents
-    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
-        "overwrite"
-    ).parquet(f"{loc}/gen=v1")
-    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source").write.mode(
-        "overwrite"
-    ).parquet(f"{loc}/gen=v2")
+
+    def _write(loc: str) -> None:
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{loc}/gen=v1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source"
+        ).write.mode("overwrite").parquet(f"{loc}/gen=v2")
+
+    loc = _derived_fixture(spark, sf_dir, "schemagen", _write)
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(f"{loc}/gen=v1", f"{loc}/gen=v2")
