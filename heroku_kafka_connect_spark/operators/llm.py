@@ -3077,3 +3077,142 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("tot").cast("double"), 4).alias("frac"),
         )
     )
+
+
+@register(
+    "llm_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    full_topk AS (
+      SELECT q.query_id, e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) DESC,
+                 e.vec_id ASC) <= 5
+    ),
+    tq AS (SELECT vec_id AS query_id, CAST(embedding[1:16] AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+    trunc_topk AS (
+      SELECT tq.query_id, e.vec_id
+      FROM (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS tv
+            FROM embeddings) e, tq
+      WHERE e.vec_id <> tq.query_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY tq.query_id
+        ORDER BY ROUND(list_dot_product(e.tv, tq.qv)
+                   / (sqrt(list_dot_product(e.tv, e.tv))
+                      * sqrt(list_dot_product(tq.qv, tq.qv))), 4) DESC,
+                 e.vec_id ASC) <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.vec_id) / 5.0, 4) AS recall_at_5
+    FROM full_topk f
+    LEFT JOIN trunc_topk t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): how much recall@5 survives
+    when the 64-dim embedding is truncated to its 16-dim prefix? The
+    pipeline decision this feeds: if prefix recall is high enough,
+    the ANN index stores (and shuffles) 4x fewer bytes per vector and
+    full-dim scoring becomes a rerank step over a short candidate
+    list. Both retrievals here are EXACT brute-force top-5 (the same
+    broadcast-queries x streamed-corpus shape as llm_knn_join, twice,
+    one on `slice(embedding,1,16)`), so the oracle replays them
+    bit-identically — the operator measures the EMBEDDING's quality
+    under truncation, not an index's.
+
+    Scale shape: query side broadcast, two narrow corpus passes with
+    per-partition top-k; overlap is a (query_id, vec_id)-keyed join of
+    two k·|queries|-row relations — driver never sees corpus data."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 10)
+    full = brute_force_topk(t.embeddings, q, 6).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    full5 = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    tvecs = t.embeddings.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    tq = tvecs.filter(F.col("vec_id") < 10)
+    trunc5 = (
+        brute_force_topk(tvecs, tq, 6)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    return (
+        full5.join(
+            trunc5.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH g AS ({{G4}}),
+    firstseen AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_seen,
+           ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_frac
+    FROM g JOIN firstseen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """.replace("{G4}", _G4),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal n-gram novelty: processing documents in doc_id order,
+    what fraction of each doc's distinct 4-grams has never been seen
+    before? This is the curation-order diagnostic behind
+    "diminishing-returns" curves (novelty decays as a crawl saturates
+    a domain) and the greedy facility-location selection heuristics —
+    distinct from `llm_substring_dup_rate`, which is order-free
+    (dup-vs-ANY-other-doc); here attribution is to the FIRST
+    occurrence, so the same duplicated gram counts as novel exactly
+    once, in its earliest document.
+
+    Scale shape: reuses the session-materialized shingle relation
+    (_grams4_for); first-seen is a gram-keyed min agg; the join back
+    is gram-co-partitioned with it (one exchange AQE can reuse), and
+    the per-doc rollup is the only further shuffle. O(total shingles)
+    end to end — in a real pipeline doc_id is the crawl timestamp."""
+    g = _grams4_for(spark, sf_dir)
+    firstseen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(firstseen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_first_seen"),
+            F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )

@@ -1928,3 +1928,43 @@ def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.element_at("frame", 3).alias("rolling_median"),
     )
+
+
+@register(
+    "rel_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, n,
+           CAST(CASE WHEN n < 8 THEN 1 ELSE 0 END AS INT) AS suppress,
+           ROUND(1.0 / n, 4) AS reident_risk
+    FROM g
+    """,
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (market segment ×
+    nation): any equivalence class smaller than k=8 is flagged for
+    suppression before the table can be released/used as training
+    data — the standard privacy gate a data-curation pipeline runs
+    next to PII scrubbing (llm_pii_scrub handles direct identifiers;
+    this handles re-identification via attribute combinations).
+    reident_risk = 1/n is the worst-case linkage probability.
+
+    Scale shape: ONE map-side-combinable hash agg on the
+    quasi-identifier tuple — group cardinality is |segments|×|nations|
+    (tiny), so the reduce side is trivially small no matter the row
+    count; the flagging math runs on the aggregated relation."""
+    t = load_tables(spark, sf_dir)
+    g = t.customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        F.when(F.col("n") < 8, 1).otherwise(0).cast("int").alias("suppress"),
+        F.round(F.lit(1.0) / F.col("n"), 4).alias("reident_risk"),
+    )

@@ -368,3 +368,85 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_us.alias("valid_to_us"),
         F.when(to_us.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "cdc_extract_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v1 AS (SELECT k, cents FROM base WHERE k % 7 <> 0),
+    v2 AS (SELECT k,
+                  CASE WHEN k % 5 = 0
+                       THEN cents + CAST(FLOOR(cents / 20.0) AS BIGINT)
+                       ELSE cents END AS cents
+           FROM base WHERE k % 11 <> 0)
+    SELECT COALESCE(v1.k, v2.k) AS order_key,
+           CASE WHEN v1.k IS NULL THEN 'c'
+                WHEN v2.k IS NULL THEN 'd'
+                ELSE 'u' END AS op,
+           v1.cents AS before_cents,
+           v2.cents AS after_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.cents <> v2.cents
+    """,
+)
+def cdc_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACT — the reverse of `cdc_apply_envelope`: diff two
+    table snapshots into a Debezium-style change feed {op c/u/d,
+    before, after}. This is how a lake without a transactional source
+    log still feeds downstream CDC consumers (the JDBC source
+    connector's bulk-diff mode; reference stack's Debezium sink
+    consumes exactly this envelope, main.sh:148-159 declares such
+    pipelines). The two snapshots here are deterministic derivations
+    of `orders` (v1 drops key%7==0 rows = inserts-to-be; v2 drops
+    key%11==0 = deletes; key%5==0 rows get a +5% price change in
+    integer cents = updates), so the oracle replays them exactly.
+
+    Money is diffed in scaled-long CENTS (common.mlong convention):
+    the +5% bump is `cents + floor(cents/20)` — pure integer
+    arithmetic, bit-identical across engines, no double rounding.
+
+    Scale shape: ONE co-partitioned full-outer hash join on the
+    snapshot key, then a residual filter that drops unchanged rows —
+    the emitted feed is O(|Δ|), not O(|table|). At 100 TB both
+    snapshots are bucketed/partitioned by the same key so the join is
+    shuffle-free; AQE coalesces the mostly-empty change partitions."""
+    from .common import mlong
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"), mlong("o_totalprice").alias("cents")
+    )
+    v1 = base.filter(F.col("k") % 7 != 0)
+    v2 = base.filter(F.col("k") % 11 != 0).select(
+        "k",
+        F.when(
+            F.col("k") % 5 == 0,
+            F.col("cents") + F.floor(F.col("cents") / F.lit(20.0)).cast("long"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    op = (
+        F.when(F.col("a.k").isNull(), "c")
+        .when(F.col("b.k").isNull(), "d")
+        .otherwise("u")
+    )
+    return (
+        j.filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.cents") != F.col("b.cents"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("order_key"),
+            op.alias("op"),
+            F.col("a.cents").alias("before_cents"),
+            F.col("b.cents").alias("after_cents"),
+        )
+    )
