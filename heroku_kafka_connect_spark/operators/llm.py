@@ -3216,3 +3216,112 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_embedding_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, pos,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xs
+      FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, pos, CAST(SUM(xs) AS BIGINT) AS s, COUNT(*) AS n
+      FROM dims GROUP BY label, pos
+    ),
+    pv AS (
+      SELECT d.vec_id, d.label, c.n,
+             CAST(SUM((d.xs * c.n - c.s) * (d.xs * c.n - c.s)) AS BIGINT) AS d2n2
+      FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+      GROUP BY d.vec_id, d.label, c.n
+    ),
+    d6 AS (
+      SELECT vec_id, label, n,
+             CAST(ROUND(sqrt(d2n2) * 1000.0 / n) AS BIGINT) AS dist6
+      FROM pv
+    ),
+    st AS (
+      SELECT label, CAST(SUM(dist6) AS BIGINT) AS s1,
+             CAST(SUM(dist6 * dist6) AS BIGINT) AS s2
+      FROM d6 GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           ROUND(d.dist6 / 1000000.0, 4) AS dist,
+           ROUND((d.dist6 - st.s1 / CAST(d.n AS DOUBLE))
+                 / sqrt(st.s2 / CAST(d.n AS DOUBLE)
+                        - (st.s1 / CAST(d.n AS DOUBLE))
+                          * (st.s1 / CAST(d.n AS DOUBLE))), 4) AS z,
+           (d.dist6 - st.s1 / CAST(d.n AS DOUBLE))
+             / sqrt(st.s2 / CAST(d.n AS DOUBLE)
+                    - (st.s1 / CAST(d.n AS DOUBLE))
+                      * (st.s1 / CAST(d.n AS DOUBLE))) >= 2.0 AS outlier
+    FROM d6 d JOIN st ON d.label = st.label
+    """,
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: each vector's Euclidean
+    distance to its label centroid, z-scored within the label — the
+    quality gate that catches mis-embedded / mis-labeled / corrupted
+    vectors before they poison an ANN index or a semantic-dedup pass
+    (the SemDeDup prefilter). A vector is flagged when it sits >= 2
+    standard deviations beyond its cluster's typical radius.
+
+    Determinism (the whole trick): every accumulation happens in
+    EXACT integer space. Coordinates scale to ints (xs = round(1000x),
+    the _pq_parts convention); the centroid is carried as the exact
+    integer SUM s with count n, so the deviation (xs*n - s) is an
+    exact integer and the per-vector squared distance d2n2 = sum of
+    64 exact squares is order-independent. The distance re-quantizes
+    to dist6 = round(1e6 * dist) before the per-label moment sums S1,
+    S2 — again exact ints — and only the final mean/variance/z math
+    runs in doubles, as a single identical expression in both
+    engines. Overflow envelope: |xs| <= ~5e3, so (xs*n - s)^2*64 <
+    2^63 while n < ~6e4 per label; past that, widen to decimal(28,0)
+    buffers (common.msum's wide path).
+
+    Scale shape: one posexplode (narrow), a (label,pos)-keyed agg of
+    |labels|*dims rows, a co-partitioned join back, a per-vector
+    rollup, and a |labels|-row moment relation broadcast to the final
+    join. No corpus-size shuffle beyond the (vec,dim) explode."""
+    t = load_tables(spark, sf_dir)
+    dims = t.embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("xs"),
+    )
+    cent = dims.groupBy("label", "pos").agg(
+        F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = F.col("xs") * F.col("n") - F.col("s")
+    pv = (
+        dims.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum(dev * dev).alias("d2n2"))
+    )
+    d6 = pv.select(
+        "vec_id",
+        "label",
+        "n",
+        F.round(F.sqrt("d2n2") * 1000.0 / F.col("n")).cast("long").alias("dist6"),
+    )
+    st = d6.groupBy("label").agg(
+        F.sum("dist6").alias("s1"),
+        F.sum(F.col("dist6") * F.col("dist6")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    z = (F.col("dist6") - mean) / F.sqrt(
+        F.col("s2") / F.col("n").cast("double") - mean * mean
+    )
+    return d6.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("dist6") / 1000000.0, 4).alias("dist"),
+        F.round(z, 4).alias("z"),
+        (z >= 2.0).alias("outlier"),
+    )

@@ -673,9 +673,9 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_quality_lr_score",
-    oracle="""
+#: shared oracle fragment: the LR quality scorer's feature + sigmoid
+#: chain — reused by llm_quality_lr_score and the threshold sweep.
+_LR_SQL = """
     WITH tc AS (
       SELECT doc_id, token, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -696,8 +696,10 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              -2.0 + 0.3 * mean_word_len + 4.0 * distinct_ratio
              - 6.0 * top_token_frac))) >= 0.5 AS keep
     FROM f
-    """,
-)
+"""
+
+
+@register("llm_quality_lr_score", oracle=_LR_SQL)
 def llm_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering as a columnar expression: a
     logistic-regression scorer with FIXED weights over engineered
@@ -741,4 +743,69 @@ def llm_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_frac",
         F.round(p, 4).alias("p_keep"),
         (p >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "llm_quality_threshold_sweep",
+    oracle=f"""
+    WITH lr AS ({_LR_SQL}),
+    b AS (
+      SELECT CAST(ROUND(p_keep * 10000) AS BIGINT) // 500 AS bin,
+             COUNT(*) AS cnt
+      FROM lr GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM b),
+    grid AS (SELECT unnest(generate_series(1, 19)) AS k)
+    SELECT ROUND(grid.k * 0.05, 2) AS threshold,
+           CAST(COALESCE(SUM(CASE WHEN b.bin >= grid.k THEN b.cnt END), 0)
+                AS BIGINT) AS n_keep,
+           ROUND(COALESCE(SUM(CASE WHEN b.bin >= grid.k THEN b.cnt END), 0)
+                 / CAST(tot.total AS DOUBLE), 4) AS keep_frac
+    FROM grid CROSS JOIN tot LEFT JOIN b ON TRUE
+    GROUP BY grid.k, tot.total
+    """,
+)
+def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the LR quality filter: how many documents
+    survive at every cut threshold 0.05..0.95? This is the knob-tuning
+    artifact a curation run produces BEFORE committing to a threshold
+    — pick the point where keep_frac meets the token budget. Built on
+    the same scorer chain as llm_quality_lr_score (shared _LR_SQL
+    fragment), thresholded in EXACT integer score space: p_keep is
+    already ROUND(...,4)-stabilized, so scaling by 10^4 gives exact
+    ints and `p >= k*0.05` becomes the integer comparison
+    `bin >= k` with bin = p4 // 500 — no float boundary can flip a
+    count between engines.
+
+    Scale shape: per-doc scores collapse to a <=21-row bin histogram
+    FIRST (map-side combinable agg); the 19-point grid sweeps that
+    tiny relation, never the corpus — the cross product is 19x21
+    rows, not 19x|docs|."""
+    scores = llm_quality_lr_score(spark, sf_dir)
+    b = (
+        scores.select(
+            (F.round(F.col("p_keep") * 10000).cast("long") / F.lit(500))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = b.agg(F.sum("cnt").alias("total"))
+    grid = spark.range(1, 20).select(F.col("id").alias("k"))
+    kept = F.sum(F.when(F.col("bin") >= F.col("k"), F.col("cnt")))
+    return (
+        grid.crossJoin(F.broadcast(total))
+        .join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("k", "total")
+        .agg(
+            F.coalesce(kept, F.lit(0)).alias("n_keep"),
+            F.round(
+                F.coalesce(kept, F.lit(0)) / F.col("total").cast("double"), 4
+            ).alias("keep_frac"),
+        )
+        .select(
+            F.round(F.col("k") * 0.05, 2).alias("threshold"), "n_keep", "keep_frac"
+        )
     )

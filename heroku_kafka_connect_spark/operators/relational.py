@@ -1968,3 +1968,59 @@ def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") < 8, 1).otherwise(0).cast("int").alias("suppress"),
         F.round(F.lit(1.0) / F.col("n"), 4).alias("reident_risk"),
     )
+
+
+@register(
+    "rel_numeric_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000 AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+    SELECT b.bin,
+           CAST(b.bin * 25000 AS BIGINT) AS lo_dollars,
+           CAST((b.bin + 1) * 25000 AS BIGINT) AS hi_dollars,
+           CAST(b.n AS BIGINT) AS n,
+           ROUND(b.n / CAST(tot.total AS DOUBLE), 4) AS frac,
+           ROUND(SUM(b.n) OVER (ORDER BY b.bin) / CAST(tot.total AS DOUBLE), 4)
+             AS cum_frac
+    FROM b CROSS JOIN tot
+    """,
+)
+def rel_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value ($25k buckets) with
+    cumulative distribution — the profiling primitive behind skew
+    reports, partition-size planning, and sanity dashboards. Binning
+    happens in EXACT integer cents (mlong // width), so no float
+    boundary can put a row in different buckets across engines.
+
+    Scale shape: the corpus collapses to a <=|buckets|-row relation
+    in ONE map-side-combinable agg; the total and the cumulative
+    window run on that tiny relation (the unpartitioned window is
+    |buckets| rows, not corpus rows — the same 'aggregate first,
+    window the aggregate' shape as llm_domain_mixture)."""
+    t = load_tables(spark, sf_dir)
+    b = (
+        t.orders.select(
+            F.floor(mlong("o_totalprice") / F.lit(2500000)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = b.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bin")  # |buckets| rows only
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("bin") * 25000).cast("long").alias("lo_dollars"),
+            ((F.col("bin") + 1) * 25000).cast("long").alias("hi_dollars"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 4).alias("frac"),
+            F.round(
+                F.sum("n").over(w) / F.col("total").cast("double"), 4
+            ).alias("cum_frac"),
+        )
+    )

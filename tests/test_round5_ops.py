@@ -91,3 +91,62 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
         _grams4_for(spark, sf_dir).select("gram").distinct().count()
     )
     assert total_first_seen == n_distinct_grams
+
+
+def test_quality_threshold_sweep_is_monotone(spark, sf_dir):
+    """n_keep is non-increasing in the threshold, covers the full
+    grid, and agrees with a direct per-threshold count of the
+    scorer's output."""
+    rows = sorted(
+        _q(spark, sf_dir, "llm_quality_threshold_sweep").collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 19
+    keeps = [r.n_keep for r in rows]
+    assert keeps == sorted(keeps, reverse=True)
+    p4s = [
+        int(round(r.p_keep * 10000))
+        for r in _q(spark, sf_dir, "llm_quality_lr_score").collect()
+    ]
+    for r in rows:
+        th = int(round(r.threshold * 10000))
+        assert r.n_keep == sum(1 for p in p4s if p >= th)
+
+
+def test_embedding_outliers_zscore_properties(spark, sf_dir):
+    """One row per vector; per-label z-scores have ~0 mean and ~unit
+    variance (they are z-scores of exact integer dists); outlier flag
+    matches z >= 2 within the rounding quantum."""
+    rows = _q(spark, sf_dir, "llm_embedding_outliers").collect()
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert len(rows) == n_vecs
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+        if r.z >= 2.0 + 5e-5:
+            assert r.outlier
+        elif r.z < 2.0 - 5e-5:
+            assert not r.outlier
+    for label, rs in by_label.items():
+        zs = [r.z for r in rs]
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-3, f"label {label} z-mean {m}"
+        assert abs(v - 1.0) < 1e-2, f"label {label} z-var {v}"
+
+
+def test_numeric_histogram_partitions_orders(spark, sf_dir):
+    """Bucket counts sum to |orders|; cum_frac ends at 1.0; bounds
+    are contiguous in bin index terms."""
+    rows = sorted(_q(spark, sf_dir, "rel_numeric_histogram").collect(),
+                  key=lambda r: r.bin)
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    assert sum(r.n for r in rows) == n_orders
+    assert abs(rows[-1].cum_frac - 1.0) < 5e-5
+    for r in rows:
+        assert r.hi_dollars - r.lo_dollars == 25000
+        assert r.lo_dollars == r.bin * 25000
