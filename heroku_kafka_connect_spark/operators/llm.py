@@ -3161,7 +3161,9 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         full5.join(
-            trunc5.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+            F.broadcast(trunc5.withColumn("hit", F.lit(1))),
+            ["query_id", "vec_id"],
+            "left",
         )
         .groupBy("query_id")
         .agg(
