@@ -2024,3 +2024,134 @@ def rel_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+@register(
+    "rel_zone_map_audit",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey // 4096 AS fid_ingest,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS fid_date,
+             epoch_us(o_orderdate) AS us
+      FROM orders
+    ),
+    zm AS (
+      SELECT 'ingest' AS layout, fid_ingest AS fid, COUNT(*) AS n,
+             MIN(us) AS min_us, MAX(us) AS max_us
+      FROM src GROUP BY fid_ingest
+      UNION ALL
+      SELECT 'date' AS layout, fid_date AS fid, COUNT(*) AS n,
+             MIN(us) AS min_us, MAX(us) AS max_us
+      FROM src GROUP BY fid_date
+    )
+    SELECT layout, fid, CAST(n AS BIGINT) AS n, min_us, max_us,
+           CAST(CASE WHEN max_us < epoch_us(TIMESTAMP '1997-06-01')
+                     THEN 1 ELSE 0 END AS INT) AS skippable
+    FROM zm
+    """,
+)
+def rel_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping audit — the min-max file statistics a
+    lake format (Parquet row groups, Delta/Iceberg file stats) keeps
+    so a predicate can skip whole files WITHOUT reading them —
+    computed for TWO physical layouts of the same table: `ingest`
+    (files = 4096-key arrival chunks) and `date` (files = calendar
+    months, the partitioned-compaction layout the ingest path's
+    `partitionBy` would produce). For the probe predicate
+    `o_orderdate >= 1997-06-01` a file is skippable iff its max date
+    falls below the cutoff: on this fixture the ingest layout skips
+    NOTHING (dates are uncorrelated with arrival order — every file's
+    [min,max] spans the full range) while the date layout skips every
+    closed month before the cutoff. That delta IS the business case
+    for sort/partition compaction; when skipping must work on several
+    dimensions at once, rel_zorder_index is the layout fix.
+
+    Scale shape: two map-side-combinable aggs over one scan collapse
+    the corpus to |files| rows per layout; the skip decision runs on
+    the stats relation, exactly like a planner pruning a manifest."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.unix_micros(F.lit("1997-06-01").cast("timestamp"))
+    src = t.orders.select(
+        F.floor(F.col("o_orderkey") / F.lit(4096)).alias("fid_ingest"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+            "long"
+        ).alias("fid_date"),
+        ts_us("o_orderdate").alias("us"),
+    )
+
+    def zm(layout: str, fid_col: str) -> DataFrame:
+        return (
+            src.groupBy(F.col(fid_col).alias("fid"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("us").alias("min_us"),
+                F.max("us").alias("max_us"),
+            )
+            .select(F.lit(layout).alias("layout"), "fid", "n", "min_us", "max_us")
+        )
+
+    return zm("ingest", "fid_ingest").unionByName(zm("date", "fid_date")).select(
+        "layout",
+        "fid",
+        "n",
+        "min_us",
+        "max_us",
+        F.when(F.col("max_us") < cutoff, 1).otherwise(0).cast("int").alias(
+            "skippable"
+        ),
+    )
+
+
+@register(
+    "rel_dp_noised_counts",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    u AS (
+      SELECT o_orderpriority, n,
+             (CAST(concat('0x', substr(md5(o_orderpriority), 1, 4)) AS BIGINT)
+              + 0.5) / 65536.0 - 0.5 AS uu
+      FROM g
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND(-1.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 4) AS noise,
+           CAST(ROUND(n + (-1.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu))))
+                AS BIGINT) AS n_noised
+    FROM u
+    """,
+)
+def rel_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised group counts via inverse-CDF sampling — the
+    differential-privacy release shape (ε=1, sensitivity 1 ⇒ scale
+    b=1): noise = −sign(u)·ln(1−2|u|) for u uniform on (−½,½).
+    HONESTY NOTE: u here is hash-SEEDED from the group key (16-bit
+    md5 prefix, the corpus sampling idiom), so the release is
+    REPRODUCIBLE — which is what makes it testable cross-engine and
+    is how a pipeline pins a per-release noise seed for audit replay;
+    a production ε-DP deployment must draw u from a fresh CSPRNG per
+    release, or repeated releases average the noise away. The
+    operator models the release PIPELINE (group → calibrate → noise →
+    round to integer counts), not the entropy source.
+
+    Scale shape: one combinable count agg to |groups| rows; the
+    noise transform is per-group scalar math on that tiny relation."""
+    t = load_tables(spark, sf_dir)
+    g = t.orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5("o_orderpriority"), 1, 4), 16, 10).cast(
+                "long"
+            )
+            + 0.5
+        )
+        / 65536.0
+        - 0.5
+    )
+    noise = -1.0 * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return g.select(
+        "o_orderpriority",
+        "n",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise).cast("long").alias("n_noised"),
+    )

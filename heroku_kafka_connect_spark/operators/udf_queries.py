@@ -217,3 +217,77 @@ def udf_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL
+    ),
+    st AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(v100) AS BIGINT) AS s1,
+             CAST(SUM(v100 * v100) AS BIGINT) AS s2
+      FROM e GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN st.n * st.s2 - st.s1 * st.s1 > 0
+                THEN ROUND((e.v100 - st.s1 / CAST(st.n AS DOUBLE))
+                           / sqrt(st.s2 / CAST(st.n AS DOUBLE)
+                                  - (st.s1 / CAST(st.n AS DOUBLE))
+                                    * (st.s1 / CAST(st.n AS DOUBLE))), 4)
+                ELSE NULL END AS z
+    FROM e JOIN st ON e.user_id = st.user_id
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.H grouped-MAP Arrow UDF (`applyInPandas`) — the remaining
+    pandas extension point after scalar (udf_scalar_pandas), grouped
+    AGG (udf_grouped_agg), and table functions (udf_udtf_chunks):
+    each user's events arrive as ONE pandas DataFrame and leave
+    re-shaped row-for-row, here z-scored within the user. This is the
+    escape hatch for per-group logic no window function expresses
+    (sklearn transforms, per-entity model scoring).
+
+    Determinism inside the kernel follows the engine convention:
+    2-dp values scale to exact int64 (v100), the moment sums s1/s2
+    are exact integer arithmetic REGARDLESS of pandas row order, and
+    the final mean/std/z expression is the same IEEE double chain the
+    oracle runs — so an Arrow batch boundary or group-arrival order
+    can never flip a value. Degenerate groups (zero variance, exact
+    integer test n*s2-s1² == 0) emit NULL on both sides.
+
+    Scale shape: applyInPandas shuffles once on the group key —
+    exactly the exchange the window-function formulation would need —
+    then streams Arrow batches; group state is 2 ints, never
+    corpus-sized."""
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v100 = np.rint(pdf["value"].to_numpy() * 100).astype(np.int64)
+        n = len(v100)
+        s1 = int(v100.sum())
+        s2 = int((v100 * v100).sum())
+        if n * s2 - s1 * s1 > 0:
+            mean = s1 / n
+            std = np.sqrt(s2 / n - mean * mean)
+            z = (v100 - mean) / std  # raw; rounded JVM-side (np.round
+            # is banker's — the engines' ROUND is half-away-from-zero)
+        else:
+            z = np.full(n, np.nan)
+        out = pdf[["event_id", "user_id", "value"]].copy()
+        out["z"] = z
+        return out
+
+    raw = e.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, value double, z double"
+    )
+    return raw.select("event_id", "user_id", "value", F.round("z", 4).alias("z"))

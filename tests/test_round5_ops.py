@@ -150,3 +150,66 @@ def test_numeric_histogram_partitions_orders(spark, sf_dir):
     for r in rows:
         assert r.hi_dollars - r.lo_dollars == 25000
         assert r.lo_dollars == r.bin * 25000
+
+
+def test_grouped_map_zscore_matches_window_formulation(spark, sf_dir):
+    """The applyInPandas kernel must equal the pure-SQL window
+    formulation computed by Spark itself (engine-internal
+    third-engine check), and per-user z-stats must normalize."""
+    from pyspark.sql import Window, functions as F
+
+    got = {r.event_id: r.z for r in
+           _q(spark, sf_dir, "udf_grouped_map_zscore").collect()}
+    from heroku_kafka_connect_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    v100 = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id")
+    e = (
+        t.events.filter(F.col("value").isNotNull())
+        .withColumn("v100", v100)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("v100").over(w))
+        .withColumn("s2", F.sum(F.col("v100") * F.col("v100")).over(w))
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    z = F.when(
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0,
+        F.round(
+            (F.col("v100") - mean)
+            / F.sqrt(F.col("s2") / F.col("n").cast("double") - mean * mean),
+            4,
+        ),
+    )
+    want = {r.event_id: r.z for r in e.select("event_id", z.alias("z")).collect()}
+    assert got == want
+
+
+def test_zone_map_audit_layout_delta(spark, sf_dir):
+    """Both layouts cover all orders; the date layout must make SOME
+    files skippable for the probe predicate while the ingest layout
+    (date-uncorrelated chunks) skips none — the compaction case the
+    operator exists to demonstrate."""
+    import pyarrow.parquet as pq
+
+    rows = _q(spark, sf_dir, "rel_zone_map_audit").collect()
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    for layout in ("ingest", "date"):
+        lr = [r for r in rows if r.layout == layout]
+        assert sum(r.n for r in lr) == n_orders
+        for r in lr:
+            assert r.min_us <= r.max_us
+    assert sum(r.skippable for r in rows if r.layout == "ingest") == 0
+    assert sum(r.skippable for r in rows if r.layout == "date") > 0
+
+
+def test_dp_noised_counts_noise_is_laplace_shaped(spark, sf_dir):
+    """Noise is bounded away from blowup, reproducible, and the
+    integer release equals round(n + noise)."""
+    rows = _q(spark, sf_dir, "rel_dp_noised_counts").collect()
+    again = {r.o_orderpriority: r.noise
+             for r in _q(spark, sf_dir, "rel_dp_noised_counts").collect()}
+    for r in rows:
+        assert again[r.o_orderpriority] == r.noise  # seeded => reproducible
+        assert abs(r.noise) < 12.0  # |ln(1/65536)| bound for 16-bit u
+        assert abs(r.n_noised - (r.n + r.noise)) <= 0.5 + 1e-4
