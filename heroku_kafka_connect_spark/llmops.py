@@ -139,6 +139,28 @@ def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
     return F.round(inter / union, scale)
 
 
+def minhash_signatures(sh: DataFrame, k: int) -> DataFrame:
+    """(__id, m0..m{k-1}) minhash signature relation from a per-doc
+    shingle relation (__id, __sh) — the sketch state itself, shared by
+    the LSH banding front half and the estimator-accuracy monitor
+    (llm_minhash_est_error). explode_OUTER: plain explode makes
+    InferFiltersFromGenerate add a `size(shingles) > 0` filter that
+    Catalyst then pushes BELOW the repartition — re-evaluating the
+    whole shingle expression on the scan side, single-task on a
+    one-file input (measured 2.7 s of a 5.3 s query). Non-null text
+    always yields >= 1 shingle, so outer and inner explode are
+    semantically identical here."""
+    xs = sh.select("__id", F.explode_outer("__sh").alias("__s")).select(
+        "__id", hex32(F.col("__s")).alias("__x")
+    )
+    return xs.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(P32)).alias(f"m{i}")
+            for i, (a, b) in enumerate(AFFINE[:k])
+        ]
+    )
+
+
 def _lsh_shingle_buckets(
     docs: DataFrame, id_col: str, text_col: str, shingle_n: int, bands: int, rows: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -167,21 +189,7 @@ def _lsh_shingle_buckets(
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.filter(F.col(text_col).isNotNull()).repartition(par, F.col(id_col))
     sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
-    # explode_OUTER: plain explode makes InferFiltersFromGenerate add a
-    # `size(shingles) > 0` filter that Catalyst then pushes BELOW the
-    # repartition — re-evaluating the whole shingle expression on the
-    # scan side, single-task on a one-file input (measured 2.7 s of a
-    # 5.3 s query). Non-null text always yields >= 1 shingle, so outer
-    # and inner explode are semantically identical here.
-    xs = sh.select("__id", F.explode_outer("__sh").alias("__s")).select(
-        "__id", hex32(F.col("__s")).alias("__x")
-    )
-    mins = xs.groupBy("__id").agg(
-        *[
-            F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(P32)).alias(f"m{i}")
-            for i, (a, b) in enumerate(AFFINE[:k])
-        ]
-    )
+    mins = minhash_signatures(sh, k)
     banded = mins.select(
         "__id",
         F.explode(

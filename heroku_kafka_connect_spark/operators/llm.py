@@ -3327,3 +3327,127 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z >= 2.0).alias("outlier"),
     )
+
+
+def _minhash_est_oracle(bands: int = 8, rows: int = 4, max_bucket: int = 256) -> str:
+    """SQL replica of the estimator-vs-exact monitor: same front half
+    as _minhash_oracle (shingles → affine mins → band keys → capped
+    buckets → candidate pairs), then signature-agreement estimate
+    joined against exact Jaccard for every candidate pair."""
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    keys = ",\n        ".join(
+        "md5(concat_ws(',', '{j}', {ms}))".format(
+            j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    ok AS (
+      SELECT key FROM banded GROUP BY key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.key = y.key AND x.doc_id < y.doc_id
+      WHERE x.key IN (SELECT key FROM ok)
+    )
+    SELECT c.a, c.b,
+           ROUND(({agree}) / {k}.0, 4) AS est_jaccard,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard,
+           ROUND(abs(({agree}) / {k}.0
+                 - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))), 4) AS abs_err
+    FROM cand c
+    JOIN mins ma ON ma.doc_id = c.a
+    JOIN mins mb ON mb.doc_id = c.b
+    JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b
+    """
+
+
+@register("llm_minhash_est_error", oracle=_minhash_est_oracle())
+def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy monitor for the MinHash dedup path — the
+    dedup-side sibling of llm_knn_recall / llm_pq_recall: for every
+    LSH candidate pair, the signature-agreement ESTIMATE of Jaccard
+    (matching minhashes / k; unbiased, stderr ≈ sqrt(J(1-J)/32) ≈
+    0.09) against the exact set Jaccard, with the absolute error.
+    This is what detects a drifted hash family, a banding config that
+    surfaces only high-J pairs, or a shingle-definition mismatch —
+    BEFORE a threshold decision built on the estimate silently
+    over/under-deletes at production scale (where the verify join may
+    be sampled rather than exact).
+
+    Scale shape: identical front half as llm_dedup_near (shared
+    _lsh_shingle_buckets — one shingle explode, map-combinable min
+    aggs, id-only band shuffle, capped buckets); the estimate join
+    carries one k-long row per candidate doc, the exact side
+    re-shingles only candidates. No all-pairs stage."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    k = 32
+    sh_rel, buckets = llmops._lsh_shingle_buckets(docs, "doc_id", "text", 3, 8, 4)
+    mins = llmops.minhash_signatures(sh_rel, k)
+    live = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= 256))
+    cand = (
+        live.select(F.explode(llmops.ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    agree = sum(
+        F.when(F.col(f"ma.m{i}") == F.col(f"mb.m{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    sh = docs.select("doc_id", llmops.shingles("text", 3).alias("sh"))
+    est = (
+        cand.join(mins.alias("ma"), F.col("a") == F.col("ma.__id"))
+        .join(mins.alias("mb"), F.col("b") == F.col("mb.__id"))
+        .select("a", "b", (agree / F.lit(float(k))).alias("est_raw"))
+    )
+    out = (
+        est.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round("est_raw", 4).alias("est_jaccard"),
+            llmops.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            F.round(
+                F.abs(
+                    F.col("est_raw")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                ),
+                4,
+            ).alias("abs_err"),
+        )
+    )
+    return out

@@ -2155,3 +2155,80 @@ def rel_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).alias("noise"),
         F.round(F.col("n") + noise).cast("long").alias("n_noised"),
     )
+
+
+@register(
+    "rel_scd2_point_in_time",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events),
+    times AS (
+      SELECT unnest([epoch_us(TIMESTAMP '1997-01-01'),
+                     epoch_us(TIMESTAMP '1999-01-01'),
+                     epoch_us(TIMESTAMP '2001-01-01')]) AS probe_us
+    ),
+    grid AS (SELECT user_id, probe_us FROM p CROSS JOIN times),
+    best AS (
+      SELECT g.user_id, g.probe_us, e.event_id, e.value,
+             ROW_NUMBER() OVER (PARTITION BY g.user_id, g.probe_us
+                                ORDER BY epoch_us(e.ts) DESC, e.event_id DESC)
+               AS rn
+      FROM grid g
+      JOIN events e ON e.user_id = g.user_id
+                   AND epoch_us(e.ts) <= g.probe_us
+    )
+    SELECT g.user_id, g.probe_us, b.event_id, b.value AS value_at
+    FROM grid g
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.user_id = g.user_id AND b.probe_us = g.probe_us
+    """,
+)
+def rel_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup — the feature-store correctness
+    primitive: for every user and a set of training timestamps,
+    return the state that was CURRENT at that instant (latest event
+    with ts <= probe; NULL when no history yet existed). Joining on
+    "latest value" instead of PIT is how label leakage happens in
+    training pipelines; this operator is the leak-proof formulation.
+
+    Scale shape: NOT the oracle's inequality join (|events| × probes
+    with a range predicate — BNLJ at scale). The union+window as-of
+    trick (rel_join_asof's): probe rows interleave into the event
+    stream sorted by (ts, kind), and a running `last(state,
+    ignoreNulls)` hands each probe the preceding event — ONE user-key
+    shuffle, linear in |events| + |probes|, regardless of probe
+    count. State rides in a STRUCT so a NULL feature value inside a
+    live event row survives (ignoreNulls skips null structs, not null
+    fields). Tiebreaks pinned: same-instant events resolve to the
+    highest event_id; an event AT the probe instant counts (kind
+    orders events before probes)."""
+    t = load_tables(spark, sf_dir)
+    times = spark.createDataFrame(
+        [("1997-01-01",), ("1999-01-01",), ("2001-01-01",)], "probe_ts string"
+    ).select(F.unix_micros(F.col("probe_ts").cast("timestamp")).alias("probe_us"))
+    users = t.events.select("user_id").distinct()
+    ev = t.events.select(
+        "user_id",
+        ts_us("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        F.struct("event_id", "value").alias("state"),
+    )
+    pr = users.crossJoin(F.broadcast(times)).select(
+        "user_id",
+        F.col("probe_us").alias("us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<event_id:bigint,value:double>").alias("state"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", F.col("state.event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ev.unionByName(pr).withColumn(
+        "cur", F.last("state", ignorenulls=True).over(w)
+    )
+    return u.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("us").alias("probe_us"),
+        F.col("cur.event_id").alias("event_id"),
+        F.col("cur.value").alias("value_at"),
+    )

@@ -213,3 +213,121 @@ def test_dp_noised_counts_noise_is_laplace_shaped(spark, sf_dir):
         assert again[r.o_orderpriority] == r.noise  # seeded => reproducible
         assert abs(r.noise) < 12.0  # |ln(1/65536)| bound for 16-bit u
         assert abs(r.n_noised - (r.n + r.noise)) <= 0.5 + 1e-4
+
+
+def test_cdc_extract_feed_streams_v1_to_v2(spark, sf_dir, tmp_path):
+    """End-to-end glue: the snapshot-diff feed, consumed as a STREAM
+    in three arrival chunks through foreachBatch apply-onto-state,
+    reconstructs snapshot v2 from snapshot v1 exactly — the contract
+    a downstream Debezium-style consumer of cdc_extract_diff relies
+    on across micro-batch boundaries."""
+    from pyspark.sql import functions as F
+    from heroku_kafka_connect_spark.session import load_tables
+    from heroku_kafka_connect_spark.operators.common import mlong
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("order_key"), mlong("o_totalprice").alias("cents")
+    )
+    v1 = base.filter(F.col("order_key") % 7 != 0)
+    v2 = base.filter(F.col("order_key") % 11 != 0).select(
+        "order_key",
+        F.when(
+            F.col("order_key") % 5 == 0,
+            F.col("cents") + F.floor(F.col("cents") / F.lit(20.0)).cast("long"),
+        ).otherwise(F.col("cents")).alias("cents"),
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    state_dir = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    feed = _q(spark, sf_dir, "cdc_extract_diff")
+    for chunk in range(3):  # three arrival files = three micro-batches
+        feed.filter(F.col("order_key") % 3 == chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    v1.write.mode("overwrite").parquet(state_dir)
+
+    def apply_batch(batch_df, batch_id):
+        b = batch_df.cache()
+        state = batch_df.sparkSession.read.parquet(state_dir)
+        keys = [r.order_key for r in b.select("order_key").distinct().collect()]
+        untouched = state.filter(~F.col("order_key").isin(keys))
+        upserts = b.filter(F.col("op") != "d").select(
+            "order_key", F.col("after_cents").alias("cents")
+        )
+        # materialize BEFORE overwriting the dir being read — a lazy
+        # plan would scan the files the write is truncating
+        new_state = untouched.unionByName(upserts).localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema("order_key long, op string, before_cents long, after_cents long")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.order_key, r.cents) for r in spark.read.parquet(state_dir).collect()}
+    want = {(r.order_key, r.cents) for r in v2.collect()}
+    assert got == want
+
+
+def test_minhash_estimator_covers_near_pairs_and_is_calibrated(spark, sf_dir):
+    """Every verified near-dup pair must appear among the estimator's
+    candidate pairs; abs_err is exactly |est - exact| and the mean
+    error stays within a few standard errors of the 32-hash sketch."""
+    est = {(r.a, r.b): r for r in
+           _q(spark, sf_dir, "llm_minhash_est_error").collect()}
+    near = _q(spark, sf_dir, "llm_dedup_near").collect()
+    assert est, "estimator produced no candidate pairs"
+    for r in near:
+        assert (r.a, r.b) in est
+    for r in est.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 2e-4
+    mean_err = sum(r.abs_err for r in est.values()) / len(est)
+    assert mean_err < 0.27, f"sketch badly calibrated: mean |err| {mean_err}"
+
+
+def test_scd2_point_in_time_matches_direct_scan(spark, sf_dir):
+    """PIT result equals a direct per-(user, probe) argmax over the
+    raw events (ts <= probe, ties to highest event_id), including
+    NULLs for users with no history before the probe."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    rows = _q(spark, sf_dir, "rel_scd2_point_in_time").collect()
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).to_pylist()
+    users = {e["user_id"] for e in ev}
+    probes = [
+        int(dt.datetime(y, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        for y in (1997, 1999, 2001)
+    ]
+    assert len(rows) == len(users) * 3
+    want = {}
+    for u in users:
+        mine = [e for e in ev if e["user_id"] == u]
+        for p in probes:
+            elig = [
+                e for e in mine
+                if int(e["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) <= p
+            ]
+            if elig:
+                best = max(
+                    elig,
+                    key=lambda e: (
+                        e["ts"].replace(tzinfo=dt.timezone.utc), e["event_id"]
+                    ),
+                )
+                want[(u, p)] = (best["event_id"], best["value"])
+            else:
+                want[(u, p)] = (None, None)
+    got = {(r.user_id, r.probe_us): (r.event_id, r.value_at) for r in rows}
+    assert got == want
