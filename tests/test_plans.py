@@ -128,6 +128,14 @@ BNLJ_OK = {
                           # the daily-series control band
     "llm_dedup_report",   # 1-row corpus total broadcast into the
                           # per-reason share projection
+    "llm_matryoshka_recall",  # two corpus scans x 10 broadcast query
+                          # vectors (full-dim and 16-dim prefix passes)
+    "llm_quality_threshold_sweep",  # 19-row grid x <=21-row bin
+                          # histogram x 1-row total — all tiny sides
+    "rel_numeric_histogram",  # 1-row bucket total broadcast into the
+                          # frac/cum_frac projections
+    "rel_scd2_point_in_time",  # 3-row probe-times relation broadcast
+                          # onto the distinct-users relation
 }
 
 
@@ -183,3 +191,52 @@ def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
     p = plan_of(spark, "llm_vocab_encode", sf_dir)
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_cdc_extract_diff_single_join_pruned_scans(spark, sf_dir):
+    """J112: the snapshot diff is ONE co-partitioned full-outer join;
+    both snapshot scans read only (key, price) — at 100 TB a wider
+    ReadSchema or a second join shape would dominate the cost."""
+    p = plan_of(spark, "cdc_extract_diff", sf_dir)
+    assert "FullOuter" in p
+    assert p.count("Join") == 1
+    assert p.count("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>") == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_numeric_histogram_aggregates_before_window(spark, sf_dir):
+    """J118: the corpus must collapse to the bucket relation BEFORE
+    the cumulative window — the window may only ever see the tiny
+    aggregate (partial_count proves map-side combine)."""
+    p = plan_of(spark, "rel_numeric_histogram", sf_dir)
+    assert "partial_count" in p
+    w = p.index("Window")
+    a = p.index("HashAggregate")
+    assert a > w, "aggregate must sit BELOW the window in the plan tree"
+
+
+def test_point_in_time_has_single_key_shuffle_no_range_join(spark, sf_dir):
+    """J123: the PIT lookup must use the union+window as-of shape —
+    no inequality/range join anywhere, probes broadcast onto users."""
+    p = plan_of(spark, "rel_scd2_point_in_time", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # the whole point: no range join
+    assert "Window" in p
+
+
+def test_matryoshka_overlap_join_broadcasts(spark, sf_dir):
+    """J114: the two k·|queries|-row top-k relations meet in a
+    BROADCAST join — a shuffle there would serialize the two corpus
+    passes behind an exchange of trivially small data."""
+    p = plan_of(spark, "llm_matryoshka_recall", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p  # per-partition top-k cut, both passes
+
+
+def test_embedding_outliers_moments_broadcast(spark, sf_dir):
+    """J117: the |labels|-row moment relation must broadcast back onto
+    the per-vector distances; the only big exchanges are the
+    (label,pos) centroid agg and the per-vector rollup."""
+    p = plan_of(spark, "llm_embedding_outliers", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
