@@ -177,28 +177,41 @@ class Reconciler:
                 self._sleep(self.retry_sleep_s)
         return False
 
+    def upsert(self, spec: PipelineSpec) -> str:
+        """PUT semantics for ONE pipeline (main.sh:148-166): new →
+        start ("started"); changed fingerprint → stop-with-retry +
+        start ("restarted"); identical fingerprint → no-op
+        ("unchanged", as a PUT of identical config is in Connect).
+        Raises on validation or start failure — callers map that to
+        their own error surface (reconcile report / HTTP 4xx-5xx)."""
+        spec.validate()
+        current = self.runtime.list_running().get(spec.name)
+        if current is None:
+            self.runtime.start(spec)
+            return "started"
+        if current != spec.fingerprint():
+            if not self._stop_with_retry(spec.name):
+                raise RuntimeError(f"{spec.name}: stop-for-restart failed")
+            self.runtime.start(spec)
+            return "restarted"
+        return "unchanged"
+
+    def delete(self, name: str) -> bool:
+        """DELETE semantics (main.sh:130-141, 190-195): stop with the
+        E8 retry ladder. True = stopped; False = retries exhausted
+        (Connect's 409-under-rebalance analog)."""
+        return self._stop_with_retry(name)
+
     def reconcile_once(self, desired: list[PipelineSpec]) -> ReconcileReport:
         report = ReconcileReport()
         running = self.runtime.list_running()
         desired_names = {s.name for s in desired}
 
-        # upsert (main.sh:148-166): new → start; changed → restart;
-        # same fingerprint → leave alone (PUT of identical config is
-        # a no-op in Connect as well)
+        # upsert (main.sh:148-166) — per-pipeline failures isolated
         for spec in desired:
             try:
-                current = running.get(spec.name)
-                if current is None:
-                    self.runtime.start(spec)
-                    report.started.append(spec.name)
-                elif current != spec.fingerprint():
-                    if not self._stop_with_retry(spec.name):
-                        report.failed[spec.name] = "stop-for-restart failed"
-                        continue
-                    self.runtime.start(spec)
-                    report.restarted.append(spec.name)
-                else:
-                    report.unchanged.append(spec.name)
+                outcome = self.upsert(spec)
+                getattr(report, outcome).append(spec.name)
             except Exception as e:  # noqa: BLE001 — isolate per-pipeline failures
                 report.failed[spec.name] = str(e)
 
@@ -250,9 +263,14 @@ def boot(
         validate_env(env)
     specs = specs_from_env(env)
     runtime = SparkRuntime(spark, checkpoint_root=checkpoint_root)
-    server = StatusServer(runtime, port=status_port)
+    reconciler = Reconciler(runtime)
+    # the REST server shares the boot reconciler: HTTP PUT/DELETE get
+    # the same fingerprint-upsert and stop-retry semantics as the
+    # declarative env reconcile (main.sh drives both through the same
+    # Connect REST surface)
+    server = StatusServer(runtime, port=status_port, reconciler=reconciler)
     server.start()
-    thread = Reconciler(runtime).run_background(specs)
+    thread = reconciler.run_background(specs)
     return runtime, server, thread
 
 
@@ -310,14 +328,24 @@ class SparkRuntime(QueryRuntime):
             def stamp(bdf: DataFrame, batch_id: int) -> DataFrame:
                 # (__batch_id, __row_n) = stable row identity: __row_n
                 # is a row_number over a TOTAL order of the batch's own
-                # columns, so a replayed batch (identical content by
+                # content, so a replayed batch (identical content by
                 # construction) re-derives identical row numbers and
-                # re-appended rows collide exactly. The single-partition
-                # sort is bounded by micro-batch size — fine for a DLQ
-                # path; streams with a broker offset should stamp that
-                # instead. Unorderable columns (maps, and arrays/
-                # structs containing them) are serialized to JSON for
-                # the sort key — Spark rejects them in ordering
+                # re-appended rows collide exactly. The total order is
+                # (content-hash bucket, all columns): rows are hashed
+                # into 64 buckets, ranked WITHIN their bucket, and a
+                # broadcast prefix-sum of per-bucket counts turns local
+                # ranks into the global ordinal — the same
+                # offset+local-rank decomposition as the curriculum
+                # ordinal (pipeline_queries.llm_curriculum_order). No
+                # unpartitioned WindowExec: a fat micro-batch stamps
+                # through 64 parallel tasks instead of funnelling its
+                # full width through one sort task per trigger. The
+                # bucket is xxhash64 of the row content (fixed seed),
+                # so replay determinism is preserved; only the tiny
+                # 64-row offset relation is prefix-summed serially.
+                # Unorderable columns (maps, and arrays/structs
+                # containing them) are serialized to JSON for the hash
+                # + sort key — Spark rejects them in ordering
                 # expressions, and silently skipping them would weaken
                 # identity to a partial order (duplicate sort keys =
                 # replay-order-dependent row numbers).
@@ -337,9 +365,28 @@ class SparkRuntime(QueryRuntime):
                     F.col(f.name) if orderable(f.dataType) else F.to_json(f.name)
                     for f in bdf.schema.fields
                 ]
-                w = Window.orderBy(*keys)
-                return bdf.withColumn("__row_n", F.row_number().over(w)).withColumn(
-                    "__batch_id", F.lit(batch_id)
+                nb = 64
+                tmp = bdf.withColumn(
+                    "__bkt", F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int")
+                )
+                counts = tmp.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
+                # prefix sum over <=64 rows — allowlisted tiny-relation window
+                woff = Window.orderBy("__bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                offs = counts.select(
+                    "__bkt",
+                    F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+                )
+                wrn = Window.partitionBy("__bkt").orderBy(*keys)
+                return (
+                    tmp.withColumn("__rn", F.row_number().over(wrn))
+                    .join(F.broadcast(offs), "__bkt")
+                    .withColumn(
+                        "__row_n", (F.col("__off") + F.col("__rn")).cast("int")
+                    )
+                    .withColumn("__batch_id", F.lit(batch_id))
+                    .drop("__bkt", "__rn", "__off")
                 )
 
             def split(batch_df: DataFrame, batch_id: int) -> None:

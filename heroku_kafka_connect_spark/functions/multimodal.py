@@ -4,27 +4,121 @@ Images/audio/video ride through the engine as opaque `binary` columns
 with a typed metadata struct — the same carrier the Connect BYTES
 schema type provides (SURVEY.md §1.2). The Spark-side plumbing is
 real and tested: schema, Arrow batch shape, mapInPandas signatures,
-partitioning. The actual codecs (PIL/ffmpeg/librosa) are NOT in this
-container, so `decode_*` uses a clearly-marked deterministic fake
-keyed on payload bytes; swap `_STUB_DECODERS=False` on a cluster with
-the libs installed and the same plumbing carries real decoding.
+partitioning.
+
+Codec status (two tiers):
+
+* REAL, pure-Python, public-spec: PNG (RFC 2083 / W3C PNG spec —
+  signature + chunk walk + IHDR parse; the encoder emits complete
+  valid files with zlib IDAT and CRC-32 chunk checksums) and WAV
+  (RIFF/WAVE fmt-chunk parse per the public Microsoft/IBM RIFF
+  spec). `encode_png`/`parse_png`, `encode_wav`/`parse_wav` below
+  run on REAL bytes, stdlib only (struct + zlib).
+* STUBBED pending native libs: pixel-level decode / JPEG / video
+  (needs PIL/ffmpeg, absent in this container). Those paths keep the
+  deterministic fake keyed on payload length; the mapInPandas batch
+  loop is identical, so real codecs drop in unchanged.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: this container has no image/audio codecs — deterministic fake
+#: pixel/JPEG/video decoding needs PIL/ffmpeg — deterministic fake.
+#: PNG/WAV METADATA decode below is real (pure-Python spec parsers).
 _STUB_DECODERS = True
+
+# ------------------------------------------------------ real codecs
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    """One PNG chunk: length + tag + body + CRC-32 of (tag+body)."""
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """A complete, valid, minimal grayscale-8 PNG of the given
+    dimensions (all-black pixels): signature, IHDR, one zlib IDAT of
+    filter-0 scanlines, IEND. Pure stdlib; any standards-compliant
+    viewer opens the result."""
+    if width <= 0 or height <= 0:
+        raise ValueError("png dims must be positive")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(b: bytes) -> tuple[int, int, int, int]:
+    """Real IHDR parse: (width, height, bit_depth, color_type).
+    Validates the 8-byte signature and walks to the first chunk,
+    which the spec requires to be IHDR."""
+    if len(b) < 33 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    length, tag = struct.unpack(">I4s", b[8:16])
+    if tag != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    w, h, depth, color = struct.unpack(">IIBB", b[16:26])
+    crc = struct.unpack(">I", b[29:33])[0]
+    if crc != (zlib.crc32(b[12:29]) & 0xFFFFFFFF):
+        raise ValueError("PNG IHDR CRC mismatch")
+    return w, h, depth, color
+
+
+def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """A complete, valid 16-bit PCM WAV (silence): RIFF header, fmt
+    chunk, data chunk of zeros — the public RIFF/WAVE layout."""
+    bits = 16
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, int]:
+    """Real RIFF walk: (sample_rate, channels, bits_per_sample,
+    n_samples). Iterates chunks (fmt may sit anywhere before data,
+    chunks are word-aligned) instead of assuming fixed offsets."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, rate, channels, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        tag, ln = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, channels, bits, data_len // (channels * bits // 8)
 
 META_SCHEMA = "struct<mime:string,n_bytes:bigint,modality:string>"
 DECODED_SCHEMA = (
     "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
-    "n_frames int, decoder string"
+    "bit_depth int, color_type int, n_frames int, decoder string"
 )
 
 
@@ -40,31 +134,138 @@ def attach_payload(df: DataFrame, text_col: str = "text", mime: str = "image/png
     return df.withColumn("payload", payload).withColumn("meta", meta)
 
 
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant REAL PNG files as payloads: each row's payload is a
+    complete valid PNG (dims derived from the text length, so an SQL
+    oracle can state the expected IHDR values) built by `encode_png`
+    inside an Arrow batch loop — the write half of a real image
+    pipeline, same mapInPandas shape as a thumbnailer."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[text_col].str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(int(ni) % 640 + 1, int(ni) % 480 + 1) for ni in n
+                    ],
+                }
+            )
+
+    out = df.select("doc_id", text_col).mapInPandas(
+        build, "doc_id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("image/png").alias("mime"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lit("image").alias("modality"),
+    )
+    return out.withColumn("meta", meta)
+
+
+def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant REAL 16-bit PCM WAV files as payloads: sample rate
+    8 kHz / 16 kHz and channel count derived from doc_id, sample
+    count from text length — all recomputable by an SQL oracle, all
+    round-tripped through real RIFF bytes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[text_col].str.len().astype("int64")
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(
+                            8000 * (1 + int(i) % 2),
+                            int(ni) * 8,
+                            channels=1 + int(i) % 2,
+                        )
+                        for i, ni in zip(ids, n)
+                    ],
+                }
+            )
+
+    out = df.select("doc_id", text_col).mapInPandas(
+        build, "doc_id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("audio/wav").alias("mime"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lit("audio").alias("modality"),
+    )
+    return out.withColumn("meta", meta)
+
+
 def decode_images(df: DataFrame) -> DataFrame:
-    """'Decode' image payloads via mapInPandas. Batch shape, schema and
-    partitioning are production-real; pixel decoding is stubbed
-    (deterministic dims from byte length) because codecs are absent."""
+    """Decode image payloads via mapInPandas. PNG payloads (real
+    signature) go through the REAL pure-Python IHDR parser —
+    dimensions, bit depth and color type come from the actual bytes,
+    CRC-checked. Non-PNG payloads fall back to the deterministic
+    length-keyed stub (pixel decode for JPEG/video needs PIL/ffmpeg,
+    absent here; the batch loop is the same either way). A still
+    image is 1 frame; the stub keeps its length-derived frame count
+    so video-shaped fixtures exercise the explode path."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].str.len()
-            if not _STUB_DECODERS:  # pragma: no cover - requires PIL
-                raise NotImplementedError("real codec path requires PIL/ffmpeg")
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": n.astype("int64"),
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
-                    "n_frames": ((n % 16) + 1).astype("int32"),
-                    "decoder": "stub-deterministic",
-                }
+            rows = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if b[:8] == _PNG_SIG:
+                    w, h, depth, color = parse_png(b)
+                    rows.append((doc_id, mime, len(b), w, h, depth, color, 1,
+                                 "png-pure-python"))
+                else:
+                    if not _STUB_DECODERS:  # pragma: no cover - requires PIL
+                        raise NotImplementedError(
+                            "real codec path requires PIL/ffmpeg"
+                        )
+                    n = len(b)
+                    rows.append((doc_id, mime, n, n % 640 + 1, n % 480 + 1, 8, 0,
+                                 n % 16 + 1, "stub-deterministic"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "n_bytes", "width", "height",
+                         "bit_depth", "color_type", "n_frames", "decoder"],
             )
-            yield out
 
     flat = df.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     return flat.mapInPandas(decode, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, bits int, "
+    "n_samples bigint, duration_ms double, decoder string"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads via mapInPandas — REAL RIFF chunk walk
+    (`parse_wav`): sample rate, channels, bit depth and sample count
+    come from the actual fmt/data chunks. duration_ms is exact
+    (sample counts and the 8/16 kHz rates keep it binary-FP-exact)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, bits, n_samples = parse_wav(bytes(payload))
+                rows.append(
+                    (doc_id, rate, channels, bits, n_samples,
+                     n_samples * 1000.0 / rate, "wav-pure-python")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "bits",
+                         "n_samples", "duration_ms", "decoder"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id bigint, features array<double>"

@@ -74,11 +74,12 @@ def ivf_assign(
     centroid (``_ivf_centroids`` — smallest-id sample by default,
     Lloyd-trained with ``train_iters``; pass ``cents`` to share one
     centroid relation between assignment and the index sidecar). The
-    centroid set is broadcast; assignment is one narrow pass scoring
-    n·n_centroids pairs with a per-vector argmin — the standard IVF
-    build cost, embarrassingly parallel."""
-    from pyspark.sql import Window
-
+    assignment is ZERO-shuffle (r5 verdict item 6): the k centroids
+    are folded into a LITERAL array and the argmax runs as a pure
+    projection — one narrow map pass over the corpus, no exchange at
+    all (the previous shape shuffled n·k scored rows through a
+    per-vector row_number window). IVF assignment is embarrassingly
+    parallel and the plan now says so."""
     if cents is None:
         cents = _ivf_centroids(
             vectors,
@@ -87,19 +88,43 @@ def ivf_assign(
             n_centroids=n_centroids,
             train_iters=train_iters,
         )
-    cents = F.broadcast(
-        cents.select("centroid_id", F.col("cv").alias("__cv"))
+    # bounded driver hop: exactly n_centroids rows (k<=16 here; k·d
+    # doubles total) — same class as ivf_write_index's sidecar.
+    rows = sorted(
+        cents.select("centroid_id", "cv").collect(), key=lambda r: r["centroid_id"]
+    )
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid relation")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).cast("long").alias("centroid_id"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]])
+                .cast("array<double>")
+                .alias("cv"),
+            )
+            for r in rows
+        ]
     )
     v = vectors.select(F.col(id_col), to_double(vec_col).alias("__v"))
-    scored = v.crossJoin(cents).select(
-        id_col, "__v", "centroid_id", cosine(F.col("__v"), F.col("__cv")).alias("__cs")
+    # left-to-right fold in ascending centroid_id order with a STRICT
+    # `>` keeps the old tie-break (desc score, asc centroid_id): on an
+    # equal score the earlier = smaller centroid id wins.
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(float("-inf")).alias("cs"),
+            F.lit(-1).cast("long").alias("centroid_id"),
+        ),
+        lambda acc, c: F.when(
+            cosine(F.col("__v"), c["cv"]) > acc["cs"],
+            F.struct(
+                cosine(F.col("__v"), c["cv"]).alias("cs"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        ).otherwise(acc),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "__v", "centroid_id")
-    )
+    return v.select(id_col, "__v", best["centroid_id"].alias("centroid_id"))
 
 
 def ivf_topk(

@@ -2626,20 +2626,25 @@ def llm_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit integer BEFORE the sums, so ΣX/ΣY/ΣXY/ΣXX are
     order-independent; the closed-form slope then runs on exact ints
     with identical expression structure in both engines. Scale: the
-    corpus collapses to the vocab relation in one agg; the rank
-    window runs over ≤1000 rows; everything after is a 1-row fold."""
+    corpus collapses to the vocab relation in one agg; the top-1000
+    cut is `orderBy().limit()` — TakeOrderedAndProject with
+    per-partition heaps, NEVER a full-vocab sort through one task
+    (at 100 TB the vocab is 10^8-10^9 token types; an unpartitioned
+    row_number window there is a guaranteed straggler). Only the
+    already-≤1000-row relation is then ranked in a single task;
+    everything after is a 1-row fold."""
     t = load_tables(spark, sf_dir)
     vocab = (
         t.documents.select(F.explode(llmops.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # TakeOrderedAndProject: per-partition top-1000 heaps merged on the
+    # driver — the pattern llm_vocab_encode uses. The row_number window
+    # below therefore runs over <=1000 rows, not |vocab| rows.
+    top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(1000)
     wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = (
-        vocab.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 1000)
-        .select("cnt", "rank")
-    )
+    ranked = top.withColumn("rank", F.row_number().over(wr)).select("cnt", "rank")
     lnr, lnc = F.log(F.col("rank").cast("double")), F.log(F.col("cnt").cast("double"))
     m = 1_000_000
     terms = ranked.select(

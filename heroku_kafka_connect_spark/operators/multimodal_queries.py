@@ -17,20 +17,56 @@ from ..session import load_tables
     "mm_decode_meta",
     oracle="""
     SELECT doc_id, 'image/png' AS mime,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
            CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
            CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height,
-           CAST(LENGTH(text) % 16 + 1 AS INTEGER) AS n_frames,
-           'stub-deterministic' AS decoder
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(0 AS INTEGER) AS color_type,
+           CAST(1 AS INTEGER) AS n_frames,
+           'png-pure-python' AS decoder
     FROM documents
     """,
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I9: binary payload + metadata struct → Arrow-batched decode
-    (stubbed codec, real plumbing)."""
+    """I9 — now on REAL bytes (r5 verdict item 5): every payload is a
+    complete valid PNG built by the pure-Python encoder (dims derived
+    from text length so the oracle can state them), and the decode
+    path walks the ACTUAL file — signature check, IHDR parse, CRC-32
+    verification — inside the Arrow batch loop. Equality with the
+    oracle proves the encode→bytes→parse round trip, not arithmetic
+    on a length column. n_bytes (true file size incl. zlib IDAT) is
+    not SQL-recomputable and is deliberately not selected."""
     t = load_tables(spark, sf_dir)
-    with_payload = mm.attach_payload(t.documents)
-    return mm.decode_images(with_payload)
+    with_payload = mm.attach_png_payload(t.documents)
+    return mm.decode_images(with_payload).select(
+        "doc_id", "mime", "width", "height", "bit_depth", "color_type",
+        "n_frames", "decoder",
+    )
+
+
+@register(
+    "mm_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 2) AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(LENGTH(text) * 8 AS BIGINT) AS n_samples,
+           LENGTH(text) * 8 * 1000.0 / (8000 * (1 + doc_id % 2)) AS duration_ms,
+           'wav-pure-python' AS decoder
+    FROM documents
+    """,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata decode on REAL bytes: payloads are complete
+    16-bit PCM WAV files (rate/channels keyed off doc_id, sample
+    count off text length), decoded by the pure-Python RIFF chunk
+    walker — fmt + data chunks parsed from actual bytes, word-aligned
+    chunk iteration per the public RIFF spec. duration_ms is exact:
+    at 8/16 kHz the division is a power-of-two scale of an integer,
+    so both engines produce bit-identical doubles."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_wav_payload(t.documents)
+    return mm.decode_audio(with_payload)
 
 
 @register(

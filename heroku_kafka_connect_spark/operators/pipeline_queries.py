@@ -809,3 +809,120 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 0.05, 2).alias("threshold"), "n_keep", "keep_frac"
         )
     )
+
+
+#: SQL spelling of the English stopword list (same source as
+#: text_queries._SQL_STOP_EN — one list, both engines)
+_SQL_STOP_EN_P = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+
+@register(
+    "llm_policy_iou",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+             CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
+             MAX(CASE WHEN token IN ({{stops}}) THEN 1 ELSE 0 END) AS has_stopword
+      FROM tc GROUP BY doc_id
+    ),
+    pol AS (
+      SELECT doc_id,
+             CASE WHEN (n_token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 10)
+                   AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
+                   AND top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
+                   AND has_stopword = 1
+                  THEN 1 ELSE 0 END AS g,
+             CASE WHEN 1.0 / (1.0 + exp(-(
+                    -2.0 + 0.3 * ROUND(n_token_chars / CAST(n_tokens AS DOUBLE), 4)
+                    + 4.0 * ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4)
+                    - 6.0 * ROUND(top_cnt / CAST(n_tokens AS DOUBLE), 4)))) >= 0.5
+                  THEN 1 ELSE 0 END AS l
+      FROM s
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(g * l) AS BIGINT) AS both_keep,
+           CAST(SUM(g * (1 - l)) AS BIGINT) AS only_gopher,
+           CAST(SUM((1 - g) * l) AS BIGINT) AS only_lr,
+           CAST(SUM((1 - g) * (1 - l)) AS BIGINT) AS neither,
+           ROUND(SUM(g * l) / CAST(SUM(CASE WHEN g = 1 OR l = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE), 4) AS keep_iou,
+           ROUND((SUM(g * l) + SUM((1 - g) * (1 - l))) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS agreement
+    FROM pol
+    """.replace("{stops}", _SQL_STOP_EN_P),
+)
+def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy ablation report: how much do the RULE-based
+    filter (Gopher bundle, J49) and the MODEL-based filter (fixed-
+    weight LR scorer, J107) agree on the same corpus? Emits the
+    keep/keep confusion matrix, IoU of the kept sets, and raw
+    agreement — the number a curation team checks before swapping
+    policies (a low IoU means the swap rewrites the corpus, not just
+    re-ranks it).
+
+    Scale: ONE shared (doc, token, cnt) front half feeds BOTH
+    policies — the rules read raw ratios, the LR reads the
+    ROUND(...,4)-stabilized features, exactly as their standalone
+    queries do — then everything collapses in a single 1-row fold.
+    Two map-side-combinable exchanges total; adding a third policy
+    costs one more expression, not another corpus pass."""
+    tc = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stop_en = T.STOPWORDS["en"]
+    s = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("token") * F.col("cnt")).alias("n_token_chars"),
+        F.max(F.when(F.col("token").isin(*stop_en), 1).otherwise(0)).alias(
+            "has_stopword"
+        ),
+    )
+    mean_len = F.col("n_token_chars") / F.col("n_tokens").cast("double")
+    diversity = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
+    g = (
+        mean_len.between(3, 10)
+        & (diversity >= 0.2)
+        & (top_frac <= 0.2)
+        & (F.col("has_stopword") == 1)
+    ).cast("int")
+    z = (
+        -2.0
+        + 0.3 * F.round(mean_len, 4)
+        + 4.0 * F.round(diversity, 4)
+        - 6.0 * F.round(top_frac, 4)
+    )
+    l = (1.0 / (1.0 + F.exp(-z)) >= 0.5).cast("int")
+    pol = s.select(g.alias("g"), l.alias("l"))
+    either = F.sum(F.when((F.col("g") == 1) | (F.col("l") == 1), 1).otherwise(0))
+    return pol.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g") * F.col("l")).alias("both_keep"),
+        F.sum(F.col("g") * (1 - F.col("l"))).alias("only_gopher"),
+        F.sum((1 - F.col("g")) * F.col("l")).alias("only_lr"),
+        F.sum((1 - F.col("g")) * (1 - F.col("l"))).alias("neither"),
+        F.round(
+            F.sum(F.col("g") * F.col("l")) / either.cast("double"), 4
+        ).alias("keep_iou"),
+        F.round(
+            (
+                F.sum(F.col("g") * F.col("l"))
+                + F.sum((1 - F.col("g")) * (1 - F.col("l")))
+            )
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("agreement"),
+    )

@@ -143,15 +143,36 @@ def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- G5 (rows-only)
 
 
-@register("rel_approx_count_distinct", oracle=None)
+@register(
+    "rel_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5: HLL++ approximate distinct — sketch constants differ across
-    engines, so rows-only (SURVEY §7.4.7). Single-pass, mergeable
-    sketch: the 100 TB-scale substitute for COUNT(DISTINCT)."""
+    """G5: HLL++ approximate distinct. Sketch constants differ across
+    engines, so the raw estimate can't hash-match — instead the query
+    emits a TOLERANCE VERDICT (r5 verdict item 7): |approx − exact| ≤
+    5%·exact, which DuckDB replays as a constant TRUE against ITS
+    exact count. The sketch is still genuinely exercised (rsd=0.02
+    leaves 2.5σ headroom inside the 5% gate); a broken HLL flips the
+    boolean and the driver row fails. Single-pass, mergeable sketch:
+    the 100 TB-scale substitute for COUNT(DISTINCT)."""
     t = load_tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
+    agg = t.lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_tolerance"),
     )
 
 
@@ -2231,4 +2252,136 @@ def rel_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("probe_us"),
         F.col("cur.event_id").alias("event_id"),
         F.col("cur.value").alias("value_at"),
+    )
+
+
+# ------------------------------------------------- r6: batch sessionize
+
+
+@register(
+    "rel_sessionize_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+           COUNT(*) AS n_events,
+           {o_msum("value")} AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def rel_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap rule): a user's events split into
+    sessions wherever >30 min passes between consecutive events —
+    the batch twin of the streaming session window (F8), and the
+    standard clickstream prep step. Classic lag→flag→prefix-sum
+    shape: ordinal = running count of gap breaks.
+
+    Scale: ONE user-key shuffle total. The lag window and the
+    prefix-sum window share the same (user_id) partitioning, and the
+    final groupBy(user_id, session_id) is satisfied by that same
+    hash partitioning (user_id ⊆ grouping keys ⇒ no second
+    exchange). Money sums ride scaled longs (order-independent)."""
+    t = load_tables(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = t.events.select(
+        "user_id", "event_id", "value", ts_us("ts").alias("us")
+    ).withColumn("prev_us", F.lag("us").over(wo))
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        msum("value").alias("total_value"),
+    )
+
+
+# ------------------------------------------------- r6: CUSUM drift
+
+
+@register(
+    "rel_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.n, ROUND(d.n - s.mu, 4) AS dev
+      FROM daily d CROSS JOIN stats s
+    ),
+    cum AS (
+      SELECT day, n, dev,
+             ROUND(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4)
+               AS cusum
+      FROM dev
+    ),
+    ext AS (
+      SELECT *, MAX(ABS(cusum)) OVER () AS max_abs FROM cum
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n, dev, cusum,
+           ABS(cusum) = max_abs AS is_changepoint
+    FROM ext
+    """,
+)
+def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-volume
+    series (Page 1954's cumulative-sum chart, the standard
+    data-observability drift detector): cumulative deviation from the
+    series mean; the |CUSUM| peak marks the most likely level-shift
+    day. Complements the MAD control band (J106) — MAD flags
+    outlier DAYS, CUSUM locates sustained LEVEL SHIFTS.
+
+    Scale: the corpus collapses to the |days| relation in one
+    map-side-combinable agg; every window after that (prefix sum,
+    global max) runs on that tiny series — allowlisted tiny-relation
+    windows, same class as the histogram CDF. Deviations are rounded
+    before the prefix sum so cumulative error can't drift between
+    engines."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "n", F.round(F.col("n") - F.col("mu"), 4).alias("dev")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dev.withColumn("cusum", F.round(F.sum("dev").over(wc), 4))
+    wall = Window.partitionBy()
+    return cum.withColumn("max_abs", F.max(F.abs(F.col("cusum"))).over(wall)).select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "dev",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.col("max_abs")).alias("is_changepoint"),
     )

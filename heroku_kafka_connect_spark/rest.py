@@ -1,16 +1,21 @@
-"""REST status endpoint — §2.E10 (SURVEY.md).
+"""REST surface — §2.E10 (SURVEY.md).
 
-The reference keeps Kafka Connect's worker REST API reachable for
-status (GET /connectors lists running connectors, GET
-/connectors/<name> shows one — main.sh:85-89, 117-128). The Spark
-analog serves the same read-only surface over the ``QueryRuntime``
+The reference drives Kafka Connect's worker REST API both ways:
+
+* status — GET /connectors lists running connectors, GET
+  /connectors/<name> shows one (main.sh:85-89, 117-128);
+* mutation — PUT /connectors/<name>/config upserts a declarative
+  spec (main.sh:156-159) and DELETE /connectors/<name> removes one,
+  with retry on conflict (main.sh:130-141, 190-195).
+
+The Spark analog serves the same surface over the ``QueryRuntime``
 (i.e. ``spark.streams.active``): a stdlib threaded HTTP server, no
 dependencies, driver-side only — it never touches the data path.
-
-Write operations (PUT/DELETE) are deliberately absent: desired state
-is declared via env (controlplane.specs_from_env) and enforced by the
-Reconciler; the HTTP surface is observability, matching how the
-reference's own bash only ever GETs this API after boot.
+Mutations route through the SAME ``Reconciler`` the declarative env
+boot uses, so a PUT gets identical fingerprint/upsert semantics and
+a DELETE gets the E8 retry ladder; an external declarative client
+(the reference's own ``main.sh`` loop, say) can drive this API
+exactly as it drives Connect's.
 """
 
 from __future__ import annotations
@@ -19,19 +24,32 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .controlplane import QueryRuntime
+from .controlplane import PipelineSpec, QueryRuntime, Reconciler, SpecError
 
 
 class StatusServer:
-    """Threaded status HTTP server. ``port=0`` binds an ephemeral
-    port (read it back from ``.port`` after ``start()``)."""
+    """Threaded REST server. ``port=0`` binds an ephemeral port (read
+    it back from ``.port`` after ``start()``). Pass the boot
+    ``Reconciler`` so HTTP mutations share its retry configuration;
+    when omitted, a default Reconciler over ``runtime`` is built."""
 
-    def __init__(self, runtime: QueryRuntime, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        runtime: QueryRuntime,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        reconciler: Reconciler | None = None,
+    ) -> None:
         self.runtime = runtime
+        self.reconciler = reconciler or Reconciler(runtime)
         self._host = host
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # serialize mutations: two concurrent PUTs of the same name
+        # must not interleave stop/start (Connect serializes through
+        # the herder queue; a lock is our single-process analog)
+        self._mutate = threading.Lock()
 
     @property
     def port(self) -> int:
@@ -41,15 +59,19 @@ class StatusServer:
 
     def start(self) -> int:
         runtime = self.runtime
+        reconciler = self.reconciler
+        mutate = self._mutate
 
         class Handler(BaseHTTPRequestHandler):
-            def _send(self, code: int, payload) -> None:
-                body = json.dumps(payload).encode()
+            def _send(self, code: int, payload=None) -> None:
+                body = b"" if payload is None else json.dumps(payload).encode()
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                if body:
+                    self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                self.wfile.write(body)
+                if body:
+                    self.wfile.write(body)
 
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 path = self.path.rstrip("/")
@@ -78,6 +100,69 @@ class StatusServer:
                     else:
                         self._send(404, {"error": "not found"})
                 except Exception as e:  # noqa: BLE001 — surface as 500, keep serving
+                    self._send(500, {"error": str(e)})
+
+            def do_PUT(self) -> None:  # noqa: N802
+                """PUT /connectors/<name>/config — the reference's
+                upsert call (main.sh:156-159): body is the flat config
+                map; same fingerprint = no-op, changed = restart, new
+                = create (201)."""
+                path = self.path.rstrip("/")
+                try:
+                    if not (
+                        path.startswith("/connectors/") and path.endswith("/config")
+                    ):
+                        self._send(404, {"error": "not found"})
+                        return
+                    name = path.removeprefix("/connectors/").removesuffix("/config")
+                    n = int(self.headers.get("Content-Length") or 0)
+                    try:
+                        cfg = json.loads(self.rfile.read(n) or b"")
+                    except json.JSONDecodeError as e:
+                        self._send(400, {"error": f"body is not valid JSON: {e}"})
+                        return
+                    if not isinstance(cfg, dict):
+                        self._send(400, {"error": "config must be a JSON object"})
+                        return
+                    spec = PipelineSpec(name=name, config=cfg)
+                    try:
+                        with mutate:
+                            outcome = reconciler.upsert(spec)
+                    except SpecError as e:
+                        self._send(400, {"error": str(e)})
+                        return
+                    self._send(
+                        201 if outcome == "started" else 200,
+                        {
+                            "name": name,
+                            "fingerprint": spec.fingerprint(),
+                            "state": "RUNNING",
+                            "outcome": outcome,
+                        },
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": str(e)})
+
+            def do_DELETE(self) -> None:  # noqa: N802
+                """DELETE /connectors/<name> — stop with the E8 retry
+                ladder (main.sh:130-141); retries exhausted maps to
+                Connect's 409-under-rebalance."""
+                path = self.path.rstrip("/")
+                try:
+                    if not path.startswith("/connectors/") or path.endswith("/config"):
+                        self._send(404, {"error": "not found"})
+                        return
+                    name = path.removeprefix("/connectors/")
+                    with mutate:
+                        if name not in runtime.list_running():
+                            self._send(404, {"error": f"connector {name} not found"})
+                            return
+                        ok = reconciler.delete(name)
+                    if ok:
+                        self._send(204)
+                    else:
+                        self._send(409, {"error": f"{name}: stop retries exhausted"})
+                except Exception as e:  # noqa: BLE001
                     self._send(500, {"error": str(e)})
 
             def log_message(self, *_a) -> None:  # silence per-request stderr

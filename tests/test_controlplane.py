@@ -191,3 +191,95 @@ def test_status_server_surface():
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_rest_mutation_surface():
+    """E10 write path (r5 verdict gap): the reference's main.sh drives
+    Connect with PUT /connectors/<name>/config (main.sh:156-159) and
+    DELETE /connectors/<name> with retry (main.sh:130-141,190-195).
+    The full behavior table over HTTP: PUT new → 201 start; PUT same
+    config → 200 no-op; PUT changed → 200 restart with NEW
+    fingerprint; PUT invalid spec → 400; DELETE → 204 prune; DELETE
+    absent → 404; DELETE under persistent 409 → 409."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from heroku_kafka_connect_spark.rest import StatusServer
+
+    rt = FakeRuntime()
+    srv = StatusServer(rt, reconciler=reconciler(rt))
+    port = srv.start()
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            method=method,
+            data=None if body is None else _json.dumps(body).encode(),
+        )
+        resp = urllib.request.urlopen(req)
+        raw = resp.read()
+        return resp.status, (_json.loads(raw) if raw else None)
+
+    try:
+        cfg = {"source.format": "rate", "sink.format": "memory"}
+        code, out = call("PUT", "/connectors/p1/config", cfg)
+        assert code == 201 and out["outcome"] == "started"
+        assert rt.events[-1] == ("start", "p1")
+        fp1 = out["fingerprint"]
+
+        # identical config: no-op (no restart event)
+        n_events = len(rt.events)
+        code, out = call("PUT", "/connectors/p1/config", cfg)
+        assert code == 200 and out["outcome"] == "unchanged"
+        assert len(rt.events) == n_events
+
+        # changed config: restart with a new fingerprint
+        code, out = call("PUT", "/connectors/p1/config", {**cfg, "x": "1"})
+        assert code == 200 and out["outcome"] == "restarted"
+        assert out["fingerprint"] != fp1
+        assert rt.events[-2:] == [("stop", "p1"), ("start", "p1")]
+        assert rt.running["p1"] == out["fingerprint"]
+
+        # invalid spec: 400, nothing started
+        try:
+            call("PUT", "/connectors/bad/config", {"source.format": "rate"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "bad" not in rt.running
+
+        # non-object body: 400
+        try:
+            call("PUT", "/connectors/bad/config", ["not", "a", "map"])
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # DELETE: 204 and pruned
+        code, out = call("DELETE", "/connectors/p1")
+        assert code == 204 and out is None and "p1" not in rt.running
+
+        # DELETE absent: 404
+        try:
+            call("DELETE", "/connectors/p1")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # DELETE under persistent rebalance conflict: 409 after retries
+        rt2 = FakeRuntime(fail_stops=99)
+        rt2.start(spec("stuck"))
+        srv2 = StatusServer(rt2, reconciler=reconciler(rt2, stop_retries=2))
+        port2 = srv2.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port2}/connectors/stuck", method="DELETE"
+            )
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409 and "stuck" in rt2.running
+        finally:
+            srv2.shutdown()
+    finally:
+        srv.shutdown()

@@ -136,23 +136,88 @@ BNLJ_OK = {
                           # frac/cum_frac projections
     "rel_scd2_point_in_time",  # 3-row probe-times relation broadcast
                           # onto the distinct-users relation
+    "rel_cusum_changepoint",  # 1-row series-mean broadcast into the
+                          # per-day deviation projection
 }
+
+
+#: queries where an UNPARTITIONED WindowExec is the CORRECT plan: in
+#: every case the window's input is already a TINY relation (a
+#: per-domain aggregate, a bucket-count prefix sum, a score histogram,
+#: a top-k'd vocabulary) — never the corpus. Everywhere else an
+#: unpartitioned window is banned outright: it moves its whole input
+#: through ONE task (Spark even logs "Moving all data to a single
+#: partition"), the canonical invisible-at-sf0.1 / fatal-at-100TB
+#: plan defect.
+UNPART_WINDOW_OK = {
+    "llm_curriculum_order",   # 3-row bucket-count prefix sum (offsets)
+    "llm_domain_mixture",     # whole-frame sums over the |domains| agg
+    "llm_mix_sample",         # same |domains|-row mixture front-half
+    "llm_perplexity_buckets",  # prefix sum over the 4-dp score histogram
+    "llm_token_zipf",         # ranks the <=1000-row TakeOrderedAndProject output
+    "llm_vocab_encode",       # ranks the top-16 vocabulary relation
+    "rel_numeric_histogram",  # cumulative sum over <=20 histogram buckets
+    "src_offset_gap_audit",   # prefix scan over the |key-space/bucket| relation
+    "rel_cusum_changepoint",  # prefix sum + global max over the |days| series
+}
+
+
+def _walk_physical(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next())
+
+
+def unpartitioned_window_count(df) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec in the
+    physical plan (AQE initial plan — window partitioning never
+    changes under reoptimization). WindowGroupLimit is deliberately
+    not counted: its unpartitioned form is a per-partition heap prune
+    (TakeOrderedAndProject-shaped), not a single-task sort."""
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.inputPlan()
+    return sum(
+        1
+        for n in _walk_physical(root)
+        if n.getClass().getSimpleName() == "WindowExec" and n.partitionSpec().isEmpty()
+    )
 
 
 @pytest.mark.slow
 def test_corpus_wide_physical_bans(spark, sf_dir):
-    """No query may cartesian-join two large inputs or use a
-    row-at-a-time Python UDF (BatchEvalPython); Python stages must be
-    Arrow-batched (ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas)."""
+    """No query may cartesian-join two large inputs, use a
+    row-at-a-time Python UDF (BatchEvalPython; Python stages must be
+    Arrow-batched — ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas), or run an UNPARTITIONED WindowExec outside
+    the documented tiny-relation allowlist."""
     for name, q in all_queries().items():
-        p = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = q.fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, f"{name} cartesian-joins:\n{p}"
         if name not in BNLJ_OK:
             assert "BroadcastNestedLoopJoin" not in p, (
                 f"{name} degenerates to a nested-loop join:\n{p}"
             )
         assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF:\n{p}"
+        if name not in UNPART_WINDOW_OK:
+            assert unpartitioned_window_count(df) == 0, (
+                f"{name} funnels data through an unpartitioned WindowExec "
+                f"(single task at scale):\n{p}"
+            )
+
+
+def test_token_zipf_topk_before_rank(spark, sf_dir):
+    """J96 (r5 verdict fix): the top-1000 vocabulary cut must be a
+    TakeOrderedAndProject (per-partition heaps), so the rank window's
+    input is <=1000 rows — never a row_number over the full vocab
+    through one task."""
+    p = plan_of(spark, "llm_token_zipf", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    # the residual window must sit ABOVE the limit in the plan tree
+    # (window text appears before the TakeOrderedAndProject line)
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
 
 
 def test_curriculum_global_index_avoids_global_window(spark, sf_dir):
@@ -240,3 +305,35 @@ def test_embedding_outliers_moments_broadcast(spark, sf_dir):
     p = plan_of(spark, "llm_embedding_outliers", sf_dir)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_assign_zero_shuffle(spark, sf_dir):
+    """r5 verdict item 6: IVF centroid assignment is embarrassingly
+    parallel and the plan must say so — the argmax folds over a
+    literal centroid array in a pure projection: NO exchange, NO
+    window, no join."""
+    from heroku_kafka_connect_spark.functions.vectors import ivf_assign
+    from heroku_kafka_connect_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    p = (
+        ivf_assign(t.embeddings, n_centroids=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """r6: lag window, prefix-sum window and the session aggregate all
+    share ONE user_id hash exchange — hash(user_id) satisfies the
+    (user_id, session_id) grouping, so no second corpus shuffle."""
+    p = plan_of(spark, "rel_sessionize_gap", sf_dir)
+    assert p.count("Exchange hashpartitioning") == 1
+    from tests.test_plans import unpartitioned_window_count  # self-import ok
+
+    df = all_queries()["rel_sessionize_gap"].fn(spark, sf_dir)
+    assert unpartitioned_window_count(df) == 0
