@@ -3456,3 +3456,49 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ------------------------------------------------- r6: DP contribution cap
+
+
+@register(
+    "llm_dp_contribution_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS contrib_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(contrib_rank AS BIGINT) AS contrib_rank,
+           contrib_rank <= 50 AS kept
+    FROM r
+    """,
+)
+def llm_dp_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution bounding — the DP-SGD / user-level-DP
+    prep step (bound each contributor to ≤C records so one source
+    cannot dominate the gradient or the privacy accounting; also the
+    standard anti-domination cap in curation mixes). Selection is a
+    DETERMINISTIC hash order (md5 of doc_id), not arrival order, so
+    the kept subset is unbiased w.r.t. position and replayable.
+
+    Scale: the per-source rank LOOKS like a hot-key window, but the
+    kept-≤-50 predicate lets Spark insert WindowGroupLimit —
+    per-partition top-C heaps prune before the shuffle, so a
+    monster source moves O(C·partitions) rows, not its whole mass...
+    except this query keeps the full manifest (kept + dropped flags)
+    for audit, so the window runs over all rows of each source
+    partition; a 100 TB deployment that only needs the KEPT rows
+    should filter contrib_rank <= C and get the group-limit prune
+    for free (pinned in tests/test_plans.py)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return t.documents.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("contrib_rank"),
+    ).withColumn("kept", F.col("contrib_rank") <= 50)

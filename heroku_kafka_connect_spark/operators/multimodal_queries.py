@@ -208,3 +208,63 @@ def mm_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__size").cast("bigint") - F.col("chunk_idx").cast("bigint") * 64,
         ).alias("n_bytes"),
     )
+
+
+@register(
+    "mm_media_profile",
+    oracle="""
+    WITH img AS (
+      SELECT CASE WHEN (LENGTH(text) % 640 + 1) >= (LENGTH(text) % 480 + 1)
+                  THEN 'landscape' ELSE 'portrait' END AS bucket,
+             (LENGTH(text) % 640 + 1) * (LENGTH(text) % 480 + 1) AS px
+      FROM documents
+    ),
+    aud AS (
+      SELECT LENGTH(text) * 8 * 1000.0 / (8000 * (1 + doc_id % 2)) AS dur_ms
+      FROM documents
+    )
+    SELECT i.bucket,
+           COUNT(*) AS n_images,
+           CAST(SUM(i.px) AS BIGINT) AS total_pixels,
+           a.n_audio,
+           a.total_audio_ms
+    FROM img i
+    CROSS JOIN (SELECT COUNT(*) AS n_audio,
+                       CAST(SUM(dur_ms) AS DOUBLE) AS total_audio_ms
+                FROM aud) a
+    GROUP BY i.bucket, a.n_audio, a.total_audio_ms
+    """,
+)
+def mm_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset media profile over REAL decoded bytes: orientation
+    buckets + pixel totals from actual PNG IHDR parses, and corpus
+    audio seconds from actual WAV fmt/data parses — the
+    datasheet-style rollup a multimodal training run reports before
+    a 100 TB decode job is scheduled (decode-cost ∝ pixels + audio
+    seconds). Composition proof: decode operators feed ordinary
+    relational aggregation; total_audio_ms sums doubles that are
+    power-of-two-exact (8/16 kHz), so the sum is order-independent.
+
+    Scale: both decode passes are narrow mapInPandas stages; the
+    image side collapses to a 2-row bucket agg, the audio side to a
+    1-row total broadcast onto it."""
+    t = load_tables(spark, sf_dir)
+    img = mm.decode_images(mm.attach_png_payload(t.documents)).select(
+        F.when(F.col("width") >= F.col("height"), "landscape")
+        .otherwise("portrait")
+        .alias("bucket"),
+        (F.col("width").cast("bigint") * F.col("height")).alias("px"),
+    )
+    aud = mm.decode_audio(mm.attach_wav_payload(t.documents)).agg(
+        F.count(F.lit(1)).alias("n_audio"),
+        F.sum("duration_ms").cast("double").alias("total_audio_ms"),
+    )
+    return (
+        img.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("px").alias("total_pixels"),
+        )
+        .crossJoin(F.broadcast(aud))
+        .select("bucket", "n_images", "total_pixels", "n_audio", "total_audio_ms")
+    )

@@ -2385,3 +2385,51 @@ def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs(F.col("cusum")) == F.col("max_abs")).alias("is_changepoint"),
     )
+
+
+# ------------------------------------------------- r6: approx percentile
+
+
+@register(
+    "rel_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    `approx_percentile`) with a TOLERANCE VERDICT — the same
+    driver-consumable contract as rel_approx_count_distinct: the
+    estimate can't hash across engines (sketch internals differ),
+    so the query emits booleans asserting each approximate quantile
+    lands within the accuracy the sketch guarantees (relative RANK
+    error ≤ 1/accuracy = 1%%: the estimate must sit between the exact
+    p−2% and p+2% rank quantiles — 2× slack over the guarantee keeps
+    interpolation edges out). DuckDB replays constant TRUE against
+    its exact quantiles. The sketch is the 100 TB substitute for
+    exact percentile_approx: single-pass, fixed memory, mergeable
+    across partitions (exact percentiles need a full sort per
+    group)."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_returnflag", "l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 100)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97, 0.97, 1.0))"
+        ).alias("ex"),
+    )
+    def ok(i: int, lo: int, hi: int):
+        return (F.col("ap")[i] >= F.col("ex")[lo]) & (F.col("ap")[i] <= F.col("ex")[hi])
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ok(0, 0, 1).alias("p50_ok"),
+        ok(1, 2, 3).alias("p95_ok"),
+        ok(2, 4, 5).alias("p99_ok"),
+    )

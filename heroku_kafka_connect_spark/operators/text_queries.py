@@ -762,3 +762,128 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+# ------------------------------------------------- r6: readability
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    syl AS (
+      SELECT doc_id, token,
+             GREATEST(1, len(regexp_extract_all(token, '[aeiouy]+'))) AS syllables
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(syllables) AS BIGINT) AS n_syllables
+      FROM syl GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_syllables,
+           CAST(ROUND((206.835::DOUBLE - 1.015::DOUBLE * n_words
+                 - 84.6::DOUBLE * (n_syllables / CAST(n_words AS DOUBLE))) * 10000)
+             AS BIGINT) AS flesch_e4
+    FROM s
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948, public formula) with
+    the standard heuristic syllable counter: maximal vowel groups
+    ([aeiouy]+ runs), floored at 1 per word. The fixture corpus has
+    no sentence punctuation, so each doc is one sentence and the
+    words-per-sentence term is n_words — the formula structure and
+    the syllable machinery are what this operator ships; real prose
+    drops in with a sentence splitter in the same expression chain.
+
+    Scale: explode → per-word regexp count → one map-side-combinable
+    doc agg. The syllable count runs in regexp_extract_all JVM-side
+    (dialect chosen inside Java∩RE2∩DuckDB, the PII-scrub
+    convention); no Python anywhere."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+    syl = tok.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.size(F.expr("regexp_extract_all(token, '[aeiouy]+', 0)"))
+        ).alias("syllables"),
+    )
+    s = syl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("syllables").alias("n_syllables"),
+    )
+    # scaled-integer rounding (the mlong convention): ROUND(x, 4)
+    # diverges between engines at decimal-string boundaries (Spark
+    # rounds the shortest-string repr, DuckDB rounds x*1e4), but
+    # ROUND(x*1e4) to an INTEGER agrees bit-for-bit on identical
+    # doubles — so the score ships as exact e4 micro-units.
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.round(
+            (
+                206.835
+                - 1.015 * F.col("n_words")
+                - 84.6 * (F.col("n_syllables") / F.col("n_words").cast("double"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("flesch_e4"),
+    )
+
+
+# ------------------------------------------------- r6: tokenizer fertility
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           ROUND(SUM(n_subwords) / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility
+    FROM s GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword-tokens-per-word — THE
+    standard multilingual-tokenizer health metric (a language whose
+    fertility is 2× English pays 2× the context window; drives vocab
+    rebalancing). Subword count uses the BPE-ish regex family from
+    text_token_count (alnum runs + lone non-alnum non-space), word
+    count is whitespace split — the same two tokenizations J12
+    already pins per-doc, here rolled up to the per-language ratio.
+
+    Scale: two per-row regexp counts fused into the scan projection,
+    then ONE |langs|-row aggregate — no explode, no join; the
+    corpus-sized relation never shuffles (counts are computed before
+    the agg exchange)."""
+    t = load_tables(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(T.ws_tokens("text")).alias("n_words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)")
+        ).alias("n_subwords"),
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        F.round(
+            F.sum("n_subwords") / F.sum("n_words").cast("double"), 4
+        ).alias("fertility"),
+    )

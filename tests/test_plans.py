@@ -138,6 +138,8 @@ BNLJ_OK = {
                           # onto the distinct-users relation
     "rel_cusum_changepoint",  # 1-row series-mean broadcast into the
                           # per-day deviation projection
+    "mm_media_profile",   # 1-row audio-totals relation broadcast onto
+                          # the 2-row image bucket aggregate
 }
 
 

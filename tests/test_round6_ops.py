@@ -78,3 +78,91 @@ class TestRealCodecs:
         assert all(r.bit_depth == 8 and r.color_type == 0 and r.n_frames == 1 for r in real)
         stub = mm.decode_images(mm.attach_payload(df)).collect()
         assert {r.decoder for r in stub} == {"stub-deterministic"}
+
+
+def _fixture_dir_with_events(spark, d, rows):
+    """Tmp sf-dir: symlink the real fixture tables, overwrite events
+    (Tables eagerly registers ALL views, so every table must exist)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    for name in ("region nation customer supplier part orders lineitem "
+                 "documents embeddings").split():
+        os.symlink(os.path.join(SF_DIR, f"{name}.parquet"),
+                   os.path.join(d, f"{name}.parquet"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+
+class TestRound6Operators:
+    def test_sessionize_gap_boundary(self, spark):
+        """Events exactly 30 min apart stay in ONE session (rule is
+        strictly-greater); 30 min + 1 µs splits."""
+        from heroku_kafka_connect_spark.registry import all_queries
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            rows = [
+                (1, "2024-01-01 00:00:00", 10, "view", 1.0, "{}"),
+                (2, "2024-01-01 00:30:00", 10, "view", 1.0, "{}"),   # exactly 30m
+                (3, "2024-01-01 01:00:00.000001", 10, "view", 1.0, "{}"),  # 30m+1us
+            ]
+            _fixture_dir_with_events(spark, d, rows)
+            out = all_queries()["rel_sessionize_gap"].fn(spark, d).collect()
+            by_sess = sorted((r.session_id, r.n_events) for r in out)
+            assert by_sess == [(1, 2), (2, 1)]
+
+    def test_cusum_flags_level_shift_day(self, spark):
+        """A synthetic series with a mid-series level shift must put
+        the |CUSUM| peak at the last pre-shift day (the classic CUSUM
+        change-point estimate)."""
+        from heroku_kafka_connect_spark.registry import all_queries
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            rows = []
+            eid = 0
+            for day in range(1, 11):
+                n = 10 if day <= 5 else 30  # shift after day 5
+                for _ in range(n):
+                    rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "view", 0.0, "{}"))
+                    eid += 1
+            _fixture_dir_with_events(spark, d, rows)
+            out = all_queries()["rel_cusum_changepoint"].fn(spark, d).collect()
+            flagged = [r.day for r in out if r.is_changepoint]
+            assert flagged == ["2024-01-05"]
+
+    def test_policy_iou_bounds(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        r = all_queries()["llm_policy_iou"].fn(spark, sf_dir).collect()[0]
+        assert r.n_docs == r.both_keep + r.only_gopher + r.only_lr + r.neither
+        assert 0.0 <= r.keep_iou <= 1.0 and 0.0 <= r.agreement <= 1.0
+
+    def test_contribution_cap_deterministic_and_capped(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        q = all_queries()["llm_dp_contribution_cap"].fn
+        a = {(r.doc_id): (r.contrib_rank, r.kept) for r in q(spark, sf_dir).collect()}
+        b = {(r.doc_id): (r.contrib_rank, r.kept) for r in q(spark, sf_dir).collect()}
+        assert a == b  # hash order is replayable
+        from collections import Counter
+
+        kept_per_source = Counter()
+        for r in q(spark, sf_dir).collect():
+            if r.kept:
+                kept_per_source[r.source] += 1
+        assert all(v <= 50 for v in kept_per_source.values())
+
+    def test_approx_percentile_verdicts_true(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["rel_approx_percentile"].fn(spark, sf_dir).collect()
+        assert rows and all(r.p50_ok and r.p95_ok and r.p99_ok for r in rows)
