@@ -3502,3 +3502,94 @@ def llm_dp_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("bigint").alias("contrib_rank"),
     ).withColumn("kept", F.col("contrib_rank") <= 50)
+
+
+# ------------------------------------------------- r6: repetition truncate
+
+
+@register(
+    "llm_repetition_truncate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             i AS pos,
+             array_to_string(arr[i:i+7], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, GREATEST(len(arr) - 7, 0) + 1)) AS i
+      )
+    ),
+    dup AS (
+      SELECT doc_id, gram,
+             MIN(pos) AS first_pos,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, gram
+    ),
+    second AS (
+      SELECT g.doc_id, MIN(g.pos) AS truncate_at
+      FROM grams g JOIN dup d
+        ON d.doc_id = g.doc_id AND d.gram = g.gram
+      WHERE d.cnt > 1 AND g.pos > d.first_pos
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           CAST(s.truncate_at AS BIGINT) AS truncate_at,
+           s.truncate_at IS NOT NULL AS truncated
+    FROM toks t LEFT JOIN second s USING (doc_id)
+    """,
+)
+def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based truncation (the apply step of ExactSubstr-style
+    cleaning, and the data-side twin of inference no-repeat-ngram
+    blocking): find the FIRST token position whose 8-gram has already
+    appeared earlier in the same doc — everything from there on is
+    loop/boilerplate tail and gets cut. Emits the cut position
+    (1-based gram index, NULL = clean doc).
+
+    Scale: grams are built per row with JVM array ops (transform +
+    slice — no lead-window chain), then ONE doc-keyed explode feeds a
+    (doc, gram) agg and a per-doc min: all exchanges are doc-keyed
+    and combinable; nothing is quadratic in doc length (the
+    self-join the oracle uses for clarity is replaced by the
+    first-pos/min-second-pos aggregate)."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("arr")
+    )
+    n = F.size("arr")
+    grams = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.posexplode(
+            F.when(
+                n >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.concat_ws(" ", F.slice("arr", i, 8)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gram")
+    agg = grams.groupBy("doc_id", "gram").agg(
+        F.min("pos").alias("first_pos"),
+        F.sort_array(F.collect_list("pos")).alias("poss"),
+    )
+    second = (
+        agg.filter(F.size("poss") > 1)
+        .select("doc_id", F.col("poss")[1].alias("second_pos"))
+        .groupBy("doc_id")
+        .agg(F.min("second_pos").alias("truncate_at"))
+    )
+    return (
+        toks.select("doc_id", F.size("arr").cast("bigint").alias("n_tokens"))
+        .join(second, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("truncate_at").cast("bigint").alias("truncate_at"),
+            F.col("truncate_at").isNotNull().alias("truncated"),
+        )
+    )

@@ -2433,3 +2433,349 @@ def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(1, 2, 3).alias("p95_ok"),
         ok(2, 4, 5).alias("p99_ok"),
     )
+
+
+# ------------------------------------------------- r6: forecast eval
+
+
+@register(
+    "rel_seasonal_naive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, n,
+             LAG(n, 7) OVER (ORDER BY day) AS pred_seasonal,
+             LAG(n, 1) OVER (ORDER BY day) AS pred_naive
+      FROM daily
+    )
+    SELECT COUNT(pred_seasonal) AS n_eval_days,
+           CAST(SUM(ABS(n - pred_seasonal)) AS BIGINT) AS abs_err_seasonal,
+           CAST(SUM(CASE WHEN pred_seasonal IS NOT NULL
+                         THEN ABS(n - pred_naive) END) AS BIGINT) AS abs_err_naive,
+           CAST(ROUND(SUM(ABS(n - pred_seasonal))
+                 / CAST(SUM(CASE WHEN pred_seasonal IS NOT NULL
+                            THEN ABS(n - pred_naive) END) AS DOUBLE) * 10000)
+             AS BIGINT) AS mase_e4
+    FROM lagged
+    """,
+)
+def rel_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily event volume:
+    predict day t with day t−7 (weekly seasonality), score MAE
+    against the one-step naive baseline (t−1) on the same evaluable
+    days — MASE (Hyndman & Koehler 2006), the standard scale-free
+    forecast-quality gauge a pipeline checks before trusting volume
+    projections for capacity planning. MASE < 1 ⇒ weekly seasonality
+    beats carry-forward.
+
+    Scale: the corpus collapses to the |days| series in one
+    combinable agg; both lag windows and the final fold run on that
+    tiny relation (allowlisted). Errors are exact integers; only the
+    final ratio is a double, shipped as e4 micro-units."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "n",
+        F.lag("n", 7).over(w).alias("pred_seasonal"),
+        F.lag("n", 1).over(w).alias("pred_naive"),
+    )
+    err_s = F.abs(F.col("n") - F.col("pred_seasonal"))
+    err_n = F.when(
+        F.col("pred_seasonal").isNotNull(), F.abs(F.col("n") - F.col("pred_naive"))
+    )
+    return lagged.agg(
+        F.count("pred_seasonal").alias("n_eval_days"),
+        F.sum(err_s).alias("abs_err_seasonal"),
+        F.sum(err_n).alias("abs_err_naive"),
+        F.round(F.sum(err_s) / F.sum(err_n).cast("double") * 10000)
+        .cast("long")
+        .alias("mase_e4"),
+    )
+
+
+# ------------------------------------------------- r6: PSI drift
+
+
+@register(
+    "rel_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT source, n_chars // 50 AS bin, COUNT(*) AS cnt FROM documents
+      GROUP BY source, n_chars // 50
+    ),
+    bins AS (SELECT DISTINCT bin FROM b),
+    srcs AS (SELECT DISTINCT source FROM b WHERE source <> 'src0'),
+    base_total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM b WHERE source = 'src0'),
+    nb AS (SELECT COUNT(*) AS k FROM bins),
+    grid AS (SELECT s.source, bi.bin FROM srcs s CROSS JOIN bins bi),
+    cur AS (
+      SELECT g.source, g.bin,
+             COALESCE(x.cnt, 0) + 1 AS c_sm
+      FROM grid g LEFT JOIN b x ON x.source = g.source AND x.bin = g.bin
+    ),
+    cur_tot AS (
+      SELECT source, CAST(SUM(c_sm) AS BIGINT) AS t FROM cur GROUP BY source
+    ),
+    base AS (
+      SELECT bi.bin, COALESCE(x.cnt, 0) + 1 AS c_sm
+      FROM bins bi LEFT JOIN (SELECT * FROM b WHERE source = 'src0') x
+        ON x.bin = bi.bin
+    ),
+    terms AS (
+      SELECT c.source,
+             (c.c_sm / CAST(ct.t AS DOUBLE)
+              - ba.c_sm / CAST(bt.t + nb.k AS DOUBLE))
+             * ln((c.c_sm / CAST(ct.t AS DOUBLE))
+                  / (ba.c_sm / CAST(bt.t + nb.k AS DOUBLE))) AS term
+      FROM cur c
+      JOIN cur_tot ct ON ct.source = c.source
+      JOIN base ba ON ba.bin = c.bin
+      CROSS JOIN base_total bt CROSS JOIN nb
+    )
+    SELECT source,
+           CAST(ROUND(SUM(term) * 10000) AS BIGINT) AS psi_e4,
+           CASE WHEN SUM(term) >= 0.2 THEN 'shifted'
+                WHEN SUM(term) >= 0.1 THEN 'moderate'
+                ELSE 'stable' END AS verdict
+    FROM terms GROUP BY source
+    """,
+)
+def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the baseline source (src0)
+    and every other source over the doc-length distribution — the
+    standard production drift monitor (PSI < 0.1 stable, 0.1–0.2
+    moderate, ≥ 0.2 shifted; the credit-scoring thresholds everyone
+    reuses). Add-one smoothing on BOTH sides keeps empty bins finite
+    and is replayed identically in the oracle.
+
+    Scale: ONE corpus-sized combinable agg to (source, bin) counts;
+    everything after runs on |sources|·|bins| rows — the grid, the
+    smoothing joins and the PSI fold are all broadcast-sized. A new
+    month's drift check against a 100 TB baseline costs one scan of
+    the new data plus a cached tiny baseline histogram."""
+    t = load_tables(spark, sf_dir)
+    b = t.documents.groupBy(
+        "source", (F.col("n_chars") / 50).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bins = b.select("bin").distinct()
+    srcs = b.select("source").distinct().filter(F.col("source") != "src0")
+    base_rows = b.filter(F.col("source") == "src0").select("bin", "cnt")
+    nb = bins.agg(F.count(F.lit(1)).alias("k"))
+    base_total = base_rows.agg(F.sum("cnt").alias("t"))
+    grid = srcs.crossJoin(F.broadcast(bins))
+    cur = (
+        grid.join(
+            b.withColumnRenamed("cnt", "c_raw"), ["source", "bin"], "left"
+        )
+        .select(
+            "source", "bin", (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).alias("c_sm")
+        )
+    )
+    cur_tot = cur.groupBy("source").agg(F.sum("c_sm").alias("t"))
+    base = (
+        bins.join(base_rows, "bin", "left")
+        .select("bin", (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("b_sm"))
+    )
+    p_cur = F.col("c_sm") / F.col("t").cast("double")
+    p_base = F.col("b_sm") / (F.col("bt") + F.col("k")).cast("double")
+    terms = (
+        cur.join(F.broadcast(cur_tot), "source")
+        .join(F.broadcast(base), "bin")
+        .crossJoin(F.broadcast(base_total.select(F.col("t").alias("bt"))))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "source",
+            ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("term") * 10000).cast("long").alias("psi_e4"),
+        F.when(F.sum("term") >= 0.2, "shifted")
+        .when(F.sum("term") >= 0.1, "moderate")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+# ------------------------------------------------- r6: HLL mergeability
+
+
+@register(
+    "rel_hll_mergeable",
+    oracle="""
+    SELECT COUNT(DISTINCT doc_id) AS exact_distinct,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_partial_sketches,
+           TRUE AS union_close_to_direct,
+           TRUE AS within_tolerance
+    FROM documents
+    """,
+)
+def rel_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY — the property that makes sketches the
+    100 TB answer: build one Datasketches HLL per source partition
+    (`hll_sketch_agg`), `hll_union_agg` the partials, and assert the
+    merged estimate tracks the single-pass estimate within 2%
+    (Datasketches unions promote sparse coupon-mode sketches to the
+    dense HLL_8 target, so tiny inputs are not bit-equal — the merge
+    itself is commutative per-register max), plus a ±5% tolerance
+    verdict against the exact distinct. This is the
+    shape a real deployment runs: per-day/per-partition sketches
+    materialized once, unioned at query time — no re-scan of history
+    for any distinct-count window.
+
+    Oracle contract: DuckDB replays the exact count and constant
+    TRUEs (the verdict convention, see rel_approx_count_distinct)."""
+    t = load_tables(spark, sf_dir)
+    partials = t.documents.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.count(F.lit(1)).alias("n_partial_sketches"),
+    )
+    direct = t.documents.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("est_direct"),
+        F.countDistinct("doc_id").alias("exact_distinct"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "exact_distinct",
+        "n_partial_sketches",
+        (
+            F.abs(F.col("est_union") - F.col("est_direct"))
+            <= 0.02 * F.greatest(F.col("est_direct"), F.lit(1.0))
+        ).alias("union_close_to_direct"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tolerance"),
+    )
+
+
+# ------------------------------------------------- r6: rolling distinct
+
+
+@register(
+    "rel_rolling_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           (SELECT COUNT(DISTINCT e.user_id) FROM events e
+            WHERE CAST(date_trunc('day', e.ts) AS DATE)
+                  BETWEEN d.day - 6 AND d.day) AS rolling_7d_users
+    FROM days d
+    """,
+)
+def rel_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the canonical WAU-style
+    metric, and the canonical DISTINCT-over-window trap: COUNT
+    (DISTINCT) OVER a sliding frame either doesn't exist or degrades
+    to per-frame rescans. The scale-safe formulation: collapse to
+    DISTINCT (user, active-day) pairs (one combinable agg), explode
+    each pair to the ≤7 window-anchor days it contributes to (linear
+    ×7, pure JVM sequence), then one (day, user) distinct count.
+    Cost is O(7·|user-days|) regardless of event volume; the
+    oracle's correlated per-day subquery states the semantics, the
+    Spark plan never rescans.
+
+    Only anchor days that actually exist in the data are reported
+    (semi join against the day dimension), matching the oracle's
+    `days` CTE."""
+    t = load_tables(spark, sf_dir)
+    ud = (
+        t.events.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "anchor"
+        ),
+        "user_id",
+    )
+    rolled = (
+        contrib.join(days.withColumnRenamed("day", "anchor"), "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+    )
+    return rolled.select(
+        F.col("anchor").cast("string").alias("day"), "rolling_7d_users"
+    )
+
+
+# ------------------------------------------------- r6: audience overlap
+
+
+@register(
+    "rel_audience_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM a GROUP BY event_type),
+    inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_both
+      FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(ROUND(i.n_both / CAST(ta.n + tb.n - i.n_both AS DOUBLE) * 10000)
+             AS BIGINT) AS jaccard_e4
+    FROM inter i
+    JOIN tot ta ON ta.event_type = i.type_a
+    JOIN tot tb ON tb.event_type = i.type_b
+    """,
+)
+def rel_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users do both, plus the Jaccard of the two audiences — the
+    segmentation/cannibalization report every activation team runs.
+
+    Scale: events collapse to DISTINCT (type, user) pairs first (one
+    combinable agg, the relation is bounded by users × |types|); the
+    pair join is keyed on user_id — each user contributes
+    O(|types|²) pair rows with |types| small and fixed, so the join
+    output is bounded by users·|types|², never events². Totals are a
+    |types|-row broadcast."""
+    t = load_tables(spark, sf_dir)
+    a = t.events.select("event_type", "user_id").distinct()
+    tot = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x = a.select(F.col("event_type").alias("type_a"), "user_id")
+    y = a.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+                * 10000
+            )
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+    )

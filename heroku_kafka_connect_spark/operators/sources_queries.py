@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_tables
-from .common import ts_us
+from .common import msum, o_msum, ts_us
 from ..sources import jdbc
 from ..sources.kafka import envelope_from_events
 
@@ -348,3 +348,113 @@ def src_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("key")
     )
     return gap_ranges(keys, bucket_size=1024)
+
+
+# ------------------------------------------------- r6: JSONL permissive
+
+
+@register(
+    "src_jsonl_permissive",
+    oracle="""
+    WITH line AS (
+      SELECT doc_id,
+             '{"doc_id": ' || doc_id || ', "lang": "' || lang
+               || '", "n_chars": ' || n_chars || '}' AS l,
+             doc_id % 10 = 3 AS bad
+      FROM documents
+    )
+    SELECT CASE WHEN bad THEN NULL ELSE d.doc_id END AS doc_id,
+           CASE WHEN bad THEN NULL ELSE d.lang END AS lang,
+           CASE WHEN bad THEN NULL ELSE d.n_chars END AS n_chars,
+           CASE WHEN bad THEN substr(l, 1, 15) END AS corrupt_record,
+           bad AS is_corrupt
+    FROM line JOIN documents d USING (doc_id)
+    """,
+)
+def src_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-row: JSON-lines ingestion with PERMISSIVE mode + the
+    `_corrupt_record` column — the Connect-JSON-converter failure
+    semantics (`errors.tolerance=all`) expressed at the SOURCE: every
+    line yields a row; malformed lines land with all fields NULL and
+    the raw text preserved for the DLQ instead of killing the scan.
+    The fixture plants deterministic corruption (every doc_id%10==3
+    line truncated mid-key) so the oracle can replay both the parse
+    AND the preserved raw prefix.
+
+    Scale: the JSON scan is a narrow per-line parse (JacksonParser in
+    the scan operator, no shuffle); corruption handling adds no extra
+    pass — PERMISSIVE is exactly how a 100 TB raw-JSON lake ingests
+    without a pre-validation job."""
+    t = load_tables(spark, sf_dir)
+
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars"),
+        F.lit("}"),
+    )
+
+    def _write(loc: str) -> None:
+        t.documents.select(
+            F.when(F.col("doc_id") % 10 == 3, F.substring(line, 1, 15))
+            .otherwise(line)
+            .alias("value")
+        ).write.mode("overwrite").text(loc)
+
+    loc = _derived_fixture(spark, sf_dir, "jsonl", _write)
+    read = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(loc)
+    )
+    return read.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("_corrupt_record").alias("corrupt_record"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+# ------------------------------------------------- r6: ORC roundtrip
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {o_msum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-row: ORC as a first-class columnar format — write the fact
+    columns as ORC once per session, read back with a pushed
+    predicate, aggregate. ORC is the other lake format a migrating
+    Connect user will have on hand (Hive heritage); this proves the
+    engine round-trips it with the same pushdown/pruning behavior as
+    parquet (the filter reaches the OrcScan as a PushedFilter; only
+    the 3 needed columns are read)."""
+    t = load_tables(spark, sf_dir)
+
+    def _write(loc: str) -> None:
+        t.lineitem.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+            "overwrite"
+        ).orc(loc)
+
+    loc = _derived_fixture(spark, sf_dir, "orc", _write)
+    return (
+        spark.read.orc(loc)
+        .filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), msum("l_quantity").alias("sum_qty"))
+    )

@@ -140,6 +140,10 @@ BNLJ_OK = {
                           # per-day deviation projection
     "mm_media_profile",   # 1-row audio-totals relation broadcast onto
                           # the 2-row image bucket aggregate
+    "rel_psi_drift",      # 1-row base-total and bin-count relations
+                          # broadcast into the per-bin PSI terms
+    "rel_hll_mergeable",  # 1-row direct-sketch relation broadcast onto
+                          # the 1-row merged-sketch relation
 }
 
 
@@ -161,6 +165,7 @@ UNPART_WINDOW_OK = {
     "rel_numeric_histogram",  # cumulative sum over <=20 histogram buckets
     "src_offset_gap_audit",   # prefix scan over the |key-space/bucket| relation
     "rel_cusum_changepoint",  # prefix sum + global max over the |days| series
+    "rel_seasonal_naive_eval",  # lag-1/lag-7 windows over the |days| series
 }
 
 

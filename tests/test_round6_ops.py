@@ -166,3 +166,112 @@ class TestRound6Operators:
 
         rows = all_queries()["rel_approx_percentile"].fn(spark, sf_dir).collect()
         assert rows and all(r.p50_ok and r.p95_ok and r.p99_ok for r in rows)
+
+
+class TestRound6Analytics:
+    def test_psi_zero_for_identical_distribution(self, spark, sf_dir):
+        """PSI of a source against itself is 0 by construction; the
+        registered query's verdicts must use the standard thresholds."""
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["rel_psi_drift"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            if abs(r.psi_e4 - 2000) <= 1 or abs(r.psi_e4 - 1000) <= 1:
+                continue  # verdict thresholds on raw doubles; e4 is rounded
+            v = "shifted" if r.psi_e4 >= 2000 else (
+                "moderate" if r.psi_e4 >= 1000 else "stable")
+            assert r.verdict == v
+
+    def test_hll_verdicts_true(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        r = all_queries()["rel_hll_mergeable"].fn(spark, sf_dir).collect()[0]
+        assert r.union_close_to_direct and r.within_tolerance
+
+    def test_rolling_distinct_never_below_daily(self, spark, sf_dir):
+        """The 7-day rolling distinct for a day is >= that day's own
+        distinct users (window superset)."""
+        from pyspark.sql import functions as F
+
+        from heroku_kafka_connect_spark.registry import all_queries
+        from heroku_kafka_connect_spark.session import load_tables
+
+        t = load_tables(spark, sf_dir)
+        daily = (
+            t.events.select(
+                F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+                "user_id",
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("d"))
+        )
+        rolled = all_queries()["rel_rolling_distinct_users"].fn(spark, sf_dir)
+        bad = rolled.join(daily, "day").filter("rolling_7d_users < d").count()
+        assert bad == 0
+
+    def test_audience_overlap_symmetric_bounds(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["rel_audience_overlap"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.type_a < r.type_b  # each unordered pair exactly once
+            assert 0 < r.n_both <= min(r.n_a, r.n_b)
+            assert 0 <= r.jaccard_e4 <= 10000
+
+
+class TestRound6Sources:
+    def test_jsonl_permissive_preserves_corrupt_lines(self, spark, sf_dir):
+        """Every doc_id%10==3 line is corrupt: fields NULL, raw prefix
+        preserved; everything else parses clean."""
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["src_jsonl_permissive"].fn(spark, sf_dir).collect()
+        corrupt = [r for r in rows if r.is_corrupt]
+        clean = [r for r in rows if not r.is_corrupt]
+        assert corrupt and clean
+        assert all(
+            r.doc_id is None and r.lang is None and r.n_chars is None
+            and r.corrupt_record.startswith('{"doc_id": ')
+            for r in corrupt
+        )
+        assert all(r.doc_id % 10 != 3 and r.corrupt_record is None for r in clean)
+
+    def test_orc_scan_pushes_predicate(self, spark, sf_dir):
+        """The quantity filter must reach the ORC scan as a pushed
+        filter and only the needed columns must be read."""
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        df = all_queries()["src_orc_roundtrip"].fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]" in p
+        assert "l_orderkey" not in p.split("ReadSchema:")[1].split("\n")[0]
+
+    def test_repetition_truncate_semantics(self, spark, sf_dir):
+        """A doc with a repeated 8-gram gets truncate_at = position of
+        the SECOND occurrence of the FIRST repeating gram; short docs
+        (<8 tokens) and repetition-free docs pass through untruncated."""
+        from heroku_kafka_connect_spark.registry import all_queries
+        import tempfile, os
+
+        from tests.conftest import SF_DIR
+
+        with tempfile.TemporaryDirectory() as d:
+            for name in ("region nation customer supplier part orders lineitem "
+                         "events embeddings").split():
+                os.symlink(os.path.join(SF_DIR, f"{name}.parquet"),
+                           os.path.join(d, f"{name}.parquet"))
+            docs = [
+                (1, "a b c d e f g h x a b c d e f g h", "en", "s", 0),  # 8-gram repeats at pos 10
+                (2, "one two three four five six seven eight nine", "en", "s", 0),  # clean
+                (3, "tiny doc", "en", "s", 0),  # < 8 tokens: no grams
+            ]
+            spark.createDataFrame(
+                docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+            ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            out = {r.doc_id: r for r in
+                   all_queries()["llm_repetition_truncate"].fn(spark, d).collect()}
+            assert out[1].truncated and out[1].truncate_at == 10
+            assert not out[2].truncated and out[2].truncate_at is None
+            assert not out[3].truncated and out[3].n_tokens == 2
