@@ -389,12 +389,33 @@ class SparkRuntime(QueryRuntime):
                     .drop("__bkt", "__rn", "__off")
                 )
 
+            metrics_path = cfg.get("sink.metricsPath")
+
             def split(batch_df: DataFrame, batch_id: int) -> None:
+                from pyspark.sql import Observation
+
                 valid, dlq = jsonserde.dlq_split(batch_df, json_col, schema)
-                stamp(
+                good_df = stamp(
                     valid.withColumn("__parsed", F.to_json("__parsed")), batch_id
-                ).write.mode("append").parquet(good_path)
-                stamp(dlq, batch_id).write.mode("append").parquet(dlq_path)
+                )
+                bad_df = stamp(dlq, batch_id)
+                # per-batch quality metrics ride the WRITE pass via the
+                # Observation API (accumulator-backed) — zero extra
+                # scans, the Connect task-metrics analog. Declared with
+                # sink.metricsPath; absent = no metric I/O at all.
+                if metrics_path:
+                    ob_g, ob_b = Observation(), Observation()
+                    good_df = good_df.observe(ob_g, F.count(F.lit(1)).alias("n"))
+                    bad_df = bad_df.observe(ob_b, F.count(F.lit(1)).alias("n"))
+                good_df.write.mode("append").parquet(good_path)
+                bad_df.write.mode("append").parquet(dlq_path)
+                if metrics_path:
+                    n_good = ob_g.get.get("n", 0)
+                    n_bad = ob_b.get.get("n", 0)
+                    batch_df.sparkSession.createDataFrame(
+                        [(int(batch_id), int(n_good), int(n_bad))],
+                        "batch_id long, n_good long, n_bad long",
+                    ).coalesce(1).write.mode("append").parquet(metrics_path)
 
             writer = df.writeStream.queryName(spec.name).foreachBatch(split).option(
                 "checkpointLocation", cp

@@ -740,3 +740,38 @@ def test_dlq_stamp_is_parallel_and_replay_deterministic(spark, tmp_path):
     from heroku_kafka_connect_spark.controlplane import read_dlq_exactly_once
 
     assert read_dlq_exactly_once(spark, good, ["id"]).count() == 40
+
+
+def test_dlq_metrics_via_observation(spark, tmp_path):
+    """r6: declared sink.metricsPath makes the dlq-split sink emit
+    per-batch (n_good, n_bad) via the Observation API — accumulator
+    metrics riding the write pass, no extra scan. The metric row must
+    match the actually-written row counts."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    rows = [(i, _json.dumps({"v": i}) if i % 3 else "{broken") for i in range(12)]
+    spark.createDataFrame(rows, "id int, body string").write.parquet(src)
+    spec = PipelineSpec(
+        name="dlqmetrics",
+        config={
+            "source.format": "parquet",
+            "source.path": src,
+            "source.schema": "id int, body string",
+            "sink.format": "dlq-split",
+            "sink.option.jsonColumn": "body",
+            "sink.option.schema": "v int",
+            "sink.path": str(tmp_path / "good"),
+            "sink.dlqPath": str(tmp_path / "bad"),
+            "sink.metricsPath": str(tmp_path / "metrics"),
+            "trigger": "availableNow",
+        },
+    )
+    rt = SparkRuntime(spark, checkpoint_root=str(tmp_path / "cp"))
+    rt.start(spec)
+    _wait_done(spark, "dlqmetrics")
+    good = spark.read.parquet(str(tmp_path / "good")).count()
+    bad = spark.read.parquet(str(tmp_path / "bad")).count()
+    m = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    assert good == 8 and bad == 4  # i=0,3,6,9 broken
+    assert sum(r.n_good for r in m) == good and sum(r.n_bad for r in m) == bad

@@ -428,3 +428,126 @@ def test_gap_ranges_bucketed_equals_global(spark, keys, bucket):
         if b - a > 1
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------- r6
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 4),          # user
+        st.integers(0, 10_000),     # seconds offset
+    ),
+    min_size=0,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(rows=EVENTS)
+@CFG
+def test_sessionize_decomposition_equals_naive(spark, rows):
+    """The lag→flag→prefix-sum sessionization (rel_sessionize_gap's
+    core) must equal a naive driver-side pass for ANY event set:
+    same number of sessions per user, gap rule strictly > 600 s."""
+    from pyspark.sql import Window
+
+    gap = 600
+    if rows:
+        df = spark.createDataFrame(rows, "u int, s long")
+    else:
+        df = spark.createDataFrame([], "u int, s long")
+    wo = Window.partitionBy("u").orderBy("s")
+    sess = (
+        df.withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "new",
+            F.when(F.col("prev").isNull() | (F.col("s") - F.col("prev") > gap), 1)
+            .otherwise(0),
+        )
+        .groupBy("u")
+        .agg(F.sum("new").alias("n_sessions"))
+    )
+    got = {r.u: r.n_sessions for r in sess.collect()}
+    # naive replay
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for u, s in rows:
+        by_u[u].append(s)
+    want = {}
+    for u, ss in by_u.items():
+        ss.sort()
+        n = 1
+        for a, b in zip(ss, ss[1:]):
+            if b - a > gap:
+                n += 1
+        want[u] = n
+    assert got == want
+
+
+@given(rows=EVENTS)
+@CFG
+def test_rolling_distinct_explode_equals_naive(spark, rows):
+    """The explode-to-anchor-days decomposition (rel_rolling_distinct
+    _users's core) must equal the per-day rescan for ANY (user, day)
+    set: rolling-7 distinct per existing day."""
+    days = [(u, s % 30) for u, s in rows]  # day in 0..29
+    if days:
+        df = spark.createDataFrame(days, "u int, d int").distinct()
+    else:
+        df = spark.createDataFrame([], "u int, d int")
+    day_dim = df.select("d").distinct()
+    contrib = df.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("anchor"), "u"
+    )
+    rolled = (
+        contrib.join(day_dim.withColumnRenamed("d", "anchor"), "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.countDistinct("u").alias("n"))
+    )
+    got = {r.anchor: r.n for r in rolled.collect()}
+    uniq = set(days)
+    want = {}
+    for d in {d for _, d in uniq}:
+        want[d] = len({u for u, dd in uniq if d - 6 <= dd <= d})
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.text("abcd", min_size=1, max_size=4)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@CFG
+def test_dlq_stamp_bucket_decomposition_is_total_and_stable(spark, rows):
+    """The hash-bucket + offset __row_n decomposition (controlplane
+    stamp): for ANY batch the stamps are a permutation of 1..n, and
+    identical content re-derives identical stamps."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k int, v string")
+    keys = [F.col("k"), F.col("v")]
+    nb = 8
+
+    def stamp(bdf):
+        tmp = bdf.withColumn("b", F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int"))
+        counts = tmp.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        offs = counts.select(
+            "b", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+        )
+        wrn = Window.partitionBy("b").orderBy(*keys)
+        return (
+            tmp.withColumn("rn", F.row_number().over(wrn))
+            .join(F.broadcast(offs), "b")
+            .withColumn("row_n", (F.col("off") + F.col("rn")).cast("int"))
+            .drop("b", "rn", "off")
+        )
+
+    a = sorted((r.k, r.v, r.row_n) for r in stamp(df).collect())
+    b = sorted((r.k, r.v, r.row_n) for r in stamp(df).collect())
+    assert a == b
+    assert sorted(x[2] for x in a) == list(range(1, len(rows) + 1))
