@@ -14,8 +14,14 @@ Codec status (two tiers):
   (RIFF/WAVE fmt-chunk parse per the public Microsoft/IBM RIFF
   spec). `encode_png`/`parse_png`, `encode_wav`/`parse_wav` below
   run on REAL bytes, stdlib only (struct + zlib).
-* STUBBED pending native libs: pixel-level decode / JPEG / video
-  (needs PIL/ffmpeg, absent in this container). Those paths keep the
+* REAL, metadata-tier: JPEG marker walk (`encode_jpeg_header` /
+  `parse_jpeg_meta`) — structurally-valid SOI/APP0/DQT/SOF0 framing
+  per the public JPEG/JFIF specs; dims/depth/components parsed from
+  actual marker bytes the way identify/exiftool do. Metadata-only
+  fixtures (no entropy-coded scan — a full baseline encoder needs
+  DCT+Huffman; dimension metadata never does).
+* STUBBED pending native libs: pixel-level decode / video (needs
+  PIL/ffmpeg, absent in this container). Those paths keep the
   deterministic fake keyed on payload length; the mapInPandas batch
   loop is identical, so real codecs drop in unchanged.
 """
@@ -220,6 +226,11 @@ def decode_images(df: DataFrame) -> DataFrame:
                     w, h, depth, color = parse_png(b)
                     rows.append((doc_id, mime, len(b), w, h, depth, color, 1,
                                  "png-pure-python"))
+                elif b[:2] == b"\xff\xd8":
+                    # JPEG: color_type column carries n_components
+                    w, h, depth, ncomp = parse_jpeg_meta(b)
+                    rows.append((doc_id, mime, len(b), w, h, depth, ncomp, 1,
+                                 "jpeg-header-pure-python"))
                 else:
                     if not _STUB_DECODERS:  # pragma: no cover - requires PIL
                         raise NotImplementedError(
@@ -315,3 +326,73 @@ def resize_meta(decoded: DataFrame, max_side: int = 256) -> Column:
         F.lit(max_side) / F.col("width"), F.lit(max_side) / F.col("height"), F.lit(1.0)
     )
     return F.round(scale, 4)
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """A structurally-valid JPEG HEADER (SOI, APP0/JFIF, DQT, SOF0
+    baseline) with the given dimensions — marker framing per the
+    public JPEG/JFIF specs. Deliberately metadata-only: no entropy-
+    coded scan follows (a full baseline encoder needs DCT + Huffman;
+    dimension metadata never does). This is the fixture shape for
+    `parse_jpeg_meta`, which walks markers exactly the way identify/
+    exiftool read dims without decoding."""
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("jpeg dims out of range")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    dqt = b"\x00" + bytes(range(1, 65))  # table id 0 + 64 coefficients
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out = b"\xff\xd8"  # SOI
+    for marker, body in ((b"\xff\xe0", app0), (b"\xff\xdb", dqt), (b"\xff\xc0", sof0)):
+        out += marker + struct.pack(">H", len(body) + 2) + body
+    return out + b"\xff\xd9"  # EOI
+
+
+def parse_jpeg_meta(b: bytes) -> tuple[int, int, int, int]:
+    """Real JPEG marker walk: (width, height, bit_depth, n_components)
+    from the first SOF0/SOF1/SOF2 frame header. Validates SOI and
+    segment framing; skips APPn/DQT/DHT/COM the way any metadata
+    reader does."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            depth, h, w, ncomp = struct.unpack(">BHHB", b[pos + 4 : pos + 10])
+            return w, h, depth, ncomp
+        pos += 2 + ln
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant structurally-valid JPEG headers as payloads (dims from
+    text length — SQL-recomputable), built inside the Arrow batch
+    loop by `encode_jpeg_header`."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[text_col].str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_header(int(ni) % 640 + 1, int(ni) % 480 + 1)
+                        for ni in n
+                    ],
+                }
+            )
+
+    out = df.select("doc_id", text_col).mapInPandas(
+        build, "doc_id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("image/jpeg").alias("mime"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lit("image").alias("modality"),
+    )
+    return out.withColumn("meta", meta)

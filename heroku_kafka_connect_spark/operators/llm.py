@@ -44,7 +44,8 @@ _SQL_HEX32 = llmops.sql_hex32("{x}")
 
 
 def _minhash_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
-                    max_bucket: int = 256) -> str:
+                    max_bucket: int = 256, doc_pred: str = "TRUE",
+                    extra_cols: str = "") -> str:
     """Full-fidelity SQL replica of ``llmops.minhash_lsh_pairs`` —
     same shingles, same affine minhash constants, same band keys,
     same hot-bucket cap, same Jaccard verify — possible because the
@@ -65,7 +66,8 @@ def _minhash_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE {doc_pred})
     ),
     xs AS (
       SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
@@ -96,7 +98,7 @@ def _minhash_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
                    / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
       FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
     )
-    SELECT a, b, jaccard FROM ver WHERE jaccard >= {threshold}
+    SELECT a, b, jaccard{extra_cols} FROM ver WHERE jaccard >= {threshold}
     """
 
 
@@ -127,7 +129,13 @@ def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
     return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 50)
 
 
-@register("llm_dedup_near_ml", oracle=None)
+@register(
+    "llm_dedup_near_ml",
+    oracle=_minhash_oracle(
+        doc_pred=f"{llmops.sql_md5_prefix_bucket('doc_id', 100)} < 50",
+        extra_cols=", TRUE AS ml_found",
+    ),
+)
 def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 via spark.ml builtins (HashingTF → MinHashLSH →
     approxSimilarityJoin) — the same shingle definition as the custom
@@ -153,10 +161,25 @@ def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+    ml = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
         F.col("datasetA.doc_id").alias("a"),
         F.col("datasetB.doc_id").alias("b"),
-        F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+    )
+    # Driver-consumable verdict (r5 verdict item "retire err rows"):
+    # the OUTPUT is the custom sketch's pair set on the same sample
+    # (fully SQL-replayable — the registered oracle replays the whole
+    # sketch restricted to the 50% bucket) with an `ml_found` boolean
+    # per pair. FULL OUTER join: an ML-only pair materializes a row
+    # the oracle cannot produce (row-count mismatch → driver FAIL),
+    # a custom-only pair flips its boolean — either drift in the
+    # builtin route now fails the driver hash instead of reading as
+    # `no_oracle`. Set equality itself remains pinned in
+    # tests/test_llmops.py::test_custom_and_ml_minhash_agree.
+    custom = llmops.minhash_lsh_pairs(
+        ml_cross_check_sample(t.documents), threshold=0.5
+    )
+    return custom.join(ml.withColumn("ml_found", F.lit(True)), ["a", "b"], "full").select(
+        "a", "b", "jaccard", F.coalesce("ml_found", F.lit(False)).alias("ml_found")
     )
 
 

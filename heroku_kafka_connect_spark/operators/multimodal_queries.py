@@ -268,3 +268,37 @@ def mm_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(aud))
         .select("bucket", "n_images", "total_pixels", "n_audio", "total_audio_ms")
     )
+
+
+@register(
+    "mm_decode_jpeg",
+    oracle="""
+    SELECT doc_id, 'image/jpeg' AS mime,
+           CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(1 AS INTEGER) AS n_components,
+           'jpeg-header-pure-python' AS decoder
+    FROM documents
+    """,
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata decode on REAL marker bytes: payloads are
+    structurally-valid JPEG headers (SOI/APP0/DQT/SOF0 per the public
+    spec), and the decode walks the ACTUAL segments — marker
+    alignment validated, dims/depth/components read from SOF0 —
+    exactly how identify/exiftool read dimensions without a pixel
+    decode. Third real codec beside PNG (full files) and WAV;
+    pixel-level JPEG decode remains gated on PIL (README risk
+    register)."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_jpeg_payload(t.documents)
+    return mm.decode_images(with_payload).select(
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        "bit_depth",
+        F.col("color_type").alias("n_components"),
+        "decoder",
+    )

@@ -928,12 +928,47 @@ def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.customer.select("c_mktsegment", "c_nationkey").distinct()
 
 
-@register("rel_sample", oracle=None)
+@register(
+    "rel_sample",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS frac_within_3sigma,
+           TRUE AS sample_is_subset
+    FROM orders
+    """,
+)
 def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G30: Bernoulli sampling (seeded). Cross-engine RNGs differ →
-    rows-only."""
+    """G30: Bernoulli sampling (seeded). Cross-engine RNGs differ, so
+    raw sampled ROWS can't hash — instead the query emits the VERDICT
+    contract (see rel_approx_count_distinct): the realized fraction
+    sits within 3σ of p=0.1 (binomial: σ = √(p(1−p)/n)), and every
+    sampled key exists in the base table (anti-join empty). A broken
+    sampler — biased rate, or fabricated rows — flips a boolean and
+    fails the driver hash. The deterministic-sampling path a pipeline
+    should use for REPLAYABLE subsets is llm_sample_hash
+    (md5-bucket, exactly replayable in SQL); this operator covers the
+    faster seeded-RNG path used when replay isn't required."""
     t = load_tables(spark, sf_dir)
-    return t.orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    base = t.orders.select("o_orderkey")
+    s = t.orders.sample(fraction=0.1, seed=42).select("o_orderkey")
+    stats = base.agg(F.count(F.lit(1)).alias("n_total"))
+    samp = s.agg(F.count(F.lit(1)).alias("n_samp"))
+    foreign = s.join(base, "o_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_foreign")
+    )
+    p = 0.1
+    sigma = F.sqrt(F.lit(p * (1 - p)) / F.col("n_total"))
+    return (
+        stats.crossJoin(F.broadcast(samp))
+        .crossJoin(F.broadcast(foreign))
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("n_samp") / F.col("n_total") - F.lit(p)) <= 3 * sigma
+            ).alias("frac_within_3sigma"),
+            (F.col("n_foreign") == 0).alias("sample_is_subset"),
+        )
+    )
 
 
 @register(

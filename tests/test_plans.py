@@ -144,6 +144,8 @@ BNLJ_OK = {
                           # broadcast into the per-bin PSI terms
     "rel_hll_mergeable",  # 1-row direct-sketch relation broadcast onto
                           # the 1-row merged-sketch relation
+    "rel_sample",         # two 1-row count relations broadcast into the
+                          # binomial verdict projection
 }
 
 

@@ -275,3 +275,20 @@ class TestRound6Sources:
             assert out[1].truncated and out[1].truncate_at == 10
             assert not out[2].truncated and out[2].truncate_at is None
             assert not out[3].truncated and out[3].n_tokens == 2
+
+
+class TestJpegCodec:
+    def test_jpeg_header_roundtrip_and_rejects(self):
+        from heroku_kafka_connect_spark.functions.multimodal import (
+            encode_jpeg_header,
+            parse_jpeg_meta,
+        )
+
+        for w, h in [(1, 1), (640, 480), (65535, 1)]:
+            assert parse_jpeg_meta(encode_jpeg_header(w, h)) == (w, h, 8, 1)
+        with pytest.raises(ValueError):
+            parse_jpeg_meta(b"\x89PNG not a jpeg")
+        with pytest.raises(ValueError):
+            parse_jpeg_meta(b"\xff\xd8\x00\x00weird")  # bad marker alignment
+        with pytest.raises(ValueError):
+            encode_jpeg_header(0, 10)
