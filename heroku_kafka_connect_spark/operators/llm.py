@@ -3616,3 +3616,181 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("truncate_at").isNotNull().alias("truncated"),
         )
     )
+
+
+# ------------------------------------------------- r6: E2E curation
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, source, lang, text FROM documents WHERE source <> 'src1'
+    ),
+    canon AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY lang,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       ' +', ' ', 'g')))
+             ) AS dedup_keep
+      FROM train
+    ),
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM train)
+      GROUP BY doc_id, token
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             (SUM(length(token) * cnt) / CAST(SUM(cnt) AS DOUBLE) BETWEEN 3 AND 10)
+               AND COUNT(*) / CAST(SUM(cnt) AS DOUBLE) >= 0.2
+               AND MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) <= 0.2
+               AND MAX(CASE WHEN token IN ({{stops}}) THEN 1 ELSE 0 END) = 1
+               AS quality_keep
+      FROM tc GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                                   FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)])) AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+    ),
+    dirty AS (
+      SELECT DISTINCT t.doc_id
+      FROM g t JOIN g e ON t.gram = e.gram
+      WHERE t.source <> 'src1' AND e.source = 'src1'
+    ),
+    flags AS (
+      SELECT tr.doc_id, tr.source, tr.lang, q.n_tokens,
+             c.dedup_keep, q.quality_keep,
+             d.doc_id IS NULL AS contam_keep,
+             c.dedup_keep AND q.quality_keep AND d.doc_id IS NULL AS final_keep
+      FROM train tr
+      JOIN canon c USING (doc_id)
+      JOIN q USING (doc_id)
+      LEFT JOIN dirty d USING (doc_id)
+    )
+    SELECT doc_id, source, lang, n_tokens,
+           dedup_keep, quality_keep, contam_keep, final_keep,
+           CASE WHEN final_keep THEN
+             CAST(FLOOR((SUM(CASE WHEN final_keep THEN n_tokens END)
+                           OVER (PARTITION BY lang, final_keep ORDER BY doc_id)
+                         - n_tokens) / 2048.0) AS BIGINT)
+           END AS pack_id
+    FROM flags
+    """.replace("{stops}", ", ".join(f"'{w}'" for w in __import__('heroku_kafka_connect_spark.functions.text', fromlist=['STOPWORDS']).STOPWORDS["en"])),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation run — every stage a real 100 TB
+    pipeline executes, composed into ONE dataflow and emitted as a
+    per-document audit manifest: (1) normalization-robust exact dedup
+    (keep the min-id canonical per (lang, normalized-hash)),
+    (2) Gopher quality rules, (3) eval-set decontamination (drop any
+    train doc sharing a 4-token gram with the src1 eval set),
+    (4) offset-based sequence packing of the survivors (2048-token
+    budget, per-lang). Each doc carries its per-stage verdicts plus
+    its final pack assignment — the artifact a data lead reviews
+    before a training run, and the lineage a post-hoc audit needs.
+
+    Scale: stages share scans where the semantics allow (the dedup
+    hash and token stats both derive from the train scan); each
+    stage is the same plan shape its standalone query pins (hash agg
+    / window / gram join with eval side small); the packing window
+    partitions on (lang) over SURVIVORS only. Composition adds no
+    new shuffle class — the point of expressing curation as one
+    declarative DAG is that Catalyst sees the whole lineage."""
+    t = load_tables(spark, sf_dir)
+    train = t.documents.filter(F.col("source") != "src1")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    wc = Window.partitionBy("lang", norm)
+    canon = train.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(wc)).alias("dedup_keep")
+    )
+    from ..functions.text import STOPWORDS
+
+    tc = (
+        train.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mean_len = F.sum(F.length("token") * F.col("cnt")) / F.sum("cnt").cast("double")
+    q = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        (
+            mean_len.between(3, 10)
+            & ((F.count(F.lit(1)) / F.sum("cnt").cast("double")) >= 0.2)
+            & ((F.max("cnt") / F.sum("cnt").cast("double")) <= 0.2)
+            & (
+                F.max(
+                    F.when(F.col("token").isin(*STOPWORDS["en"]), 1).otherwise(0)
+                )
+                == 1
+            )
+        ).alias("quality_keep"),
+    )
+    toks = F.split("text", " ")
+    grams = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(toks) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 3),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", toks)))
+            )
+        ).alias("gram"),
+    )
+    dirty = (
+        grams.filter(F.col("source") != "src1")
+        .join(
+            F.broadcast(
+                grams.filter(F.col("source") == "src1").select("gram").distinct()
+            ),
+            "gram",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    flags = (
+        train.select("doc_id", "source", "lang")
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .join(dirty, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "dedup_keep",
+            "quality_keep",
+            F.col("is_dirty").isNull().alias("contam_keep"),
+            (
+                F.col("dedup_keep")
+                & F.col("quality_keep")
+                & F.col("is_dirty").isNull()
+            ).alias("final_keep"),
+        )
+    )
+    wp = Window.partitionBy("lang", "final_keep").orderBy("doc_id")
+    cum = F.sum(F.when(F.col("final_keep"), F.col("n_tokens"))).over(wp)
+    return flags.withColumn(
+        "pack_id",
+        F.when(
+            F.col("final_keep"),
+            F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)),
+        ),
+    )

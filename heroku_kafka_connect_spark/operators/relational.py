@@ -2814,3 +2814,111 @@ def rel_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_e4"),
         )
     )
+
+
+# ------------------------------------------------- r6: recursive CTE
+
+
+@register(
+    "rel_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine(day) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT day + 1 FROM spine, bounds WHERE day < hi
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           d.n IS NULL AS is_gap_day
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def rel_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) — the calendar-spine
+    idiom: recursively expand [min_day, max_day] from the data's own
+    bounds and left-join daily counts, zero-filling gap days. Proves
+    the recursive SQL surface end-to-end against DuckDB's recursion
+    (both engines execute a genuine recursive union, not a rewrite).
+
+    Scale: recursion depth = |days| — a tiny driver-side spine, the
+    legitimate recursion use. For spines where |days| is large, the
+    non-recursive `sequence()` explode (rel_time_gapfill) is the
+    scale path; this row exists for SQL-surface parity, and the
+    docstring says which to pick."""
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+                 CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+          FROM parquet.`{sf_dir}/events.parquet`
+        ),
+        spine(day) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT date_add(day, 1) FROM spine, bounds WHERE day < hi
+        ),
+        daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+          FROM parquet.`{sf_dir}/events.parquet` GROUP BY 1
+        )
+        SELECT CAST(s.day AS STRING) AS day,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+               d.n IS NULL AS is_gap_day
+        FROM spine s LEFT JOIN daily d USING (day)
+        """
+    )
+
+
+# ------------------------------------------------- r6: LATERAL join
+
+
+@register(
+    "rel_lateral_topn",
+    oracle="""
+    SELECT r.r_name AS region, t.n_name AS nation, t.total_bal
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100
+               AS DOUBLE) AS total_bal
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY total_bal DESC, n.n_name
+      LIMIT 2
+    ) t
+    """,
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.2+ `LATERAL`): per-region
+    top-2 nations by total customer balance — the SQL-standard
+    spelling of grouped top-N that planners decorrelate into a
+    window-rank. Proves the LATERAL surface against DuckDB's; the
+    plan should show the decorrelated join+window, never a per-row
+    re-execution. Money sums ride scaled longs (mlong convention
+    spelled inline so both engines fold identically). Reads the
+    load_tables-registered views (session-normalized fixtures)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, t.n_name AS nation, t.total_bal
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100
+                   AS DOUBLE) AS total_bal
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY total_bal DESC, n.n_name
+          LIMIT 2
+        ) t
+        """
+    )

@@ -346,3 +346,15 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
 
     df = all_queries()["rel_sessionize_gap"].fn(spark, sf_dir)
     assert unpartitioned_window_count(df) == 0
+
+
+def test_curation_pipeline_shapes(spark, sf_dir):
+    """J143: the E2E DAG must keep each stage's pinned shape — eval
+    grams broadcast into a semi join (train side never shuffles for
+    decontamination), all windows partitioned, no nested-loop or
+    cartesian fallbacks."""
+    df = all_queries()["llm_curation_pipeline"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert unpartitioned_window_count(df) == 0

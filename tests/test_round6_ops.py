@@ -292,3 +292,40 @@ class TestJpegCodec:
             parse_jpeg_meta(b"\xff\xd8\x00\x00weird")  # bad marker alignment
         with pytest.raises(ValueError):
             encode_jpeg_header(0, 10)
+
+
+class TestCurationPipeline:
+    def test_stage_flags_consistent(self, spark, sf_dir):
+        """final_keep is the conjunction of the three stage verdicts;
+        pack ids exist iff final_keep; packs are contiguous from 0
+        per (lang) with the 2048 budget respected at pack OPEN time
+        (offset packing may close slightly over budget)."""
+        from collections import defaultdict
+
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["llm_curation_pipeline"].fn(spark, sf_dir).collect()
+        assert rows
+        assert all(
+            r.final_keep == (r.dedup_keep and r.quality_keep and r.contam_keep)
+            for r in rows
+        )
+        assert all((r.pack_id is not None) == r.final_keep for r in rows)
+        by_lang = defaultdict(list)
+        for r in rows:
+            if r.final_keep:
+                by_lang[r.lang].append((r.doc_id, r.n_tokens, r.pack_id))
+        for lang, docs in by_lang.items():
+            docs.sort()
+            cum = 0
+            for _, n, pid in docs:
+                assert pid == cum // 2048
+                cum += n
+
+    def test_eval_docs_excluded_and_some_attrition(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        rows = all_queries()["llm_curation_pipeline"].fn(spark, sf_dir).collect()
+        assert all(r.source != "src1" for r in rows)  # eval set never trains
+        kept = sum(r.final_keep for r in rows)
+        assert 0 < kept < len(rows)  # the pipeline actually filters
