@@ -291,3 +291,89 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore, "event_id long, user_id long, value double, z double"
     )
     return raw.select("event_id", "user_id", "value", F.round("z", 4).alias("z"))
+
+
+# ------------------------------------------------- r6: mapInArrow
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-surface: `mapInArrow` — the LOWEST-overhead Python extension
+    point: raw Arrow RecordBatches in/out, no pandas conversion at
+    all (pyarrow.compute kernels are C++; Python only orchestrates
+    per batch). This is the tier below pandas_udf for byte-level /
+    columnar-native logic — at 100 TB the pandas materialization that
+    mapInPandas pays per batch is pure overhead when the kernel is
+    already Arrow-native. The fixture is ASCII so byte length ==
+    char length and the oracle can replay both outputs."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            text = t.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("doc_id").combine_chunks(),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()).combine_chunks(),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                    ).combine_chunks(),
+                ],
+                names=["doc_id", "n_bytes", "n_ws_tokens"],
+            )
+
+    t = load_tables(spark, sf_dir)
+    return t.documents.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id bigint, n_bytes bigint, n_ws_tokens bigint"
+    )
+
+
+# ------------------------------------------------- r6: pandas API on Spark
+
+
+@register(
+    "udf_pandas_api_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-surface: pandas API on Spark (`pyspark.pandas`) — the
+    migration surface for pandas-native users: a groupby-agg written
+    in pandas idiom compiles to the SAME distributed plan the
+    DataFrame API produces (no driver materialization; ps frames are
+    lazy Spark plans). Pinned here so the engine's claim covers all
+    four Python surfaces: row-free built-ins, Arrow UDFs,
+    mapInArrow, and the pandas API."""
+    import pyspark.pandas as ps
+
+    t = load_tables(spark, sf_dir)
+    psdf = t.documents.select("lang", "n_chars").pandas_api()
+    agg = (
+        psdf.groupby("lang")
+        .agg({"n_chars": ["count", "sum", "max"]})
+        .reset_index()
+    )
+    agg.columns = ["lang", "n_docs", "total_chars", "max_chars"]
+    out = agg.to_spark()
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )

@@ -329,3 +329,24 @@ class TestCurationPipeline:
         assert all(r.source != "src1" for r in rows)  # eval set never trains
         kept = sum(r.final_keep for r in rows)
         assert 0 < kept < len(rows)  # the pipeline actually filters
+
+
+class TestPythonSurfaces:
+    def test_map_in_arrow_stage_is_arrow_native(self, spark, sf_dir):
+        """The mapInArrow query must plan as a PythonMapInArrow stage
+        (raw Arrow tier) — never BatchEvalPython."""
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        df = all_queries()["udf_map_in_arrow"].fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in p
+        assert "BatchEvalPython" not in p
+
+    def test_pandas_api_stays_lazy_distributed(self, spark, sf_dir):
+        """pandas-on-Spark groupby must compile to a hash aggregate
+        plan (no driver collect hidden inside)."""
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        df = all_queries()["udf_pandas_api_stats"].fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in p and "partial_count" in p
