@@ -55,6 +55,11 @@ class SpecError(ValueError):
     """Invalid pipeline spec (the analog of Connect's 400 on PUT)."""
 
 
+class ConflictError(RuntimeError):
+    """Stop retries exhausted mid-mutation — the analog of Connect's
+    409 under rebalance (main.sh retries exactly this, main.sh:130-141)."""
+
+
 @dataclass(frozen=True)
 class PipelineSpec:
     """One declarative pipeline — same shape as the reference's
@@ -155,6 +160,14 @@ class Reconciler:
         self.retry_sleep_s = retry_sleep_s
         self.ready_tries = ready_tries
         self._sleep = sleep
+        #: serializes ALL mutations through this reconciler — the boot
+        #: thread's reconcile pass and any HTTP PUT/DELETE share one
+        #: Reconciler (boot() wires the REST server to it), so without
+        #: this an HTTP upsert could interleave stop/start with the
+        #: background reconcile on the same pipeline name. Connect
+        #: serializes through the herder queue; an RLock is the
+        #: single-process analog.
+        self.lock = threading.RLock()
 
     def wait_ready(self) -> bool:
         """Readiness probe: poll until the runtime answers
@@ -185,25 +198,33 @@ class Reconciler:
         Raises on validation or start failure — callers map that to
         their own error surface (reconcile report / HTTP 4xx-5xx)."""
         spec.validate()
-        current = self.runtime.list_running().get(spec.name)
-        if current is None:
-            self.runtime.start(spec)
-            return "started"
-        if current != spec.fingerprint():
-            if not self._stop_with_retry(spec.name):
-                raise RuntimeError(f"{spec.name}: stop-for-restart failed")
-            self.runtime.start(spec)
-            return "restarted"
-        return "unchanged"
+        with self.lock:
+            current = self.runtime.list_running().get(spec.name)
+            if current is None:
+                self.runtime.start(spec)
+                return "started"
+            if current != spec.fingerprint():
+                if not self._stop_with_retry(spec.name):
+                    raise ConflictError(f"{spec.name}: stop-for-restart failed")
+                self.runtime.start(spec)
+                return "restarted"
+            return "unchanged"
 
     def delete(self, name: str) -> bool:
         """DELETE semantics (main.sh:130-141, 190-195): stop with the
         E8 retry ladder. True = stopped; False = retries exhausted
         (Connect's 409-under-rebalance analog)."""
-        return self._stop_with_retry(name)
+        with self.lock:
+            return self._stop_with_retry(name)
 
     def reconcile_once(self, desired: list[PipelineSpec]) -> ReconcileReport:
         report = ReconcileReport()
+        with self.lock:
+            return self._reconcile_locked(desired, report)
+
+    def _reconcile_locked(
+        self, desired: list[PipelineSpec], report: ReconcileReport
+    ) -> ReconcileReport:
         running = self.runtime.list_running()
         desired_names = {s.name for s in desired}
 
@@ -395,27 +416,38 @@ class SparkRuntime(QueryRuntime):
                 from pyspark.sql import Observation
 
                 valid, dlq = jsonserde.dlq_split(batch_df, json_col, schema)
-                good_df = stamp(
-                    valid.withColumn("__parsed", F.to_json("__parsed")), batch_id
-                )
-                bad_df = stamp(dlq, batch_id)
-                # per-batch quality metrics ride the WRITE pass via the
-                # Observation API (accumulator-backed) — zero extra
-                # scans, the Connect task-metrics analog. Declared with
-                # sink.metricsPath; absent = no metric I/O at all.
-                if metrics_path:
-                    ob_g, ob_b = Observation(), Observation()
-                    good_df = good_df.observe(ob_g, F.count(F.lit(1)).alias("n"))
-                    bad_df = bad_df.observe(ob_b, F.count(F.lit(1)).alias("n"))
-                good_df.write.mode("append").parquet(good_path)
-                bad_df.write.mode("append").parquet(dlq_path)
-                if metrics_path:
-                    n_good = ob_g.get.get("n", 0)
-                    n_bad = ob_b.get.get("n", 0)
-                    batch_df.sparkSession.createDataFrame(
-                        [(int(batch_id), int(n_good), int(n_bad))],
-                        "batch_id long, n_good long, n_bad long",
-                    ).coalesce(1).write.mode("append").parquet(metrics_path)
+                # persist the parsed halves for the stamp: its bucket-
+                # count branch and its rank branch would otherwise each
+                # re-run the JSON parse + split filter (2 extra source
+                # scans per trigger, verified in the executed plan) —
+                # the cache turns both branches into InMemoryTableScan
+                # of one materialization. Unpersisted per batch.
+                good_in = valid.withColumn("__parsed", F.to_json("__parsed")).persist()
+                bad_in = dlq.persist()
+                try:
+                    good_df = stamp(good_in, batch_id)
+                    bad_df = stamp(bad_in, batch_id)
+                    # per-batch quality metrics ride the WRITE pass via
+                    # the Observation API (accumulator-backed) — zero
+                    # extra scans, the Connect task-metrics analog.
+                    # Declared with sink.metricsPath; absent = no
+                    # metric I/O at all.
+                    if metrics_path:
+                        ob_g, ob_b = Observation(), Observation()
+                        good_df = good_df.observe(ob_g, F.count(F.lit(1)).alias("n"))
+                        bad_df = bad_df.observe(ob_b, F.count(F.lit(1)).alias("n"))
+                    good_df.write.mode("append").parquet(good_path)
+                    bad_df.write.mode("append").parquet(dlq_path)
+                    if metrics_path:
+                        n_good = ob_g.get.get("n", 0)
+                        n_bad = ob_b.get.get("n", 0)
+                        batch_df.sparkSession.createDataFrame(
+                            [(int(batch_id), int(n_good), int(n_bad))],
+                            "batch_id long, n_good long, n_bad long",
+                        ).coalesce(1).write.mode("append").parquet(metrics_path)
+                finally:
+                    good_in.unpersist()
+                    bad_in.unpersist()
 
             writer = df.writeStream.queryName(spec.name).foreachBatch(split).option(
                 "checkpointLocation", cp

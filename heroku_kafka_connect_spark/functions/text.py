@@ -19,6 +19,12 @@ STOPWORDS = {
 
 TOKEN_RE = r"[a-zA-Z0-9]+"  # BPE-ish word pieces (alnum runs)
 
+#: THE SQL spelling of the English stopword list — one definition for
+#: every oracle that interpolates it (text_queries, pipeline_queries,
+#: llm.py all import this; restating it per-module is how stopword
+#: edits silently de-sync cross-policy comparisons).
+SQL_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
 
 def ws_tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text

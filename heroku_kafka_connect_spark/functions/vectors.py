@@ -107,22 +107,27 @@ def ivf_assign(
         ]
     )
     v = vectors.select(F.col(id_col), to_double(vec_col).alias("__v"))
-    # left-to-right fold in ascending centroid_id order with a STRICT
+    # score ONCE per centroid (transform), THEN fold the argmax over
+    # the precomputed (cs, id) structs — lambda bodies are not CSE'd,
+    # so folding over cosine(...) directly would evaluate every dot
+    # product twice (once in the predicate, once in the replacement).
+    # Left-to-right fold in ascending centroid_id order with a STRICT
     # `>` keeps the old tie-break (desc score, asc centroid_id): on an
     # equal score the earlier = smaller centroid id wins.
-    best = F.aggregate(
+    scored = F.transform(
         cent_arr,
+        lambda c: F.struct(
+            cosine(F.col("__v"), c["cv"]).alias("cs"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
         F.struct(
             F.lit(float("-inf")).alias("cs"),
             F.lit(-1).cast("long").alias("centroid_id"),
         ),
-        lambda acc, c: F.when(
-            cosine(F.col("__v"), c["cv"]) > acc["cs"],
-            F.struct(
-                cosine(F.col("__v"), c["cv"]).alias("cs"),
-                c["centroid_id"].alias("centroid_id"),
-            ),
-        ).otherwise(acc),
+        lambda acc, x: F.when(x["cs"] > acc["cs"], x).otherwise(acc),
     )
     return v.select(id_col, "__v", best["centroid_id"].alias("centroid_id"))
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import llmops
+from ..functions.text import SQL_STOP_EN
 from ..functions.vectors import brute_force_topk
 from ..registry import register
 from ..session import load_tables
@@ -3680,7 +3681,7 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 2048.0) AS BIGINT)
            END AS pack_id
     FROM flags
-    """.replace("{stops}", ", ".join(f"'{w}'" for w in __import__('heroku_kafka_connect_spark.functions.text', fromlist=['STOPWORDS']).STOPWORDS["en"])),
+    """.replace("{stops}", SQL_STOP_EN),
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation run — every stage a real 100 TB
@@ -3700,7 +3701,15 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     / window / gram join with eval side small); the packing window
     partitions on (lang) over SURVIVORS only. Composition adds no
     new shuffle class — the point of expressing curation as one
-    declarative DAG is that Catalyst sees the whole lineage."""
+    declarative DAG is that Catalyst sees the whole lineage.
+
+    SYNC NOTE: the Gopher rule thresholds here restate
+    text_queries.text_gopher_rules (J49) and llm_policy_iou's rule
+    arm — a threshold change must land in all three Spark sites AND
+    their oracles, or the cross-policy comparisons compare against a
+    stale variant. (Kept inline because each site fuses the rules
+    into a different aggregate; the shared piece — the stopword SQL —
+    is already single-sourced in functions.text.SQL_STOP_EN.)"""
     t = load_tables(spark, sf_dir)
     train = t.documents.filter(F.col("source") != "src1")
     norm = F.md5(

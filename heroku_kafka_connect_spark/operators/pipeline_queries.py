@@ -31,10 +31,8 @@ from ..functions import text as T
 from ..functions.text import STOPWORDS
 from ..llmops import md5_prefix_bucket, sql_md5_prefix_bucket
 
-#: SQL spelling of the canonical English stopword list — built FROM
-#: functions.text.STOPWORDS so the quality oracles and the Spark
-#: side can never disagree with language-ID/stopword_ratio.
-_SQL_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+#: canonical SQL stopword spelling — single definition in functions.text
+from ..functions.text import SQL_STOP_EN as _SQL_STOP_EN
 
 
 def _pct_bucket(key: Column) -> Column:
@@ -811,11 +809,6 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SQL spelling of the English stopword list (same source as
-#: text_queries._SQL_STOP_EN — one list, both engines)
-_SQL_STOP_EN_P = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
-
-
 @register(
     "llm_policy_iou",
     oracle=f"""
@@ -857,7 +850,7 @@ _SQL_STOP_EN_P = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
            ROUND((SUM(g * l) + SUM((1 - g) * (1 - l))) / CAST(COUNT(*) AS DOUBLE), 4)
              AS agreement
     FROM pol
-    """.replace("{stops}", _SQL_STOP_EN_P),
+    """.replace("{stops}", _SQL_STOP_EN),
 )
 def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-policy ablation report: how much do the RULE-based
@@ -867,6 +860,12 @@ def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement — the number a curation team checks before swapping
     policies (a low IoU means the swap rewrites the corpus, not just
     re-ranks it).
+
+    SYNC NOTE: the rule arm restates text_gopher_rules' thresholds
+    and the LR arm restates llm_quality_lr_score's weights — edits
+    must land in the standalone queries, here, and llm_curation_
+    pipeline simultaneously (plus oracles) or this report compares a
+    policy against a stale variant of itself.
 
     Scale: ONE shared (doc, token, cnt) front half feeds BOTH
     policies — the rules read raw ratios, the LR reads the

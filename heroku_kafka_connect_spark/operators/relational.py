@@ -2369,20 +2369,21 @@ def rel_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM daily
     ),
     dev AS (
-      SELECT d.day, d.n, ROUND(d.n - s.mu, 4) AS dev
+      SELECT d.day, d.n,
+             CAST(ROUND((d.n - s.mu) * 10000) AS BIGINT) AS dev_e4
       FROM daily d CROSS JOIN stats s
     ),
     cum AS (
-      SELECT day, n, dev,
-             ROUND(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4)
-               AS cusum
+      SELECT day, n, dev_e4,
+             CAST(SUM(dev_e4) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cusum_e4
       FROM dev
     ),
     ext AS (
-      SELECT *, MAX(ABS(cusum)) OVER () AS max_abs FROM cum
+      SELECT *, MAX(ABS(cusum_e4)) OVER () AS max_abs FROM cum
     )
-    SELECT CAST(day AS VARCHAR) AS day, n, dev, cusum,
-           ABS(cusum) = max_abs AS is_changepoint
+    SELECT CAST(day AS VARCHAR) AS day, n, dev_e4, cusum_e4,
+           ABS(cusum_e4) = max_abs AS is_changepoint
     FROM ext
     """,
 )
@@ -2397,9 +2398,11 @@ def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus collapses to the |days| relation in one
     map-side-combinable agg; every window after that (prefix sum,
     global max) runs on that tiny series — allowlisted tiny-relation
-    windows, same class as the histogram CDF. Deviations are rounded
-    before the prefix sum so cumulative error can't drift between
-    engines."""
+    windows, same class as the histogram CDF. Deviations go through
+    the e4 scaled-INT convention (ROUND(x·1e4) to BIGINT — the one
+    rounding that agrees bit-for-bit across engines; ROUND(x, 4)
+    does not, see text_readability) so the prefix sums and the
+    changepoint equality run on exact integers."""
     t = load_tables(spark, sf_dir)
     daily = t.events.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
@@ -2408,17 +2411,21 @@ def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
     )
     dev = daily.crossJoin(F.broadcast(stats)).select(
-        "day", "n", F.round(F.col("n") - F.col("mu"), 4).alias("dev")
+        "day",
+        "n",
+        F.round((F.col("n") - F.col("mu")) * 10000).cast("long").alias("dev_e4"),
     )
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dev.withColumn("cusum", F.round(F.sum("dev").over(wc), 4))
+    cum = dev.withColumn("cusum_e4", F.sum("dev_e4").over(wc).cast("long"))
     wall = Window.partitionBy()
-    return cum.withColumn("max_abs", F.max(F.abs(F.col("cusum"))).over(wall)).select(
+    return cum.withColumn(
+        "max_abs", F.max(F.abs(F.col("cusum_e4"))).over(wall)
+    ).select(
         F.col("day").cast("string").alias("day"),
         "n",
-        "dev",
-        "cusum",
-        (F.abs(F.col("cusum")) == F.col("max_abs")).alias("is_changepoint"),
+        "dev_e4",
+        "cusum_e4",
+        (F.abs(F.col("cusum_e4")) == F.col("max_abs")).alias("is_changepoint"),
     )
 
 
@@ -2853,13 +2860,16 @@ def rel_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimate recursion use. For spines where |days| is large, the
     non-recursive `sequence()` explode (rel_time_gapfill) is the
     scale path; this row exists for SQL-surface parity, and the
-    docstring says which to pick."""
+    docstring says which to pick. Reads the load_tables-registered
+    VIEW (never raw events.parquet — FIXTURES.md rule: Tables owns
+    the ns-vs-µs fixture-generation branch and the UTC session)."""
+    load_tables(spark, sf_dir)  # registers normalized temp views
     return spark.sql(
-        f"""
+        """
         WITH RECURSIVE bounds AS (
           SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
                  CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
-          FROM parquet.`{sf_dir}/events.parquet`
+          FROM events
         ),
         spine(day) AS (
           SELECT lo FROM bounds
@@ -2868,7 +2878,7 @@ def rel_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         daily AS (
           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
-          FROM parquet.`{sf_dir}/events.parquet` GROUP BY 1
+          FROM events GROUP BY 1
         )
         SELECT CAST(s.day AS STRING) AS day,
                CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,

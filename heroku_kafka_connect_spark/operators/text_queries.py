@@ -10,9 +10,8 @@ from ..functions import text as T
 from ..functions.text import STOPWORDS
 from ..registry import register
 
-#: SQL spelling of the canonical English stopword list (built FROM
-#: functions.text.STOPWORDS — one list, both engines, every query)
-_SQL_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+#: canonical SQL stopword spelling — single definition in functions.text
+from ..functions.text import SQL_STOP_EN as _SQL_STOP_EN
 from ..session import load_tables
 
 

@@ -24,7 +24,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .controlplane import PipelineSpec, QueryRuntime, Reconciler, SpecError
+from .controlplane import ConflictError, PipelineSpec, QueryRuntime, Reconciler, SpecError
 
 
 class StatusServer:
@@ -46,10 +46,12 @@ class StatusServer:
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        # serialize mutations: two concurrent PUTs of the same name
-        # must not interleave stop/start (Connect serializes through
-        # the herder queue; a lock is our single-process analog)
-        self._mutate = threading.Lock()
+        # mutations serialize on the RECONCILER's lock (not a local
+        # one): the boot thread's background reconcile and every HTTP
+        # PUT/DELETE drive the same Reconciler, so the lock must be
+        # shared or an HTTP upsert could interleave stop/start with
+        # the boot pass (Connect's herder-queue serialization).
+        self._mutate = self.reconciler.lock
 
     @property
     def port(self) -> int:
@@ -130,6 +132,12 @@ class StatusServer:
                             outcome = reconciler.upsert(spec)
                     except SpecError as e:
                         self._send(400, {"error": str(e)})
+                        return
+                    except ConflictError as e:
+                        # stop-for-restart retries exhausted — the same
+                        # condition DELETE maps to Connect's 409 under
+                        # rebalance; a declarative client retries it
+                        self._send(409, {"error": str(e)})
                         return
                     self._send(
                         201 if outcome == "started" else 200,

@@ -283,3 +283,71 @@ def test_rest_mutation_surface():
             srv2.shutdown()
     finally:
         srv.shutdown()
+
+
+def test_rest_put_conflict_maps_to_409_and_lock_is_shared():
+    """r6 review fixes: (a) a PUT whose stop-for-restart retries
+    exhaust returns 409 (same as DELETE — Connect's rebalance
+    conflict), leaving the old pipeline running; (b) the REST
+    mutation lock IS the reconciler's lock, so the boot thread's
+    reconcile pass and HTTP mutations serialize against each other,
+    not just HTTP-vs-HTTP."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from heroku_kafka_connect_spark.rest import StatusServer
+
+    rt = FakeRuntime(fail_stops=99)
+    rec = reconciler(rt, stop_retries=2)
+    srv = StatusServer(rt, reconciler=rec)
+    assert srv._mutate is rec.lock  # shared serialization point
+    rt.start(spec("p1"))
+    old_fp = rt.running["p1"]
+    port = srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/connectors/p1/config",
+            method="PUT",
+            data=_json.dumps(
+                {"source.format": "rate", "sink.format": "memory", "x": "new"}
+            ).encode(),
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        assert rt.running["p1"] == old_fp  # old pipeline untouched
+    finally:
+        srv.shutdown()
+
+
+def test_reconcile_and_upsert_serialize_on_one_lock():
+    """Concurrency regression for the boot-vs-HTTP interleave: a slow
+    reconcile pass holds the lock; a concurrent upsert of the same
+    name must wait and then see the POST-reconcile state (no double
+    start, no stale-fingerprint race)."""
+    import threading
+    import time as _time
+
+    class SlowStopRuntime(FakeRuntime):
+        def stop(self, name):
+            _time.sleep(0.2)  # widen the stop→start window
+            super().stop(name)
+
+    rt = SlowStopRuntime()
+    rec = reconciler(rt)
+    rt.start(spec("a"))
+    changed = spec("a", x="2")
+
+    t = threading.Thread(target=lambda: rec.reconcile_once([changed]))
+    t.start()
+    _time.sleep(0.05)  # let reconcile enter its stop window
+    outcome = rec.upsert(changed)  # same config as the reconcile pass
+    t.join()
+    # the HTTP-style upsert saw the post-reconcile state: identical
+    # fingerprint -> no-op; exactly ONE start of the new config ran
+    assert outcome == "unchanged"
+    assert rt.events.count(("start", "a")) == 2  # initial + restart only
+    assert rt.running["a"] == changed.fingerprint()
