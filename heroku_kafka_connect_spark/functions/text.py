@@ -181,3 +181,73 @@ def pii_scrub(text: Column | str) -> tuple[Column, Column, Column, Column]:
     n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
     t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
     return n_emails, n_ips, n_phones, t3
+
+
+# ------------------------------------------------ Gopher rule bundle
+
+#: THE Gopher thresholds (Rae et al. 2021) — single definition; the
+#: rule bundle (text_gopher_rules), the policy ablation
+#: (llm_policy_iou) and the curation DAG (llm_curation_pipeline) all
+#: read these, so a threshold change cannot de-sync the comparisons.
+GOPHER_MEAN_LEN_LO = 3
+GOPHER_MEAN_LEN_HI = 10
+GOPHER_MIN_DIVERSITY = 0.2
+GOPHER_MAX_TOP_FRAC = 0.2
+
+
+def gopher_token_stats(tc):
+    """Per-doc token statistics from a (doc_id, token, cnt) relation —
+    the shared front half of every Gopher-rule consumer: total/
+    distinct token counts, hottest-token count, total token chars,
+    stopword presence. One map-side-combinable doc aggregate."""
+    return tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("token") * F.col("cnt")).alias("n_token_chars"),
+        F.max(
+            F.when(F.col("token").isin(*STOPWORDS["en"]), 1).otherwise(0)
+        ).alias("has_stopword"),
+    )
+
+
+def gopher_pass():
+    """The combined Gopher verdict as a Column over gopher_token_stats
+    columns (raw ratios — the bundle's own thresholds)."""
+    mean_len = F.col("n_token_chars") / F.col("n_tokens").cast("double")
+    diversity = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
+    return (
+        mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (diversity >= GOPHER_MIN_DIVERSITY)
+        & (top_frac <= GOPHER_MAX_TOP_FRAC)
+        & (F.col("has_stopword") == 1)
+    )
+
+
+#: SQL twin of gopher_token_stats — interpolate with the source
+#: relation providing (doc_id, text); yields CTEs `tc` and `s`.
+SQL_GOPHER_STATS = f"""
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {{src}})
+      GROUP BY doc_id, token
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+             CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
+             MAX(CASE WHEN token IN ({SQL_STOP_EN}) THEN 1 ELSE 0 END) AS has_stopword
+      FROM tc GROUP BY doc_id
+    )"""
+
+#: SQL twin of gopher_pass() over the `s` CTE's columns.
+SQL_GOPHER_PASS = (
+    f"(n_token_chars / CAST(n_tokens AS DOUBLE) "
+    f"BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI})"
+    f" AND n_distinct / CAST(n_tokens AS DOUBLE) >= {GOPHER_MIN_DIVERSITY}"
+    f" AND top_cnt / CAST(n_tokens AS DOUBLE) <= {GOPHER_MAX_TOP_FRAC}"
+    f" AND has_stopword = 1"
+)

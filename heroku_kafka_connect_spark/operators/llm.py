@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import llmops
+from ..functions import text as T
 from ..functions.text import SQL_STOP_EN
 from ..functions.vectors import brute_force_topk
 from ..registry import register
@@ -3637,20 +3638,11 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS dedup_keep
       FROM train
     ),
-    tc AS (
-      SELECT doc_id, token, COUNT(*) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM train)
-      GROUP BY doc_id, token
-    ),
+    {T.SQL_GOPHER_STATS.format(src='train')},
     q AS (
-      SELECT doc_id,
-             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-             (SUM(length(token) * cnt) / CAST(SUM(cnt) AS DOUBLE) BETWEEN 3 AND 10)
-               AND COUNT(*) / CAST(SUM(cnt) AS DOUBLE) >= 0.2
-               AND MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) <= 0.2
-               AND MAX(CASE WHEN token IN ({{stops}}) THEN 1 ELSE 0 END) = 1
-               AS quality_keep
-      FROM tc GROUP BY doc_id
+      SELECT doc_id, n_tokens,
+             {T.SQL_GOPHER_PASS} AS quality_keep
+      FROM s
     ),
     g AS (
       SELECT doc_id, source,
@@ -3681,7 +3673,7 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 2048.0) AS BIGINT)
            END AS pack_id
     FROM flags
-    """.replace("{stops}", SQL_STOP_EN),
+    """,
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation run — every stage a real 100 TB
@@ -3703,13 +3695,11 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     new shuffle class — the point of expressing curation as one
     declarative DAG is that Catalyst sees the whole lineage.
 
-    SYNC NOTE: the Gopher rule thresholds here restate
-    text_queries.text_gopher_rules (J49) and llm_policy_iou's rule
-    arm — a threshold change must land in all three Spark sites AND
-    their oracles, or the cross-policy comparisons compare against a
-    stale variant. (Kept inline because each site fuses the rules
-    into a different aggregate; the shared piece — the stopword SQL —
-    is already single-sourced in functions.text.SQL_STOP_EN.)"""
+    The Gopher stage is SINGLE-SOURCED: thresholds, the per-doc stats
+    aggregate and the verdict (Spark Columns AND the SQL twins) come
+    from functions.text's Gopher bundle, shared with
+    text_gopher_rules (J49) and llm_policy_iou — one threshold edit
+    updates every consumer and every oracle together."""
     t = load_tables(spark, sf_dir)
     train = t.documents.filter(F.col("source") != "src1")
     norm = F.md5(
@@ -3723,27 +3713,13 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = train.select(
         "doc_id", (F.col("doc_id") == F.min("doc_id").over(wc)).alias("dedup_keep")
     )
-    from ..functions.text import STOPWORDS
-
     tc = (
         train.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    mean_len = F.sum(F.length("token") * F.col("cnt")) / F.sum("cnt").cast("double")
-    q = tc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        (
-            mean_len.between(3, 10)
-            & ((F.count(F.lit(1)) / F.sum("cnt").cast("double")) >= 0.2)
-            & ((F.max("cnt") / F.sum("cnt").cast("double")) <= 0.2)
-            & (
-                F.max(
-                    F.when(F.col("token").isin(*STOPWORDS["en"]), 1).otherwise(0)
-                )
-                == 1
-            )
-        ).alias("quality_keep"),
+    q = T.gopher_token_stats(tc).select(
+        "doc_id", "n_tokens", T.gopher_pass().alias("quality_keep")
     )
     toks = F.split("text", " ")
     grams = t.documents.select(

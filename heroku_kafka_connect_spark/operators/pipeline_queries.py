@@ -812,26 +812,10 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_policy_iou",
     oracle=f"""
-    WITH tc AS (
-      SELECT doc_id, token, COUNT(*) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-      GROUP BY doc_id, token
-    ),
-    s AS (
-      SELECT doc_id,
-             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-             COUNT(*) AS n_distinct,
-             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
-             CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
-             MAX(CASE WHEN token IN ({{stops}}) THEN 1 ELSE 0 END) AS has_stopword
-      FROM tc GROUP BY doc_id
-    ),
+    WITH {T.SQL_GOPHER_STATS.format(src='documents')},
     pol AS (
       SELECT doc_id,
-             CASE WHEN (n_token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 10)
-                   AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
-                   AND top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
-                   AND has_stopword = 1
+             CASE WHEN {T.SQL_GOPHER_PASS}
                   THEN 1 ELSE 0 END AS g,
              CASE WHEN 1.0 / (1.0 + exp(-(
                     -2.0 + 0.3 * ROUND(n_token_chars / CAST(n_tokens AS DOUBLE), 4)
@@ -850,7 +834,7 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((SUM(g * l) + SUM((1 - g) * (1 - l))) / CAST(COUNT(*) AS DOUBLE), 4)
              AS agreement
     FROM pol
-    """.replace("{stops}", _SQL_STOP_EN),
+    """,
 )
 def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-policy ablation report: how much do the RULE-based
@@ -861,11 +845,11 @@ def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies (a low IoU means the swap rewrites the corpus, not just
     re-ranks it).
 
-    SYNC NOTE: the rule arm restates text_gopher_rules' thresholds
-    and the LR arm restates llm_quality_lr_score's weights — edits
-    must land in the standalone queries, here, and llm_curation_
-    pipeline simultaneously (plus oracles) or this report compares a
-    policy against a stale variant of itself.
+    The rule arm is SINGLE-SOURCED: thresholds, the stats front and
+    the verdict come from functions.text's Gopher bundle (shared with
+    text_gopher_rules and llm_curation_pipeline), so the comparison
+    can never run against a stale rule variant. The LR arm restates
+    llm_quality_lr_score's fixed weights — keep those two in sync.
 
     Scale: ONE shared (doc, token, cnt) front half feeds BOTH
     policies — the rules read raw ratios, the LR reads the
@@ -879,25 +863,11 @@ def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    stop_en = T.STOPWORDS["en"]
-    s = tc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.length("token") * F.col("cnt")).alias("n_token_chars"),
-        F.max(F.when(F.col("token").isin(*stop_en), 1).otherwise(0)).alias(
-            "has_stopword"
-        ),
-    )
+    s = T.gopher_token_stats(tc)
     mean_len = F.col("n_token_chars") / F.col("n_tokens").cast("double")
     diversity = F.col("n_distinct") / F.col("n_tokens").cast("double")
     top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
-    g = (
-        mean_len.between(3, 10)
-        & (diversity >= 0.2)
-        & (top_frac <= 0.2)
-        & (F.col("has_stopword") == 1)
-    ).cast("int")
+    g = T.gopher_pass().cast("int")
     z = (
         -2.0
         + 0.3 * F.round(mean_len, 4)

@@ -238,22 +238,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_gopher_rules",
     oracle=f"""
-    WITH tc AS (
-      SELECT doc_id, token, COUNT(*) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-            FROM documents)
-      GROUP BY doc_id, token
-    ),
-    s AS (
-      SELECT doc_id,
-             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-             COUNT(*) AS n_distinct,
-             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
-             CAST(SUM(length(token) * cnt) AS BIGINT) AS n_token_chars,
-             MAX(CASE WHEN token IN ({_SQL_STOP_EN})
-                 THEN 1 ELSE 0 END) AS has_stopword
-      FROM tc GROUP BY doc_id
-    )
+    WITH {T.SQL_GOPHER_STATS.format(src='documents')}
     SELECT doc_id, n_tokens,
            ROUND(n_token_chars / CAST(n_tokens AS DOUBLE), 4) AS mean_word_len,
            ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
@@ -265,10 +250,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END AS INT) AS ok_diversity,
            CAST(CASE WHEN top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
                  THEN 1 ELSE 0 END AS INT) AS ok_repetition,
-           CAST(CASE WHEN (n_token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 10)
-                  AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
-                  AND top_cnt / CAST(n_tokens AS DOUBLE) <= 0.2
-                  AND has_stopword = 1
+           CAST(CASE WHEN {T.SQL_GOPHER_PASS}
                  THEN 1 ELSE 0 END AS INT) AS pass_all
     FROM s
     """,
@@ -287,27 +269,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (a transform-over-distinct top-count would be
     quadratic on long docs)."""
     t = load_tables(spark, sf_dir)
-    stop_en = STOPWORDS["en"]
     tc = (
         t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    s = tc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.length("token") * F.col("cnt")).alias("n_token_chars"),
-        F.max(F.when(F.col("token").isin(*stop_en), 1).otherwise(0)).alias(
-            "has_stopword"
-        ),
-    )
+    s = T.gopher_token_stats(tc)
     mean_len = F.col("n_token_chars") / F.col("n_tokens").cast("double")
     diversity = F.col("n_distinct") / F.col("n_tokens").cast("double")
     top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
-    ok_len = mean_len.between(3, 10)
-    ok_div = diversity >= 0.2
-    ok_rep = top_frac <= 0.2
+    ok_len = mean_len.between(T.GOPHER_MEAN_LEN_LO, T.GOPHER_MEAN_LEN_HI)
+    ok_div = diversity >= T.GOPHER_MIN_DIVERSITY
+    ok_rep = top_frac <= T.GOPHER_MAX_TOP_FRAC
     return s.select(
         "doc_id",
         "n_tokens",
@@ -318,9 +291,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_len.cast("int").alias("ok_word_len"),
         ok_div.cast("int").alias("ok_diversity"),
         ok_rep.cast("int").alias("ok_repetition"),
-        (ok_len & ok_div & ok_rep & (F.col("has_stopword") == 1))
-        .cast("int")
-        .alias("pass_all"),
+        T.gopher_pass().cast("int").alias("pass_all"),
     )
 
 
