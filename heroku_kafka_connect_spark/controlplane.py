@@ -441,6 +441,15 @@ class SparkRuntime(QueryRuntime):
                     if metrics_path:
                         n_good = ob_g.get.get("n", 0)
                         n_bad = ob_b.get.get("n", 0)
+                        # at-least-once like the data appends: a batch
+                        # replayed after a crash between the data and
+                        # metrics writes re-appends an IDENTICAL
+                        # (batch_id, n_good, n_bad) row (the epoch is
+                        # pinned at the checkpoint, so the replayed
+                        # split is bit-identical). Readers restore
+                        # exactly-once with read_metrics_exactly_once
+                        # — the metrics analog of the stamped data
+                        # paths' (__batch_id, __row_n) collision.
                         batch_df.sparkSession.createDataFrame(
                             [(int(batch_id), int(n_good), int(n_bad))],
                             "batch_id long, n_good long, n_bad long",
@@ -581,6 +590,28 @@ def read_dlq_exactly_once(spark: SparkSession, path: str, keys: list[str]) -> Da
     df = spark.read.option("mergeSchema", "true").parquet(path)
     subset = ["__batch_id", *keys] + (["__row_n"] if "__row_n" in df.columns else [])
     return df.dropDuplicates(subset)
+
+
+def read_metrics_exactly_once(spark: SparkSession, path: str) -> DataFrame:
+    """Exactly-once READ over the dlq-split metrics sidecar
+    (``sink.metricsPath``): the writer appends one (batch_id, n_good,
+    n_bad) row per trigger in a separate action AFTER the data writes,
+    so a replayed micro-batch appends a duplicate row — identical by
+    construction (the replayed epoch re-splits the same input). One
+    max-agg per batch_id collapses replays; max (not ``any_value``)
+    keeps the read deterministic even on a corrupt sidecar where
+    replays somehow differ. Counts stay consistent with
+    ``read_dlq_exactly_once`` over the corresponding data dirs. At
+    scale: one map-side-combinable agg over a tiny relation (one row
+    per trigger)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("batch_id")
+        .agg(
+            F.max("n_good").alias("n_good"),
+            F.max("n_bad").alias("n_bad"),
+        )
+    )
 
 
 def apply_converter(df: DataFrame, cfg: Mapping[str, str]) -> DataFrame:

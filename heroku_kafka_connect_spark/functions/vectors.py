@@ -114,10 +114,27 @@ def ivf_assign(
     # Left-to-right fold in ascending centroid_id order with a STRICT
     # `>` keeps the old tie-break (desc score, asc centroid_id): on an
     # equal score the earlier = smaller centroid id wins.
+    # Zero-norm guard: a zero-norm vector (or centroid) makes the
+    # cosine divisor 0 — a DIVIDE_BY_ZERO error under ANSI mode, NaN
+    # otherwise; in the NaN case `NaN > acc` is null → otherwise(acc),
+    # so an all-NaN row would silently keep the -1 init sentinel and
+    # vanish from every downstream IVF probe. try_divide turns the
+    # ANSI error into NULL, and coalesce∘nanvl maps both NULL and NaN
+    # to -2.0 (below the cosine floor of -1): real scores always beat
+    # a degenerate centroid, and an all-degenerate vector still lands
+    # on the smallest centroid_id — the same assignment the pre-fold
+    # window argmax produced (Spark orders NaN greatest, ties broken
+    # by asc centroid_id). -1 cannot escape this function.
+    def _safe_cos(a: Column, b: Column) -> Column:
+        return F.coalesce(
+            F.nanvl(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(-2.0)),
+            F.lit(-2.0),
+        )
+
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
-            cosine(F.col("__v"), c["cv"]).alias("cs"),
+            _safe_cos(F.col("__v"), c["cv"]).alias("cs"),
             c["centroid_id"].alias("centroid_id"),
         ),
     )

@@ -39,6 +39,8 @@ class StatusServer:
         host: str = "127.0.0.1",
         port: int = 0,
         reconciler: Reconciler | None = None,
+        http_stop_retries: int = 3,
+        http_retry_sleep_s: float = 0.5,
     ) -> None:
         self.runtime = runtime
         self.reconciler = reconciler or Reconciler(runtime)
@@ -52,6 +54,27 @@ class StatusServer:
         # shared or an HTTP upsert could interleave stop/start with
         # the boot pass (Connect's herder-queue serialization).
         self._mutate = self.reconciler.lock
+        # HTTP mutations run through a SECOND reconciler that shares
+        # the boot reconciler's lock (same herder-queue serialization)
+        # but carries a BOUNDED retry ladder: the boot path's default
+        # 8×2s stop-retry would hold the shared lock ~16s per stuck
+        # pipeline, head-of-line-blocking every other HTTP mutation
+        # and the background reconcile pass while ThreadingHTTPServer
+        # threads pile up behind it. 3×0.5s caps the hold at ~1.5s;
+        # retries-exhausted surfaces as 409 (Connect's
+        # conflict-under-rebalance), which a declarative client —
+        # including the reference's own main.sh retry loop
+        # (main.sh:130-141) — already re-drives.
+        self._http_rec = Reconciler(
+            runtime,
+            # never LOOSER than the boot reconciler's own budget, and
+            # the boot reconciler's (injectable) sleep carries over so
+            # tests with a fake clock stay fake
+            stop_retries=min(self.reconciler.stop_retries, http_stop_retries),
+            retry_sleep_s=min(self.reconciler.retry_sleep_s, http_retry_sleep_s),
+            sleep=self.reconciler._sleep,
+        )
+        self._http_rec.lock = self.reconciler.lock
 
     @property
     def port(self) -> int:
@@ -61,7 +84,7 @@ class StatusServer:
 
     def start(self) -> int:
         runtime = self.runtime
-        reconciler = self.reconciler
+        reconciler = self._http_rec
         mutate = self._mutate
 
         class Handler(BaseHTTPRequestHandler):

@@ -323,6 +323,48 @@ def test_rest_put_conflict_maps_to_409_and_lock_is_shared():
         srv.shutdown()
 
 
+def test_http_mutation_retry_budget_is_bounded():
+    """r6 advice (rest.py head-of-line blocking): HTTP PUT/DELETE hold
+    the SHARED reconciler lock for the whole stop-retry ladder, so the
+    boot path's 8×2s budget would block every other mutation ~16s per
+    stuck pipeline. The HTTP path now runs a bounded ladder (default
+    3×0.5s, never looser than the boot budget) on a reconciler that
+    shares the boot lock and the boot (injectable) sleep."""
+    import urllib.error
+    import urllib.request
+
+    sleeps: list[float] = []
+    rt = FakeRuntime(fail_stops=99)
+    rec = Reconciler(rt, sleep=sleeps.append)  # boot default: 8 × 2s
+    from heroku_kafka_connect_spark.rest import StatusServer
+
+    srv = StatusServer(rt, reconciler=rec)
+    # shared serialization point + bounded budget + inherited fake clock
+    assert srv._http_rec.lock is rec.lock
+    assert srv._http_rec.stop_retries == 3
+    assert srv._http_rec.retry_sleep_s == 0.5
+    assert srv._http_rec._sleep is rec._sleep
+    rt.start(spec("stuck"))
+    port = srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/connectors/stuck", method="DELETE"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # 3 attempts → 2 inter-attempt sleeps of 0.5s, not the boot
+        # ladder's 7×2s: worst-case lock hold ~1s, not ~14s
+        assert sleeps == [0.5, 0.5]
+        # a custom boot budget TIGHTER than the HTTP default wins
+        srv2 = StatusServer(rt, reconciler=reconciler(rt, stop_retries=2))
+        assert srv2._http_rec.stop_retries == 2
+    finally:
+        srv.shutdown()
+
+
 def test_reconcile_and_upsert_serialize_on_one_lock():
     """Concurrency regression for the boot-vs-HTTP interleave: a slow
     reconcile pass holds the lock; a concurrent upsert of the same

@@ -775,3 +775,23 @@ def test_dlq_metrics_via_observation(spark, tmp_path):
     m = spark.read.parquet(str(tmp_path / "metrics")).collect()
     assert good == 8 and bad == 4  # i=0,3,6,9 broken
     assert sum(r.n_good for r in m) == good and sum(r.n_bad for r in m) == bad
+
+
+def test_metrics_sidecar_replay_collapses(spark, tmp_path):
+    """r6 advice (controlplane.py metrics idempotence): the metrics
+    sidecar is a separate append after the data writes, so a replayed
+    micro-batch appends a duplicate (batch_id, n_good, n_bad) row.
+    read_metrics_exactly_once must collapse replays to one row per
+    batch_id while keeping distinct batches intact."""
+    from heroku_kafka_connect_spark.controlplane import read_metrics_exactly_once
+
+    path = str(tmp_path / "metrics")
+    rows = [(0, 8, 4), (0, 8, 4), (1, 5, 0)]  # batch 0 replayed once
+    spark.createDataFrame(
+        rows, "batch_id long, n_good long, n_bad long"
+    ).write.mode("append").parquet(path)
+    got = sorted(
+        (r.batch_id, r.n_good, r.n_bad)
+        for r in read_metrics_exactly_once(spark, path).collect()
+    )
+    assert got == [(0, 8, 4), (1, 5, 0)]

@@ -86,6 +86,26 @@ def test_cosine_topk_self_is_best(spark):
     assert top[1].score == pytest.approx(0.9939, abs=1e-3)
 
 
+def test_ivf_assign_zero_norm_gets_real_centroid(spark):
+    """r6 advice (vectors.py NaN guard): a zero-norm embedding makes
+    every cosine NaN; the literal-array argmax fold must still assign
+    a REAL centroid (the smallest centroid_id, matching the old
+    NaN-greatest window tie-break), never the -1 init sentinel —
+    otherwise such vectors silently vanish from every IVF probe."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm → cosine NaN vs everything
+        (3, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.centroid_id for r in V.ivf_assign(emb, n_centroids=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert -1 not in got.values()
+    assert got[2] == 0  # all-NaN row lands on the smallest centroid_id
+    assert got[0] == 0 and got[1] == 1 and got[3] == 0
+
+
 def test_ivf_exhaustive_probe_is_exact(spark):
     """nprobe == ncentroids probes every bucket → IVF must equal brute
     force exactly; fewer probes still yields k rows per query (the
