@@ -2932,3 +2932,276 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ------------------------------------------------- r7: sequence analytics
+
+
+@register(
+    "rel_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 5) AS p
+    FROM pairs
+    """,
+)
+def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (clickstream path analysis): lag() per user gives
+    (prev, next) pairs; one groupBy counts them; the row-probability
+    normalization runs on the |event_types|² matrix (~25 rows).
+
+    Scale: the lag window is PARTITIONED by user_id (hash shuffle,
+    no global sort); the pair count is a map-side-combinable agg;
+    the normalizing window touches only the tiny transition matrix.
+    Ties inside a user's sequence are broken by event_id so both
+    engines see one deterministic ordering."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(ts_us("ts"), "event_id")
+    pairs = (
+        t.events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.withColumn("p", F.round(F.col("n") / F.sum("n").over(wp), 5))
+
+
+# ------------------------------------------------- r7: data-quality expectations
+
+
+@register(
+    "rel_expectations_audit",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS completeness_custkey,
+             COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+             AVG(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1.0 ELSE 0.0 END) AS in_range_price,
+             AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END) AS pattern_priority
+      FROM orders
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'completeness(o_custkey)' AS constraint, ROUND(completeness_custkey, 6) AS metric,
+             completeness_custkey >= 0.99 AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)', ROUND(CAST(n_distinct_keys AS DOUBLE) / n_rows, 6),
+             n_distinct_keys = n_rows FROM m
+      UNION ALL
+      SELECT 'range(o_totalprice,0,1e6)', ROUND(in_range_price, 6), in_range_price = 1.0 FROM m
+      UNION ALL
+      SELECT 'pattern(o_orderpriority,^[1-5]-)', ROUND(pattern_priority, 6), pattern_priority = 1.0 FROM m
+      UNION ALL
+      SELECT 'referential(o_custkey->customer)', ROUND(1.0 - CAST(n_orphans AS DOUBLE) / (SELECT n_rows FROM m), 6),
+             n_orphans = 0 FROM orphans
+    )
+    """,
+)
+def rel_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality expectation suite
+    (completeness, uniqueness, range, pattern, referential integrity)
+    evaluated in ONE scan + one anti-join, emitted as a
+    (constraint, metric, passed) report — the CI gate a 100 TB
+    ingest runs before publishing a snapshot.
+
+    Scale: all row-local checks fold into a single conditional-agg
+    pass (map-side combinable); uniqueness rides COUNT(DISTINCT)
+    (two-stage partial agg); the referential check is a broadcast
+    anti-join when the dimension is small, shuffle otherwise. No
+    per-constraint rescans — adding a constraint adds a column to
+    the same agg, not a pass over the data."""
+    t = load_tables(spark, sf_dir)
+    m = t.orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0)).alias("comp"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.avg(
+            F.when((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000), 1.0).otherwise(0.0)
+        ).alias("in_range"),
+        F.avg(
+            F.when(F.col("o_orderpriority").rlike("^[1-5]-"), 1.0).otherwise(0.0)
+        ).alias("pattern"),
+    )
+    orphans = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    row = m.crossJoin(orphans)  # 1×1 scalar combine
+    return row.selectExpr(
+        """stack(5,
+           'completeness(o_custkey)', ROUND(comp, 6), comp >= 0.99,
+           'uniqueness(o_orderkey)', ROUND(CAST(n_keys AS DOUBLE) / n_rows, 6), n_keys = n_rows,
+           'range(o_totalprice,0,1e6)', ROUND(in_range, 6), in_range = 1.0D,
+           'pattern(o_orderpriority,^[1-5]-)', ROUND(pattern, 6), pattern = 1.0D,
+           'referential(o_custkey->customer)', ROUND(1.0D - CAST(n_orphans AS DOUBLE) / n_rows, 6), n_orphans = 0L
+        ) AS (constraint, metric, passed)"""
+    )
+
+
+# ------------------------------------------------- r7: experiment readout (CUPED)
+
+
+@register(
+    "rel_ab_test_cuped",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    pre AS (
+      SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS x
+      FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS y
+      FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT u.user_id, u.arm, COALESCE(pre.x, 0) AS x, COALESCE(post.y, 0) AS y
+      FROM users u LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)
+    ),
+    theta AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS th, AVG(x) AS xbar FROM per_user
+    )
+    SELECT arm,
+           COUNT(*) AS n_users,
+           ROUND(AVG(y), 4) AS mean_y,
+           ROUND(AVG(y - th * (x - xbar)), 4) AS mean_y_cuped,
+           ROUND(var_pop(y), 2) AS var_y,
+           ROUND(var_pop(y - th * (x - xbar)), 2) AS var_y_cuped
+    FROM per_user, theta
+    GROUP BY arm
+    """,
+)
+def rel_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al., WSDM 2013): arm = deterministic md5-bucket of user_id (the
+    portable stand-in for the production randomization log), metric
+    y = post-period purchase revenue, covariate x = pre-period
+    revenue, ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x). Emits per-arm
+    n / means / variances so the variance cut is visible.
+
+    Scale: two filtered partial aggs per user (map-side combinable)
+    + one distinct for the user universe; θ and x̄ are a 1-row
+    global agg crossJoined (broadcast) back — no second pass over
+    raw events, no window. Per-user revenue rides scaled longs so
+    both engines agree exactly before the (rounded) moments."""
+    t = load_tables(spark, sf_dir)
+    from ..llmops import md5_prefix_bucket
+
+    ev = t.events
+    users = ev.select("user_id").distinct().withColumn(
+        "arm", md5_prefix_bucket(F.col("user_id"), 2)
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    pre = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("ts") < split))
+        .groupBy("user_id").agg((F.sum(mlong("value")).cast("double") / 100).alias("x")
+        )
+    )
+    post = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("ts") >= split))
+        .groupBy("user_id").agg((F.sum(mlong("value")).cast("double") / 100).alias("y")
+        )
+    )
+    per_user = (
+        users.join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select("user_id", "arm", F.coalesce("x", F.lit(0.0)).alias("x"), F.coalesce("y", F.lit(0.0)).alias("y"))
+    )
+    theta = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))
+    return (
+        per_user.crossJoin(theta)  # 1-row broadcast
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg(adj), 4).alias("mean_y_cuped"),
+            F.round(F.var_pop("y"), 2).alias("var_y"),
+            F.round(F.var_pop(adj), 2).alias("var_y_cuped"),
+        )
+    )
+
+
+# ------------------------------------------------- r7: winsorized robust stats
+
+
+@register(
+    "rel_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c.c_acctbal < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN c.c_acctbal > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           ROUND(b.lo, 4) AS p05,
+           ROUND(b.hi, 4) AS p95,
+           ROUND(AVG(GREATEST(b.lo, LEAST(b.hi, c.c_acctbal))), 4) AS mean_winsor,
+           ROUND(AVG(c.c_acctbal), 4) AS mean_raw
+    FROM customer c JOIN b USING (c_mktsegment)
+    GROUP BY c.c_mktsegment, b.lo, b.hi
+    """,
+)
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at p05/p95) — the standard
+    outlier-robust preprocessing before training-feature export.
+    Exact per-group quantiles feed a clip + re-aggregate pass.
+
+    Scale: the quantile pass groups by segment (exact percentile =
+    per-group sort; at 100 TB swap to approx_percentile's mergeable
+    t-digest — engine constants keep the oracled corpus on the exact
+    form, same trade note as rel_percentiles); the bounds relation is
+    |segments| rows and broadcasts back onto the fact scan, so the
+    clip+mean is one more map-side-combinable agg — two passes total,
+    no window, no per-row percentile recompute."""
+    t = load_tables(spark, sf_dir)
+    b = t.customer.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
+    return (
+        t.customer.join(F.broadcast(b), "c_mktsegment")
+        .groupBy("c_mktsegment", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_acctbal") < F.col("lo"), 1).otherwise(0)).alias("n_clip_lo"),
+            F.sum(F.when(F.col("c_acctbal") > F.col("hi"), 1).otherwise(0)).alias("n_clip_hi"),
+            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean_raw"),
+        )
+        .select(
+            "c_mktsegment", "n", "n_clip_lo", "n_clip_hi",
+            F.round("lo", 4).alias("p05"), F.round("hi", 4).alias("p95"),
+            "mean_winsor", "mean_raw",
+        )
+    )

@@ -84,10 +84,12 @@ def compare(name, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
+def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None, results: dict | None = None):
     """Programmatic entry (pytest -m corpus uses this): run every
     registered query vs its oracle at ``sf_dir``; returns
-    (n_pass, n_fail, n_rows_only, failures)."""
+    (n_pass, n_fail, n_rows_only, failures). When ``results`` is a
+    dict, a per-query record is stored in it (for ``--json``
+    snapshot artifacts, e.g. CORRECTNESS_FULL_r07.json)."""
     qs = all_queries()
     names = names or sorted(qs)
     spark = spark or get_spark("check-correctness")
@@ -108,10 +110,14 @@ def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
             n_fail += 1
             failures.append(name)
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            if results is not None:
+                results[name] = {"status": "fail", "err": "spark raised"}
             continue
         if not q.oracle:
             n_rows_only += 1
             print(f"rows {name}: {len(spark_pdf)} rows ({time.time() - t0:.1f}s)")
+            if results is not None:
+                results[name] = {"status": "rows_only", "rows": len(spark_pdf), "sec": round(time.time() - t0, 2)}
             continue
         try:
             duck_pdf = con.execute(q.oracle).df()
@@ -119,6 +125,8 @@ def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
             n_fail += 1
             failures.append(name)
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            if results is not None:
+                results[name] = {"status": "fail", "err": "duckdb raised"}
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
@@ -127,9 +135,13 @@ def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
             print(f"FAIL {name} ({time.time() - t0:.1f}s):")
             for p in problems:
                 print(f"   - {p}")
+            if results is not None:
+                results[name] = {"status": "fail", "problems": [str(p)[:300] for p in problems]}
         else:
             n_pass += 1
             print(f"ok   {name}: {len(spark_pdf)} rows ({time.time() - t0:.1f}s)")
+            if results is not None:
+                results[name] = {"status": "pass", "rows": len(spark_pdf), "sec": round(time.time() - t0, 2)}
 
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     if failures:
@@ -140,9 +152,30 @@ def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--json", default=None, help="write a full per-query snapshot (committed as CORRECTNESS_FULL_r*.json)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    _, n_fail, _, _ = run_corpus(args.sf, args.names or None)
+    results: dict | None = {} if args.json else None
+    n_pass, n_fail, n_rows_only, _ = run_corpus(args.sf, args.names or None, results=results)
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "checker": "tools/check_correctness.py (value-diff, harsher than driver hash)",
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
