@@ -3205,3 +3205,173 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsor", "mean_raw",
         )
     )
+
+
+# ------------------------------------------------- r7: entity resolution (fuzzy join)
+
+
+@register(
+    "rel_entity_match",
+    oracle="""
+    WITH dirty AS (
+      -- deterministic "dirty system B": every 3rd customer re-keyed,
+      -- name corrupted by dropping one character (position 9 + key%9)
+      SELECT c_custkey AS dirty_id, c_nationkey,
+             concat(substr(c_name, 1, 8 + c_custkey % 9),
+                    substr(c_name, 10 + c_custkey % 9)) AS dirty_name
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    cand AS (
+      SELECT d.dirty_id, d.dirty_name, m.c_custkey,
+             levenshtein(d.dirty_name, m.c_name) AS dist
+      FROM dirty d JOIN customer m ON d.c_nationkey = m.c_nationkey
+      WHERE abs(length(d.dirty_name) - length(m.c_name)) <= 1
+    ),
+    scored AS (
+      SELECT dirty_id, c_custkey, dist,
+             COUNT(*) OVER (PARTITION BY dirty_id) AS n_candidates,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, c_custkey) AS rn
+      FROM cand WHERE dist <= 2
+    )
+    SELECT dirty_id, c_custkey AS matched_custkey, dist, n_candidates,
+           dirty_id = c_custkey AS is_true_match
+    FROM scored WHERE rn = 1
+    """,
+)
+def rel_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record-linkage (entity resolution): resolve a
+    deterministically-corrupted "system B" copy of the customer
+    master (one character dropped per name — the fixtures carry no
+    naturally dirty strings, so the dirty side is derived in-query
+    and replayed identically by the oracle) back against the master.
+    Classic Fellegi-Sunter blocking: candidate pairs only WITHIN a
+    nationkey block AND length-difference ≤ 1, scored by Levenshtein,
+    best match = min (distance, custkey) per dirty record.
+
+    Scale: never all-pairs — the block join bounds candidates to
+    |block|² per nation; the length prefilter cuts further BEFORE the
+    O(len²) distance evaluates (predicate ordering matters: abs() is
+    free, levenshtein is not). At 100 TB use finer composite blocks
+    (soundex/q-gram canopies, multi-pass) and salt hot blocks — a
+    country-level block is exactly the skew the salted-join pattern
+    (rel_join_skew_salted) exists for. Per-dirty-record winner is a
+    bounded window partitioned by dirty_id."""
+    t = load_tables(spark, sf_dir)
+    dirty = (
+        t.customer.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("dirty_id"),
+            F.col("c_nationkey").alias("d_nationkey"),
+            F.concat(
+                F.expr("substr(c_name, 1, 8 + c_custkey % 9)"),
+                F.expr("substr(c_name, CAST(10 + c_custkey % 9 AS INT))"),
+            ).alias("dirty_name"),
+        )
+    )
+    cand = (
+        dirty.join(t.customer, dirty.d_nationkey == t.customer.c_nationkey)
+        .filter(F.abs(F.length("dirty_name") - F.length("c_name")) <= 1)
+        .select(
+            "dirty_id",
+            "c_custkey",
+            F.levenshtein("dirty_name", "c_name").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    w_n = Window.partitionBy("dirty_id")
+    w_rn = Window.partitionBy("dirty_id").orderBy("dist", "c_custkey")
+    return (
+        cand.withColumn("n_candidates", F.count(F.lit(1)).over(w_n))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("c_custkey").alias("matched_custkey"),
+            "dist",
+            "n_candidates",
+            (F.col("dirty_id") == F.col("c_custkey")).alias("is_true_match"),
+        )
+    )
+
+
+# ------------------------------------------------- r7: survival analysis (Kaplan-Meier)
+
+
+@register(
+    "rel_survival_km",
+    oracle="""
+    WITH obs AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05'
+    ),
+    f AS (SELECT user_id, MIN(ts) AS first_ts FROM obs GROUP BY user_id),
+    p AS (SELECT user_id, MIN(ts) AS first_buy FROM obs
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    lifetimes AS (
+      SELECT f.user_id,
+             CAST(date_diff('day', f.first_ts,
+                  COALESCE(p.first_buy, TIMESTAMP '2024-01-05')) AS BIGINT) AS t,
+             p.first_buy IS NOT NULL AS converted
+      FROM f LEFT JOIN p USING (user_id)
+    ),
+    risk AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS censored,
+             COUNT(*) AS ties
+      FROM lifetimes GROUP BY t
+    ),
+    km AS (
+      SELECT t, d, censored,
+             CAST(SUM(ties) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      FROM risk
+    )
+    SELECT t, d, censored, n_at_risk,
+           ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY t)), 5) AS survival
+    FROM km
+    """,
+)
+def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion estimator, "analysis as of
+    Jan 5" snapshot: t = days from a user's first observed event to
+    first purchase (event), or to the snapshot cutoff if no purchase
+    yet (right-CENSORED — contributes to the risk set, never to
+    deaths). S(t) = Π_{t_i ≤ t} (1 − d_i / n_i), the ordered product
+    computed as exp(Σ ln(·)) cumulative windows.
+
+    Scale: the per-user first-event/first-purchase aggs are the only
+    big-data passes (map-side combinable MIN per user); everything
+    downstream runs on the |distinct durations| relation (≤
+    observation-window days) — the unpartitioned risk-set and
+    product windows are allowlisted tiny-relation sites
+    (UNPART_WINDOW_OK), same class as rel_cusum_changepoint's
+    |days| series."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("2024-01-05").cast("timestamp")
+    obs = t.events.filter(F.col("ts") < cutoff)
+    first = obs.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    buys = (
+        obs.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_buy"))
+    )
+    lifetimes = first.join(buys, "user_id", "left").select(
+        F.datediff(F.coalesce("first_buy", cutoff), F.col("first_ts")).cast("long").alias("t"),
+        F.col("first_buy").isNotNull().alias("converted"),
+    )
+    risk = lifetimes.groupBy("t").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1)).alias("censored"),
+        F.count(F.lit(1)).alias("ties"),
+    )
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    w_prod = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("n_at_risk", F.sum("ties").over(w_risk))
+        .withColumn(
+            "survival",
+            F.round(F.exp(F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))).over(w_prod)), 5),
+        )
+        .select("t", "d", "censored", "n_at_risk", "survival")
+    )

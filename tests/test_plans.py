@@ -146,6 +146,12 @@ BNLJ_OK = {
                           # the 1-row merged-sketch relation
     "rel_sample",         # two 1-row count relations broadcast into the
                           # binomial verdict projection
+    "rel_expectations_audit",  # 1-row metric agg x 1-row orphan count
+                          # cross-combined into the 5-row report
+    "rel_ab_test_cuped",  # 1-row (theta, xbar) relation broadcast onto
+                          # the per-user covariate rows
+    "rel_survival_km",    # 1-row horizon/cutoff relation broadcast onto
+                          # the per-user lifetime agg
 }
 
 
@@ -168,6 +174,7 @@ UNPART_WINDOW_OK = {
     "src_offset_gap_audit",   # prefix scan over the |key-space/bucket| relation
     "rel_cusum_changepoint",  # prefix sum + global max over the |days| series
     "rel_seasonal_naive_eval",  # lag-1/lag-7 windows over the |days| series
+    "rel_survival_km",        # KM risk-set/product over the |durations| relation
 }
 
 
