@@ -3779,3 +3779,138 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)),
         ),
     )
+
+
+# ------------------------------------------------- r7: binary-code Hamming prefilter + rerank
+
+
+_HAM_SEED, _HAM_DIM, _HAM_TOPC, _HAM_K = 7, 64, 32, 5
+
+
+def _ham_sig_expr(vec_col: str, chunk: int) -> Column:
+    """One 32-bit word of the 64-plane sign signature as a BIGINT:
+    bit p = sign of the dot product with deterministic hyperplane
+    (chunk*32 + p) (llmops.hyperplane_component — dyadic rationals,
+    so the oracle embeds bit-identical plane literals)."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(32):
+        plane = [
+            llmops.hyperplane_component(_HAM_SEED, chunk * 32 + p, d)
+            for d in range(_HAM_DIM)
+        ]
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def _ham_oracle() -> str:
+    def chunk_sql(c: int) -> str:
+        return "\n             + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(
+                repr(llmops.hyperplane_component(_HAM_SEED, c * 32 + p, d))
+                for d in range(_HAM_DIM)
+            )
+            + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(32)
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CAST({chunk_sql(0)} AS BIGINT) AS sig0,
+             CAST({chunk_sql(1)} AS BIGINT) AS sig1
+      FROM e
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CAST(bit_count(xor(q.sig0, c.sig0)) + bit_count(xor(q.sig1, c.sig1)) AS BIGINT) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY bit_count(xor(q.sig0, c.sig0)) + bit_count(xor(q.sig1, c.sig1)),
+                                         c.vec_id) AS crn
+      FROM s q JOIN s c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    rerank AS (
+      SELECT cand.q_id, cand.cand_id, cand.hamming,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   4) AS score
+      FROM cand
+      JOIN s q ON cand.q_id = q.vec_id
+      JOIN s c ON cand.cand_id = c.vec_id
+      WHERE cand.crn <= {_HAM_TOPC}
+    )
+    SELECT q_id, cand_id, hamming, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+          FROM rerank)
+    WHERE rn <= {_HAM_K}
+    """
+
+
+@register("llm_hamming_rerank", oracle=_ham_oracle())
+def llm_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code ANN: 64-bit sign signatures (two 32-bit BIGINT
+    words), Hamming-distance prefilter to the top-32 candidates per
+    query, exact-cosine rerank to top-5 — the classic
+    compress-then-rerank retrieval ladder (Charikar STOC'02 sign
+    hashes; the rerank step is what PQ/ADC pipelines do after code
+    scan). Queries = vec_id % 100 = 0 (5 broadcast rows).
+
+    Scale: the prefilter scans CODES ONLY — 16 bytes/vector instead
+    of 256 (dim×float), a 16× bandwidth cut, and bit_count(xor())
+    is whole-stage-codegen JVM work with no shuffle (query codes
+    broadcast). Raw vectors are touched only for the 32 rerank
+    candidates per query (join back by id). The top-32 cut is a
+    per-query WindowGroupLimit (per-partition heaps). Signatures are
+    computed once here; a production index materializes them
+    (partitioned like llm_knn_ivf_indexed's centroid layout)."""
+    t = load_tables(spark, sf_dir)
+    s = t.embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _ham_sig_expr("embedding", 0).alias("sig0"),
+        _ham_sig_expr("embedding", 1).alias("sig1"),
+    )
+    codes = s.select("vec_id", "sig0", "sig1")
+    q_codes = codes.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sig0").alias("q_sig0"),
+        F.col("sig1").alias("q_sig1"),
+    )
+    ham = (
+        F.bit_count(F.col("q_sig0").bitwiseXOR(F.col("sig0")))
+        + F.bit_count(F.col("q_sig1").bitwiseXOR(F.col("sig1")))
+    ).cast("long")
+    w_pre = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    cand = (
+        codes.join(F.broadcast(q_codes), F.col("vec_id") != F.col("q_id"))
+        .withColumn("hamming", ham)
+        .select("q_id", F.col("vec_id").alias("cand_id"), "hamming")
+        .withColumn("crn", F.row_number().over(Window.partitionBy("q_id").orderBy("hamming", "cand_id")))
+        .filter(F.col("crn") <= _HAM_TOPC)
+        .drop("crn")
+    )
+    qv = s.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cv = s.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    score = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        4,
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "cand_id")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _HAM_K)
+        .select("q_id", "cand_id", "hamming", "score", "rank")
+    )

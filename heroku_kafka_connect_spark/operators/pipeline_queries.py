@@ -895,3 +895,55 @@ def llm_policy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("agreement"),
     )
+
+
+# ------------------------------------------------- r7: hashing-trick features
+
+
+_SQL_FEAT_BUCKET = sql_md5_prefix_bucket("token", 256)
+
+
+@register(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, token, {_SQL_FEAT_BUCKET} AS bucket FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           ROUND(1.0 - COUNT(DISTINCT bucket) / CAST(COUNT(DISTINCT token) AS DOUBLE), 5)
+             AS collision_rate
+    FROM hashed
+    GROUP BY doc_id
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature extraction (Weinberger et al., ICML 2009
+    — the fixed-width sparse featurizer behind Vowpal-Wabbit-style
+    linear models): token → md5-bucket in [0, 256); per-doc report of
+    feature-space occupancy and the collision rate the dimensionality
+    squeeze costs. The md5 bucket is THE portable hash idiom
+    (llmops.md5_prefix_bucket) so the oracle replays it bit-exactly.
+
+    Scale: tokenize-explode is narrow; the per-doc distinct counts
+    are partial-aggregated per map task before the doc_id shuffle
+    (two-stage distinct). No vocabulary table is ever materialized —
+    that is the point of the hashing trick: memory is O(width), not
+    O(|vocab|), which is why it survives a 100 TB corpus where a
+    dictionary-based featurizer needs a 10⁹-row broadcast."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+    hashed = tok.withColumn("bucket", md5_prefix_bucket(F.col("token"), 256))
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.round(
+            1.0 - F.countDistinct("bucket") / F.countDistinct("token").cast("double"), 5
+        ).alias("collision_rate"),
+    )

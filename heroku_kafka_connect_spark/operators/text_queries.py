@@ -857,3 +857,99 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords") / F.sum("n_words").cast("double"), 4
         ).alias("fertility"),
     )
+
+
+# ------------------------------------------------- r7: stupid backoff LM
+
+
+@register(
+    "text_backoff_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             CASE WHEN i.i = 1 THEN NULL ELSE t[i.i - 1] END AS w1,
+             t[i.i] AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t))) AS i
+      ) i
+    ),
+    uni AS (
+      SELECT w2 AS w, COUNT(*) AS cnt FROM pairs GROUP BY w2
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM uni),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS n FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN p.w1 IS NOT NULL AND bg.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           ROUND(-SUM(log2(
+             CASE WHEN p.w1 IS NULL THEN u2.cnt / total.n
+                  WHEN bg.n IS NOT NULL THEN bg.n / CAST(u1.cnt AS DOUBLE)
+                  ELSE 0.4 * u2.cnt / total.n END)) / COUNT(*), 4) AS avg_neg_log2_sb
+    FROM pairs p
+    JOIN uni u2 ON p.w2 = u2.w
+    LEFT JOIN uni u1 ON p.w1 = u1.w
+    LEFT JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2, total
+    GROUP BY p.doc_id
+    """,
+)
+def text_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al., EMNLP 2007 —
+    the web-scale LM smoothing that skips normalization): per token,
+    S(w|w₋₁) = n(w₋₁w)/n(w₋₁) if the bigram was seen, else
+    α·n(w)/N with α = 0.4; doc score = mean −log₂S. The LM is built
+    from the corpus itself in the same job (KenLM-style count
+    tables), so this is both the train and apply step.
+
+    Scale: the position explode is narrow (pairs never leave their
+    map task); bigram/unigram tables are |vocab|- and |vocab|²-
+    bounded aggs; the apply pass joins the token stream against them
+    on token keys (broadcastable while the LM fits, shuffle join
+    beyond). The corpus total N is a 1-row broadcast (BNLJ_OK). The
+    per-doc reduce is one map-side-combinable agg."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", T.ws_tokens("text").alias("t"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda i: F.struct(
+                    F.when(i == 1, F.lit(None).cast("string"))
+                    .otherwise(F.element_at("t", (i - 1).cast("int")))
+                    .alias("w1"),
+                    F.element_at("t", i.cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = pairs.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    bg = (
+        pairs.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("cnt1"))
+    score = (
+        F.when(F.col("w1").isNull(), F.col("cnt2") / F.col("n"))
+        .when(F.col("bn").isNotNull(), F.col("bn") / F.col("cnt1").cast("double"))
+        .otherwise(0.4 * F.col("cnt2") / F.col("n"))
+    )
+    return (
+        pairs.join(u2, "w2")
+        .join(u1, "w1", "left")
+        .join(bg.select("w1", "w2", F.col("n").alias("bn")), ["w1", "w2"], "left")
+        .crossJoin(total)  # 1-row broadcast
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("w1").isNotNull() & F.col("bn").isNull(), 1).otherwise(0)
+            ).alias("n_backoff"),
+            F.round(-F.sum(F.log2(score)) / F.count(F.lit(1)), 4).alias("avg_neg_log2_sb"),
+        )
+    )

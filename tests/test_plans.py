@@ -146,6 +146,10 @@ BNLJ_OK = {
                           # the 1-row merged-sketch relation
     "rel_sample",         # two 1-row count relations broadcast into the
                           # binomial verdict projection
+    "llm_hamming_rerank",  # codes-only scan x 5 broadcast query codes
+                          # (16-byte signatures, not raw vectors)
+    "text_backoff_logprob",  # 1-row corpus-total broadcast into the
+                          # backoff probability expression
     "rel_expectations_audit",  # 1-row metric agg x 1-row orphan count
                           # cross-combined into the 5-row report
     "rel_ab_test_cuped",  # 1-row (theta, xbar) relation broadcast onto
