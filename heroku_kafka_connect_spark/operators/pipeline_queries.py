@@ -947,3 +947,94 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("bucket") / F.countDistinct("token").cast("double"), 5
         ).alias("collision_rate"),
     )
+
+
+# ------------------------------------------------- r7: DSIR importance resampling
+
+
+_SQL_ACCEPT_FRAC = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "llm_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS token
+      FROM documents d
+    ),
+    cnt_all AS (SELECT token, COUNT(*) AS ca FROM tok GROUP BY token),
+    cnt_tgt AS (SELECT token, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY token),
+    consts AS (
+      SELECT (SELECT CAST(SUM(ca) AS DOUBLE) FROM cnt_all) AS na,
+             (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM cnt_tgt) AS nt,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM cnt_all) AS v
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             COUNT(*) AS n_tokens,
+             SUM(ln((COALESCE(g.ct, 0) + 0.5) / (c.nt + 0.5 * c.v))
+                 - ln((a.ca + 0.5) / (c.na + 0.5 * c.v))) AS log_w
+      FROM tok t
+      JOIN cnt_all a USING (token)
+      LEFT JOIN cnt_tgt g USING (token), consts c
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(log_w, 4) AS log_weight,
+           ({_SQL_ACCEPT_FRAC}) / 10000.0 < exp(LEAST(0.0, log_w)) AS accepted
+    FROM scored
+    """,
+)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et
+    al., NeurIPS 2023): hashed-unigram LMs for the TARGET domain
+    (lang='en' here) and the RAW corpus give per-doc importance
+    weights log w = Σ_tokens [ln p_tgt(w) − ln p_raw(w)] (+0.5
+    add-k smoothing on both, shared vocab normalizer); docs are then
+    kept by a deterministic md5-uniform draw against min(1, w) —
+    the portable stand-in for the Gumbel/Bernoulli resample. On the
+    shared-vocab synthetic fixture the two LMs are near-identical,
+    so weights sit near 0 — the discrimination is honest, not
+    manufactured; on a real mixed-domain corpus the same plan
+    separates domains sharply.
+
+    Scale: both LM count tables are |vocab|-bounded aggs off ONE
+    tokenize-explode; the scoring join is token-keyed (broadcast
+    while the LM fits); scalars (N_tgt, N_raw, |V|) are a 1-row
+    broadcast. The accept draw is a pure projection — no RNG state,
+    re-runs bit-identical, exactly like llm_sample_hash."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", "lang", F.explode(T.ws_tokens("text")).alias("token"))
+    cnt_all = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ca"))
+    cnt_tgt = (
+        tok.filter(F.col("lang") == "en").groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    consts = cnt_all.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    ).crossJoin(cnt_tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")))
+    ratio = F.log((F.coalesce(F.col("ct"), F.lit(0)) + 0.5) / (F.col("nt") + 0.5 * F.col("v"))) - F.log(
+        (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("v"))
+    )
+    scored = (
+        tok.join(cnt_all, "token")
+        .join(cnt_tgt, "token", "left")
+        .crossJoin(consts)  # 1-row broadcast
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(ratio).alias("log_w"),
+        )
+    )
+    from ..llmops import md5_prefix_bucket
+
+    frac = md5_prefix_bucket(F.col("doc_id"), 10000) / 10000.0
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("log_w", 4).alias("log_weight"),
+        (frac < F.exp(F.least(F.lit(0.0), F.col("log_w")))).alias("accepted"),
+    )

@@ -3375,3 +3375,114 @@ def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t", "d", "censored", "n_at_risk", "survival")
     )
+
+
+# ------------------------------------------------- r7: Benford first-digit audit
+
+
+@register(
+    "rel_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT CAST(digit AS BIGINT) AS digit, n,
+           ROUND(n / total, 5) AS observed,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 5) AS expected,
+           ROUND(total * POWER(n / total - log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 2)
+                 / log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 4) AS chi2_term
+    FROM c, t
+    """,
+)
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit (Nigrini's fraud/data-
+    entry screen): observed leading-digit shares of order totals vs
+    the Benford expectation log₁₀(1+1/d), with per-digit χ² terms.
+    The leading digit comes from the scaled-long cents value's
+    decimal string — integer formatting is engine-exact, unlike
+    float-to-string or float log10-of-value digit extraction.
+
+    Scale: one map-side-combinable digit count (9 groups), a 1-row
+    total broadcast into the share/χ² projection (BNLJ_OK class).
+    Runs as a column audit on any numeric at 100 TB — the group
+    cardinality is the digit space, never the data."""
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(mlong("o_totalprice").cast("string"), 1, 1)
+    c = (
+        t.orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("double").alias("total"))
+    dig = F.col("digit").cast("bigint")
+    expected = F.log10(1.0 + 1.0 / dig)
+    obs = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(tot)  # 1-row broadcast
+        .select(
+            dig.alias("digit"),
+            "n",
+            F.round(obs, 5).alias("observed"),
+            F.round(expected, 5).alias("expected"),
+            F.round(F.col("total") * F.pow(obs - expected, 2) / expected, 4).alias("chi2_term"),
+        )
+    )
+
+
+# ------------------------------------------------- r7: Gini revenue concentration
+
+
+@register(
+    "rel_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, x,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS i
+      FROM rev
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(x), 2) AS total_rev,
+           ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 5) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per market segment
+    (Lorenz-curve summary): G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over
+    ascending per-customer revenue — the how-top-heavy-is-this-
+    segment diagnostic behind whale-risk dashboards.
+
+    Scale: one fact-side agg to per-customer revenue (map-side
+    combinable, scaled longs for engine-exact sums), then a rank
+    window PARTITIONED by segment (each segment sorts inside its
+    hash partition — no global sort) and one final per-segment agg.
+    Deterministic (x, custkey) rank order makes the weighted sum
+    identical across engines before rounding."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.customer.join(t.orders, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg((F.sum(mlong("o_totalprice")).cast("double") / 100).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_rev"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x")) - (n + 1.0) / n, 5
+        ).alias("gini"),
+    )

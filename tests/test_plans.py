@@ -146,6 +146,10 @@ BNLJ_OK = {
                           # the 1-row merged-sketch relation
     "rel_sample",         # two 1-row count relations broadcast into the
                           # binomial verdict projection
+    "rel_benford_audit",  # 1-row digit-total broadcast into the
+                          # share/chi-square projection
+    "llm_importance_resample",  # 1-row (N_tgt, N_raw, |V|) scalar
+                          # relation broadcast into the LM ratio
     "llm_hamming_rerank",  # codes-only scan x 5 broadcast query codes
                           # (16-byte signatures, not raw vectors)
     "text_backoff_logprob",  # 1-row corpus-total broadcast into the
