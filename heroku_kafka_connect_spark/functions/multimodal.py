@@ -396,3 +396,97 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("image").alias("modality"),
     )
     return out.withColumn("meta", meta)
+
+
+def encode_wav_tone(doc_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A complete 16-bit PCM mono WAV whose samples carry a
+    deterministic integer waveform s[i] = ((doc_id·31 + i·7) mod 201)
+    − 100 — real audio bytes an energy extractor can decode, with a
+    closed form an SQL oracle can replay without touching bytes."""
+    bits, channels = 16, 1
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = struct.pack(
+        "<%dh" % n_samples,
+        *(((doc_id * 31 + i * 7) % 201) - 100 for i in range(n_samples)),
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_tone_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant tone WAVs (encode_wav_tone): mono 8 kHz, sample count =
+    4 × text length — every byte derivable by the oracle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[text_col].str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_tone(int(i), int(ni) * 4)
+                        for i, ni in zip(pdf["doc_id"].astype("int64"), n)
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        build, "doc_id bigint, payload binary"
+    )
+
+
+def _wav_data_bytes(b: bytes) -> bytes:
+    """RIFF walk returning the raw PCM data chunk."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    while pos + 8 <= len(b):
+        tag, ln = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"data":
+            return b[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WAV missing data chunk")
+
+
+ENERGY_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames bigint, "
+    "total_energy bigint, max_frame_energy bigint"
+)
+
+
+def frame_energy(df: DataFrame, frame: int = 80) -> DataFrame:
+    """Per-frame PCM energy over REAL decoded samples via
+    mapInPandas: RIFF walk → int16 numpy view → 10 ms (80-sample)
+    frame sums of squares — the VAD/loudness primitive of an audio
+    curation pipeline. All outputs are exact integers (sums of
+    squares of int16), so the oracle's closed-form replay matches
+    bit-for-bit. numpy does the vectorized work per Arrow batch —
+    no per-sample Python."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(_wav_data_bytes(bytes(payload)), dtype="<i2").astype(
+                    np.int64
+                )
+                sq = s * s
+                n = len(s)
+                n_frames = -(-n // frame) if n else 0
+                pad = np.zeros(n_frames * frame - n, dtype=np.int64)
+                fe = np.concatenate([sq, pad]).reshape(n_frames, frame).sum(axis=1) if n else np.array([], dtype=np.int64)
+                rows.append(
+                    (doc_id, n, n_frames, int(sq.sum()), int(fe.max()) if n else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_frames", "total_energy", "max_frame_energy",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(extract, ENERGY_SCHEMA)

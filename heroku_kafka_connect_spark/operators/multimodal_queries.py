@@ -302,3 +302,46 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("color_type").alias("n_components"),
         "decoder",
     )
+
+
+# ------------------------------------------------- r7: PCM frame energy
+
+
+@register(
+    "mm_wav_energy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 7) % 201) - 100 AS v,
+             i // 80 AS frame
+      FROM (SELECT doc_id, unnest(generate_series(0, LENGTH(text) * 4 - 1)) AS i
+            FROM documents)
+    ),
+    frames AS (
+      SELECT doc_id, frame, SUM(v * v) AS fe FROM s GROUP BY doc_id, frame
+    )
+    SELECT f.doc_id,
+           CAST(LENGTH(d.text) * 4 AS BIGINT) AS n_samples,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(f.fe) AS BIGINT) AS total_energy,
+           CAST(MAX(f.fe) AS BIGINT) AS max_frame_energy
+    FROM frames f JOIN documents d USING (doc_id)
+    GROUP BY f.doc_id, LENGTH(d.text)
+    """,
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL PCM bytes: payloads are
+    tone WAVs (deterministic int16 waveform, mono 8 kHz), and the
+    extractor RIFF-walks to the data chunk, views it as int16, and
+    computes 10 ms frame energies with vectorized numpy — the
+    VAD/loudness primitive. Unlike mm_decode_wav (header metadata),
+    this round-trips the SAMPLES through real bytes; the oracle
+    replays the closed-form waveform, so a single wrong byte in
+    pack/parse breaks the hash. All outputs are exact integers.
+
+    Scale: synth + extract are both narrow mapInPandas stages (no
+    shuffle at all — payload bytes never leave their partition);
+    per-batch numpy work is O(samples), Python-per-row free. A real
+    codec (ffmpeg) drops into the same batch loop."""
+    t = load_tables(spark, sf_dir)
+    return mm.frame_energy(mm.attach_tone_payload(t.documents))

@@ -3499,3 +3499,69 @@ def rel_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x")) - (n + 1.0) / n, 5
         ).alias("gini"),
     )
+
+
+# ------------------------------------------------- r7: marketing attribution
+
+
+@register(
+    "rel_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tu, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN struct_pack(tu := epoch_us(ts), et := event_type) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT CASE WHEN touch IS NULL OR touch.tu < tu - 259200000000
+                THEN 'direct' ELSE touch.et END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 3-day lookback: each
+    purchase credits the user's most recent preceding click/view
+    (ties broken by event_id), or 'direct' when none exists inside
+    the window. The carried last-touch is a
+    last(..., ignorenulls=True) running value — the streaming-
+    friendly formulation (no per-purchase rescans, no self-join).
+
+    Scale: ONE window pass partitioned by user_id (each user's
+    timeline sorts inside its hash partition), then a
+    |channels|-group combinable agg; revenue rides scaled longs.
+    Contrast with the naive per-purchase as-of self-join, which
+    shuffles purchases × touches; this shape is linear in events."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(ts_us("ts").alias("tu"), F.col("event_type").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    seq = t.events.select(
+        "event_type", "value", ts_us("ts").alias("tu"), touch.alias("touch")
+    )
+    channel = F.when(
+        F.col("touch").isNull() | (F.col("touch.tu") < F.col("tu") - 259200000000),
+        F.lit("direct"),
+    ).otherwise(F.col("touch.et"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(mlong("value")).cast("double") / 100).alias("revenue"),
+        )
+    )
