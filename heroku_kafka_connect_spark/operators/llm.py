@@ -3914,3 +3914,230 @@ def llm_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HAM_K)
         .select("q_id", "cand_id", "hamming", "score", "rank")
     )
+
+
+# ------------------------------------------------- r7: unigram-LM tokenizer EM (SentencePiece)
+
+
+_UNI_PIECE_MAX, _UNI_WORD_MAX, _UNI_MIN_CNT, _UNI_TOPK = 4, 8, 3, 30
+_UNI_SCALE, _UNI_OFF = 1_000_000, 2_000_000_000
+
+
+def _unigram_em_oracle() -> str:
+    """Generated SQL replay of one unigram-LM EM round: the Viterbi
+    E-step is the same integer-scaled DP, unrolled to _UNI_WORD_MAX
+    relaxation rounds as chained CTEs."""
+    steps = []
+    prev = "f0"
+    for t in range(1, _UNI_WORD_MAX + 1):
+        steps.append(f"""
+    f{t} AS MATERIALIZED (
+      SELECT word, wlen, wfreq, pos, MAX(key) AS key FROM (
+        SELECT f.word, f.wlen, f.wfreq, e.next_pos AS pos,
+               lpad(CAST(CAST(substr(f.key, 1, 12) AS BIGINT) + e.w AS VARCHAR), 12, '0')
+                 || '|' ||
+               CASE WHEN substr(f.key, 14) = '' THEN e.piece
+                    ELSE substr(f.key, 14) || ' ' || e.piece END AS key
+        FROM {prev} f JOIN edges e ON f.word = e.word AND f.pos = e.pos
+        WHERE f.pos < f.wlen
+        UNION ALL
+        SELECT word, wlen, wfreq, pos, key FROM {prev} WHERE pos = wlen
+      ) s GROUP BY word, wlen, wfreq, pos
+    )""")
+        prev = f"f{t}"
+    unrolled = ",".join(steps)
+    return f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq, length(word) AS wlen
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND length(word) <= {_UNI_WORD_MAX}
+      GROUP BY word
+    ),
+    subs AS (
+      SELECT w.word, w.wfreq, i.s AS pos0, l.l AS plen,
+             substr(w.word, i.s + 1, l.l) AS piece
+      FROM words w,
+           LATERAL (SELECT unnest(generate_series(0, w.wlen - 1)) AS s) i,
+           LATERAL (SELECT unnest(generate_series(1, {_UNI_PIECE_MAX})) AS l) l
+      WHERE i.s + l.l <= w.wlen
+    ),
+    cnt AS (
+      SELECT piece, SUM(wfreq) AS c FROM subs GROUP BY piece
+    ),
+    kept AS (
+      SELECT piece, c FROM cnt WHERE length(piece) = 1 OR c >= {_UNI_MIN_CNT}
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS z FROM kept),
+    pieces AS (
+      SELECT piece, c,
+             CAST(ROUND(ln(c / z) * {_UNI_SCALE}) AS BIGINT) AS w
+      FROM kept, tot
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT s.word, s.pos0 AS pos, s.pos0 + s.plen AS next_pos,
+             s.piece, p.w
+      FROM subs s JOIN pieces p USING (piece)
+    ),
+    f0 AS MATERIALIZED (
+      SELECT word, wlen, wfreq, 0 AS pos,
+             lpad(CAST({_UNI_OFF} AS VARCHAR), 12, '0') || '|' AS key
+      FROM words
+    ),{unrolled},
+    segmented AS (
+      SELECT word, wfreq, substr(key, 14) AS segmentation
+      FROM {prev} WHERE pos = wlen
+    ),
+    m_cnt AS (
+      SELECT p AS piece, CAST(SUM(wfreq) AS BIGINT) AS cnt
+      FROM (SELECT wfreq, unnest(string_split(segmentation, ' ')) AS p FROM segmented)
+      GROUP BY p
+    ),
+    m_tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS z2 FROM m_cnt)
+    SELECT piece, cnt, ROUND(cnt / z2, 6) AS p,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS rank
+    FROM m_cnt, m_tot
+    ORDER BY rank
+    LIMIT {_UNI_TOPK}
+    """
+
+
+@register("llm_unigram_tokenizer_em", oracle=_unigram_em_oracle())
+def llm_unigram_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round of the unigram-LM tokenizer (Kudo, ACL 2018 — the
+    SentencePiece algorithm; completes the tokenizer-training family
+    beside BPE train/apply): candidate pieces = all substrings ≤ 4
+    chars (singles always kept, others df-floored), initial probs ∝
+    weighted substring counts; E-step Viterbi-segments every distinct
+    word under the current piece log-probs; M-step recounts pieces
+    from the segmentations and renormalizes. Emits the re-estimated
+    top-30 piece table.
+
+    Determinism: log-probs are scaled to INTEGER micro-units
+    (round(ln p ·10⁶)) so DP score addition and comparison are exact;
+    the per-(word,pos) argmax rides a zero-padded sortable string key
+    (score || '|' || path) whose MAX both engines evaluate
+    identically — ties fall to the lexicographically largest path.
+    The Viterbi DP is unrolled to 8 relaxation rounds (max word len;
+    longer words are excluded by both engines).
+
+    Scale: everything is |distinct words|-bounded, never
+    corpus-bounded — words/pieces/edges/frontiers are vocabulary
+    relations (the corpus pass is ONE token count). Each DP round is
+    a (word,pos)-keyed join+agg; 8 rounds = 8 small shuffles. At
+    100 TB vocab (10⁸ words) the frontier stays ≤ |words|·L rows and
+    the piece table broadcasts; compare llm_bpe_train, which pays a
+    driver round per MERGE — here rounds are bounded by max word
+    LENGTH, the Kudo-style advantage."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= _UNI_WORD_MAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+        .withColumn("wlen", F.length("word").cast("int"))
+    )
+    subs = (
+        words.select(
+            "word",
+            "wfreq",
+            "wlen",
+            F.explode(F.sequence(F.lit(0), F.col("wlen") - 1)).alias("pos0"),
+        )
+        .select(
+            "word",
+            "wfreq",
+            "wlen",
+            "pos0",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_PIECE_MAX), F.col("wlen") - F.col("pos0")))
+            ).alias("plen"),
+        )
+        .withColumn("piece", F.expr("substr(word, pos0 + 1, plen)"))
+    )
+    cnt = subs.groupBy("piece").agg(F.sum("wfreq").alias("c"))
+    kept = cnt.filter((F.length("piece") == 1) | (F.col("c") >= _UNI_MIN_CNT))
+    tot = kept.agg(F.sum("c").cast("double").alias("z"))
+    pieces = kept.crossJoin(tot).select(  # 1-row broadcast
+        "piece",
+        "c",
+        F.round(F.log(F.col("c") / F.col("z")) * _UNI_SCALE).cast("long").alias("w"),
+    )
+    edges = (
+        subs.join(pieces.select("piece", "w"), "piece")
+        .select("word", F.col("pos0").alias("pos"), (F.col("pos0") + F.col("plen")).alias("next_pos"), "piece", "w")
+        .distinct()
+    )
+    # Zero-weight self-loop at pos == wlen: completed states ride the
+    # SAME per-round join instead of a union branch, so each
+    # relaxation round references the frontier exactly ONCE — the
+    # plan stays a linear chain of 8 broadcast joins (one job, no
+    # per-round shuffle/checkpoint; the union-and-reduce formulation
+    # re-analyzed a self-referencing plan per round and cost 8 eager
+    # checkpoint jobs). Deferred reduction is safe: un-pruned path
+    # keys reduce to the same MAX as per-round pruning (prefix
+    # optimality + paths for one (word,pos) are never string-prefixes
+    # of each other), and the frontier is bounded by |words| ×
+    # compositions(wlen ≤ 8) ≤ |words|·128 rows.
+    loops = words.select(
+        "word",
+        F.col("wlen").alias("pos"),
+        F.col("wlen").alias("next_pos"),
+        F.lit("").alias("piece"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    edges_all = edges.unionByName(loops).localCheckpoint()
+    frontier = words.select(
+        "word",
+        "wlen",
+        "wfreq",
+        F.lit(0).alias("pos"),
+        F.concat(F.lpad(F.lit(str(_UNI_OFF)), 12, "0"), F.lit("|")).alias("key"),
+    )
+    step_key = F.when(F.col("piece") == "", F.col("key")).otherwise(
+        F.concat(
+            F.lpad(
+                (F.substring("key", 1, 12).cast("long") + F.col("w")).cast("string"),
+                12,
+                "0",
+            ),
+            F.lit("|"),
+            F.when(F.expr("substr(key, 14)") == "", F.col("piece")).otherwise(
+                F.concat(F.expr("substr(key, 14)"), F.lit(" "), F.col("piece"))
+            ),
+        )
+    )
+    for _ in range(_UNI_WORD_MAX):
+        frontier = (
+            frontier.join(F.broadcast(edges_all), ["word", "pos"])
+            .select(
+                "word",
+                "wlen",
+                "wfreq",
+                F.col("next_pos").alias("pos"),
+                step_key.alias("key"),
+            )
+        )
+    segmented = (
+        frontier.filter(F.col("pos") == F.col("wlen"))
+        .groupBy("word", "wfreq")
+        .agg(F.max("key").alias("key"))
+        .select("wfreq", F.expr("substr(key, 14)").alias("segmentation"))
+    )
+    m_cnt = (
+        segmented.select("wfreq", F.explode(F.split("segmentation", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wfreq").alias("cnt"))
+    )
+    m_tot = m_cnt.agg(F.sum("cnt").cast("double").alias("z2"))
+    w_rank = Window.orderBy(F.desc("cnt"), "piece")
+    return (
+        m_cnt.crossJoin(m_tot)  # 1-row broadcast
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_UNI_TOPK)
+        .select(
+            "piece",
+            "cnt",
+            F.round(F.col("cnt") / F.col("z2"), 6).alias("p"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+    )

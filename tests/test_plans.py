@@ -146,6 +146,10 @@ BNLJ_OK = {
                           # the 1-row merged-sketch relation
     "rel_sample",         # two 1-row count relations broadcast into the
                           # binomial verdict projection
+    "llm_unigram_tokenizer_em",  # 1-row piece-total broadcasts (init
+                          # probs + M-step renormalizer)
+    "rel_recursive_calendar",  # 1-row bounds relation broadcast into
+                          # the weekly-spine day explode
     "rel_benford_audit",  # 1-row digit-total broadcast into the
                           # share/chi-square projection
     "llm_importance_resample",  # 1-row (N_tgt, N_raw, |V|) scalar
@@ -183,6 +187,7 @@ UNPART_WINDOW_OK = {
     "rel_cusum_changepoint",  # prefix sum + global max over the |days| series
     "rel_seasonal_naive_eval",  # lag-1/lag-7 windows over the |days| series
     "rel_survival_km",        # KM risk-set/product over the |durations| relation
+    "llm_unigram_tokenizer_em",  # ranks the top-30-limited piece table
 }
 
 
