@@ -800,8 +800,10 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            COUNT(*) AS n_vecs,
            CAST(LENGTH(MIN(embedding)) AS INTEGER) AS dim,
-           ROUND(SUM((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) t(x))), 3) AS sum_components,
-           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 5) AS avg_first
+           CAST(ROUND(SUM(CAST(ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) t(x))
+                                      * 1000000) AS BIGINT)) / 1000.0) AS BIGINT) / 1000.0 AS sum_components,
+           CAST(ROUND(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000000) AS BIGINT))
+                      / COUNT(*) / 10000.0) AS BIGINT) / 100000.0 AS avg_first
     FROM embeddings
     GROUP BY label
     """,
@@ -810,11 +812,21 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I9 embeddings as first-class columns: per-label stats."""
     t = load_tables(spark, sf_dir)
     comp_sum = F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x)
+    # r8: per-ROW values quantized to integer units before the per-label
+    # sums (micro for the component sum, nano for the first component), so
+    # the cross-row reduce is an order-invariant BIGINT sum; final decimals
+    # derive via round-to-integer, never ROUND(double, k).
+    comp6 = F.round(comp_sum * 1_000_000).cast("long")
+    first9 = F.round(
+        F.element_at(F.col("embedding").cast("array<double>"), 1) * 1_000_000_000
+    ).cast("long")
     return t.embeddings.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.size(F.min("embedding")).alias("dim"),
-        F.round(F.sum(comp_sum), 3).alias("sum_components"),
-        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 5).alias("avg_first"),
+        (F.round(F.sum(comp6) / 1000.0).cast("long") / 1000.0).alias("sum_components"),
+        (F.round(F.sum(first9) / F.count(F.lit(1)) / 10000.0).cast("long") / 100000.0).alias(
+            "avg_first"
+        ),
     )
 
 

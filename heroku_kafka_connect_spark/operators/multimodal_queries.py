@@ -315,7 +315,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((doc_id * 31 + i * 7) % 201) - 100 AS v,
              i // 80 AS frame
       FROM (SELECT doc_id, unnest(generate_series(0, LENGTH(text) * 4 - 1)) AS i
-            FROM documents)
+            FROM documents WHERE LENGTH(text) > 0)
     ),
     frames AS (
       SELECT doc_id, frame, SUM(v * v) AS fe FROM s GROUP BY doc_id, frame
@@ -342,6 +342,12 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: synth + extract are both narrow mapInPandas stages (no
     shuffle at all — payload bytes never leave their partition);
     per-batch numpy work is O(samples), Python-per-row free. A real
-    codec (ffmpeg) drops into the same batch loop."""
+    codec (ffmpeg) drops into the same batch loop.
+
+    Contract: empty-text docs are excluded on BOTH sides (a 0-sample
+    WAV has no frames; the oracle's generate_series would silently
+    drop the doc while Spark emitted a zero row — pinned here rather
+    than left to fixture luck)."""
     t = load_tables(spark, sf_dir)
-    return mm.frame_energy(mm.attach_tone_payload(t.documents))
+    docs = t.documents.filter(F.length("text") > 0)
+    return mm.frame_energy(mm.attach_tone_payload(docs))

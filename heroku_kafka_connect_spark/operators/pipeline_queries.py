@@ -122,7 +122,8 @@ def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(k) AS BIGINT) AS n_chars_t,
            COUNT(*) AS n_unique,
-           ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 4) AS entropy
+           CAST(ROUND((log2(SUM(k)) - SUM(CAST(ROUND(k * log2(k) * 1000000) AS BIGINT))
+                       / 1000000.0 / SUM(k)) * 10000) AS BIGINT) / 10000.0 AS entropy
     FROM cnt GROUP BY doc_id
     """,
 )
@@ -145,8 +146,17 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.groupBy("doc_id").agg(
         F.sum("k").alias("n_chars_t"),
         F.count(F.lit(1)).alias("n_unique"),
-        F.round(
-            F.log2(F.sum("k")) - F.sum(F.col("k") * F.log2("k")) / F.sum("k"), 4
+        (
+            F.round(
+                (
+                    F.log2(F.sum("k"))
+                    - F.sum(F.round(F.col("k") * F.log2("k") * 1_000_000).cast("long"))
+                    / 1e6
+                    / F.sum("k")
+                )
+                * 10000
+            ).cast("long")
+            / 10000.0
         ).alias("entropy"),
     )
 
@@ -433,7 +443,8 @@ def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id,
-             ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 4) AS entropy
+             CAST(ROUND((log2(SUM(k)) - SUM(CAST(ROUND(k * log2(k) * 1000000) AS BIGINT))
+                       / 1000000.0 / SUM(k)) * 10000) AS BIGINT) / 10000.0 AS entropy
       FROM cnt GROUP BY doc_id
     )
     SELECT s.doc_id, s.mean_word_len, s.distinct_ratio, s.top_token_frac,
@@ -511,8 +522,17 @@ def llm_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", "")).alias("c")
     ).groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
     h = ch.groupBy("doc_id").agg(
-        F.round(
-            F.log2(F.sum("k")) - F.sum(F.col("k") * F.log2("k")) / F.sum("k"), 4
+        (
+            F.round(
+                (
+                    F.log2(F.sum("k"))
+                    - F.sum(F.round(F.col("k") * F.log2("k") * 1_000_000).cast("long"))
+                    / 1e6
+                    / F.sum("k")
+                )
+                * 10000
+            ).cast("long")
+            / 10000.0
         ).alias("entropy")
     )
     j = s.join(g, "doc_id").join(h, "doc_id")
@@ -606,7 +626,9 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT SUM(cnt) AS n FROM vocab),
     s AS (
       SELECT t.doc_id,
-             ROUND(-SUM(log2(v.cnt / CAST(total.n AS DOUBLE))) / COUNT(*), 4) AS score
+             CAST(ROUND(-SUM(CAST(ROUND(log2(v.cnt / CAST(total.n AS DOUBLE))
+                                        * 1000000) AS BIGINT))
+                        / COUNT(*) / 100.0) AS BIGINT) / 10000.0 AS score
       FROM tok t JOIN vocab v USING (token), total
       GROUP BY t.doc_id
     ),
@@ -644,10 +666,20 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                -F.sum(F.log2(F.col("cnt") / F.col("n").cast("double")))
-                / F.count(F.lit(1)),
-                4,
+            # r8: micro-int per-token terms → order-invariant BIGINT sum;
+            # decile cuts then bucket an engine-exact score, so the keep
+            # decision can never flip on summation order.
+            (
+                F.round(
+                    -F.sum(
+                        F.round(
+                            F.log2(F.col("cnt") / F.col("n").cast("double")) * 1_000_000
+                        ).cast("long")
+                    )
+                    / F.count(F.lit(1))
+                    / 100.0
+                ).cast("long")
+                / 10000.0
             ).alias("score")
         )
     )
@@ -974,16 +1006,17 @@ _SQL_ACCEPT_FRAC = (
     scored AS (
       SELECT t.doc_id, t.lang,
              COUNT(*) AS n_tokens,
-             SUM(ln((COALESCE(g.ct, 0) + 0.5) / (c.nt + 0.5 * c.v))
-                 - ln((a.ca + 0.5) / (c.na + 0.5 * c.v))) AS log_w
+             SUM(CAST(ROUND((ln((COALESCE(g.ct, 0) + 0.5) / (c.nt + 0.5 * c.v))
+                 - ln((a.ca + 0.5) / (c.na + 0.5 * c.v))) * 1000000) AS BIGINT)) AS log_w6
       FROM tok t
       JOIN cnt_all a USING (token)
       LEFT JOIN cnt_tgt g USING (token), consts c
       GROUP BY t.doc_id, t.lang
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(log_w, 4) AS log_weight,
-           ({_SQL_ACCEPT_FRAC}) / 10000.0 < exp(LEAST(0.0, log_w)) AS accepted
+           CAST(ROUND(log_w6 / 100.0) AS BIGINT) / 10000.0 AS log_weight,
+           ({_SQL_ACCEPT_FRAC}) * 100
+             < CAST(ROUND(exp(LEAST(0.0, log_w6 / 1000000.0)) * 1000000) AS BIGINT) AS accepted
     FROM scored
     """,
 )
@@ -999,6 +1032,15 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so weights sit near 0 — the discrimination is honest, not
     manufactured; on a real mixed-domain corpus the same plan
     separates domains sharply.
+
+    Determinism: each per-token log-ratio is quantized to an INTEGER
+    micro-unit BEFORE the sum (the llm_token_zipf idiom), so the
+    per-doc reduce is an order-invariant BIGINT sum — identical under
+    any partitioning and in any engine. The accept decision then
+    compares two integers: the md5 draw scaled to micro-units vs
+    round(exp(min(0, log_w))·1e6) — no FP ulp can flip the
+    hash-checked boolean (pinned by the partitioning-invariance test
+    in tests/test_round8_ops.py).
 
     Scale: both LM count tables are |vocab|-bounded aggs off ONE
     tokenize-explode; the scoring join is token-keyed (broadcast
@@ -1025,16 +1067,21 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(ratio).alias("log_w"),
+            F.sum(F.round(ratio * 1_000_000).cast("long")).alias("log_w6"),
         )
     )
     from ..llmops import md5_prefix_bucket
 
-    frac = md5_prefix_bucket(F.col("doc_id"), 10000) / 10000.0
+    log_w = F.col("log_w6") / 1e6
+    thr6 = F.round(F.exp(F.least(F.lit(0.0), log_w)) * 1_000_000).cast("long")
+    frac6 = (md5_prefix_bucket(F.col("doc_id"), 10000) * 100).cast("long")
     return scored.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.round("log_w", 4).alias("log_weight"),
-        (frac < F.exp(F.least(F.lit(0.0), F.col("log_w")))).alias("accepted"),
+        # 4-dp value derived integer-exactly from the micro sum (x/100.0 is
+        # one IEEE-exact division; round-half at .5 is identical cross-engine
+        # on exact halves, unlike ROUND(double, 4) of a repeating binary).
+        (F.round(F.col("log_w6") / 100.0).cast("long") / 10000.0).alias("log_weight"),
+        (frac6 < thr6).alias("accepted"),
     )

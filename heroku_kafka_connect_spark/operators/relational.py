@@ -2581,12 +2581,16 @@ def rel_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN base ba ON ba.bin = c.bin
       CROSS JOIN base_total bt CROSS JOIN nb
     )
+    , s AS (
+      SELECT source, SUM(CAST(ROUND(term * 1000000000) AS BIGINT)) AS s9
+      FROM terms GROUP BY source
+    )
     SELECT source,
-           CAST(ROUND(SUM(term) * 10000) AS BIGINT) AS psi_e4,
-           CASE WHEN SUM(term) >= 0.2 THEN 'shifted'
-                WHEN SUM(term) >= 0.1 THEN 'moderate'
+           CAST(ROUND(s9 / 100000.0) AS BIGINT) AS psi_e4,
+           CASE WHEN s9 >= 200000000 THEN 'shifted'
+                WHEN s9 >= 100000000 THEN 'moderate'
                 ELSE 'stable' END AS verdict
-    FROM terms GROUP BY source
+    FROM s
     """,
 )
 def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2637,10 +2641,14 @@ def rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"),
         )
     )
+    # r8: per-bin PSI terms quantized to nano-ints BEFORE the sum — the
+    # reduce is an order-invariant BIGINT sum and the verdict thresholds
+    # compare integers, so neither partitioning nor engine can flip them.
+    s9 = F.sum(F.round(F.col("term") * 1_000_000_000).cast("long"))
     return terms.groupBy("source").agg(
-        F.round(F.sum("term") * 10000).cast("long").alias("psi_e4"),
-        F.when(F.sum("term") >= 0.2, "shifted")
-        .when(F.sum("term") >= 0.1, "moderate")
+        F.round(s9 / 100000.0).cast("long").alias("psi_e4"),
+        F.when(s9 >= 200_000_000, "shifted")
+        .when(s9 >= 100_000_000, "moderate")
         .otherwise("stable")
         .alias("verdict"),
     )
@@ -3340,8 +3348,11 @@ def rel_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM risk
     )
     SELECT t, d, censored, n_at_risk,
-           ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
-                     OVER (ORDER BY t)), 5) AS survival
+           CASE WHEN SUM(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t) > 0 THEN 0.0
+                ELSE ROUND(exp(SUM(CASE WHEN d = n_at_risk THEN 0.0
+                                        ELSE ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) END)
+                               OVER (ORDER BY t)), 5) END AS survival
     FROM km
     """,
 )
@@ -3380,11 +3391,22 @@ def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_risk = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
     w_prod = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # Tail guard: if everyone still at risk converts at t (d = n_at_risk,
+    # only possible at the max duration), S drops to exactly 0 — computed
+    # explicitly on both engines instead of relying on log(0) behavior
+    # (Spark log(0) → NULL silently skipped by SUM; DuckDB ln(0) raises).
+    at_zero = F.col("d") == F.col("n_at_risk")
+    safe_term = F.when(at_zero, F.lit(0.0)).otherwise(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+    )
+    hit_zero = F.sum(F.when(at_zero, 1).otherwise(0)).over(w_prod)
     return (
         risk.withColumn("n_at_risk", F.sum("ties").over(w_risk))
         .withColumn(
             "survival",
-            F.round(F.exp(F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))).over(w_prod)), 5),
+            F.when(hit_zero > 0, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum(safe_term).over(w_prod)), 5)
+            ),
         )
         .select("t", "d", "censored", "n_at_risk", "survival")
     )

@@ -305,7 +305,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT SUM(cnt) AS n FROM vocab)
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(-SUM(log2(v.cnt / CAST(total.n AS DOUBLE))) / COUNT(*), 4)
+           CAST(ROUND(-SUM(CAST(ROUND(log2(v.cnt / CAST(total.n AS DOUBLE))
+                                      * 1000000) AS BIGINT))
+                      / COUNT(*) / 100.0) AS BIGINT) / 10000.0
              AS avg_neg_log2p
     FROM tok t JOIN vocab v USING (token), total
     GROUP BY t.doc_id
@@ -332,9 +334,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.sum(F.log2("p")) / F.count(F.lit(1)), 4).alias(
-                "avg_neg_log2p"
-            ),
+            # r8: per-token −log₂p quantized to micro-ints BEFORE the sum
+            # (order-invariant BIGINT reduce), 4-dp derived via a
+            # round-to-integer (cross-engine-safe, unlike ROUND(double,4)).
+            (
+                F.round(
+                    -F.sum(F.round(F.log2("p") * 1_000_000).cast("long"))
+                    / F.count(F.lit(1))
+                    / 100.0
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_neg_log2p"),
         )
     )
 
@@ -615,7 +625,7 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN dl ON tf.doc_id = dl.doc_id
               CROSS JOIN stats s
     )
-    SELECT doc_id, ROUND(SUM(c) / 1000000.0, 4) AS bm25
+    SELECT doc_id, CAST(ROUND(SUM(c) / 100.0) AS BIGINT) / 10000.0 AS bm25
     FROM contrib GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
@@ -661,7 +671,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c") / 1000000.0, 4).alias("bm25"))
+        # r8: 4-dp derived from the micro-long sum via round-to-integer —
+        # ROUND(sum6/1e6, 4) diverges cross-engine when sum6 ends in 50.
+        .agg((F.round(F.sum("c") / 100.0).cast("long") / 10000.0).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
@@ -884,10 +896,11 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN p.w1 IS NOT NULL AND bg.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
-           ROUND(-SUM(log2(
+           CAST(ROUND(-SUM(CAST(ROUND(log2(
              CASE WHEN p.w1 IS NULL THEN u2.cnt / total.n
                   WHEN bg.n IS NOT NULL THEN bg.n / CAST(u1.cnt AS DOUBLE)
-                  ELSE 0.4 * u2.cnt / total.n END)) / COUNT(*), 4) AS avg_neg_log2_sb
+                  ELSE 0.4 * u2.cnt / total.n END) * 1000000) AS BIGINT))
+                 / COUNT(*) / 100.0) AS BIGINT) / 10000.0 AS avg_neg_log2_sb
     FROM pairs p
     JOIN uni u2 ON p.w2 = u2.w
     LEFT JOIN uni u1 ON p.w1 = u1.w
@@ -902,6 +915,12 @@ def text_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     α·n(w)/N with α = 0.4; doc score = mean −log₂S. The LM is built
     from the corpus itself in the same job (KenLM-style count
     tables), so this is both the train and apply step.
+
+    Determinism: each per-token −log₂S term is quantized to an
+    INTEGER micro-unit BEFORE the per-doc sum (the llm_token_zipf
+    idiom), making the reduce an order-invariant BIGINT sum —
+    identical under any shuffle partitioning and engine-exact across
+    the DuckDB boundary.
 
     Scale: the position explode is narrow (pairs never leave their
     map task); bigram/unigram tables are |vocab|- and |vocab|²-
@@ -950,6 +969,16 @@ def text_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("w1").isNotNull() & F.col("bn").isNull(), 1).otherwise(0)
             ).alias("n_backoff"),
-            F.round(-F.sum(F.log2(score)) / F.count(F.lit(1)), 4).alias("avg_neg_log2_sb"),
+            # integer-exact 4-dp: micro-sum / n / 100 → round-to-int → /1e4
+            # (ROUND(double, 4) is NOT cross-engine safe at half boundaries;
+            # round-to-integer of an identical double is).
+            (
+                F.round(
+                    -F.sum(F.round(F.log2(score) * 1_000_000).cast("long"))
+                    / F.count(F.lit(1))
+                    / 100.0
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_neg_log2_sb"),
         )
     )
