@@ -9,8 +9,12 @@ parses — kept < 1900 chars so tail-truncation can't eat it):
 
 Queries execute via the noop sink (full execution, no driver
 collect), which measures engine throughput rather than Arrow
-transfer. Run order is fixed; a warmup query initializes the JVM/
-codegen so timings reflect steady state.
+transfer. A warmup query initializes the JVM/codegen so timings
+reflect steady state. Since r8 the corpus runs as two FULL passes in
+opposite orders plus a third headline-only pass, and each query
+reports its min across passes — consecutive same-query runs let one
+noisy host interval masquerade as a family-level regression (the r7
+SMT artifact).
 """
 
 from __future__ import annotations
@@ -79,7 +83,7 @@ def build_output_lines(
             "metric": "headline_corpus_wall_sec",
             "value": headline_total,
             "unit": "sec",
-            "timing": "min3_headline_min2_corpus",
+            "timing": "min3_headline_min2_corpus_opposite_order_passes",
             "full_corpus_wall_sec": round(sum(timings.values()), 3),
             "n_queries": len(timings),
             "queries": {n: timings[n] for n in HEADLINE},
@@ -106,28 +110,27 @@ def main() -> None:
     execute(qs["udf_scalar_pandas"].fn(spark, sf_dir))
     execute(qs["src_python_datasource"].fn(spark, sf_dir))
 
-    # headline first (steady-state, fixed order — comparable across
-    # rounds), then the REST of the corpus so per-query regressions
-    # anywhere are visible round-over-round. Headline queries take
-    # best-of-3: on a shared host, single-shot walls drift ±20-30%
-    # with ambient load (measured: identical code, 16.2→23.7s), and
-    # min-of-N is the standard way to report the code's actual cost
-    # rather than the noisiest co-tenant's.
-    # Corpus queries take min-of-2 (r5 verdict item 2): a single
-    # shot cannot distinguish a real engine regression from one noisy
-    # co-tenant interval; two interleaved passes + the loadavg stamps
-    # below make a uniform shift attributable.
-    timings: dict[str, float] = {}
+    # Headline queries take best-of-3, corpus min-of-2: on a shared
+    # host single-shot walls drift ±20-30% with ambient load
+    # (measured: identical code, 16.2→23.7s), and min-of-N reports
+    # the code's actual cost rather than the noisiest co-tenant's.
+    # r8 de-bias: the min-of-N runs used to be CONSECUTIVE per query,
+    # so one noisy host interval inflated every run of whichever
+    # queries it overlapped — in r7 the late-alphabet SMT family
+    # absorbed a loadavg spike and read as a 3.3-3.7× family
+    # regression with unchanged plans. Now each run belongs to a full
+    # corpus PASS and the two corpus passes execute in OPPOSITE
+    # orders, so a query's min-of-2 samples two different points of
+    # host weather; the third (headline-only) pass runs last.
+    order = HEADLINE + sorted(n for n in qs if n not in HEADLINE)
     load_start = round(os.getloadavg()[0], 2)
-    for name in HEADLINE + sorted(n for n in qs if n not in HEADLINE):
-        runs = 3 if name in HEADLINE else 2
-        best = None
-        for _ in range(runs):
+    walls: dict[str, list[float]] = {n: [] for n in order}
+    for pass_names in (order, list(reversed(order)), HEADLINE):
+        for name in pass_names:
             t0 = time.time()
             execute(qs[name].fn(spark, sf_dir))
-            wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        timings[name] = round(best, 3)
+            walls[name].append(time.time() - t0)
+    timings = {n: round(min(w), 3) for n, w in walls.items()}
     loadavg = [load_start, round(os.getloadavg()[0], 2)]
 
     detail, summary = build_output_lines(timings, sf, loadavg)

@@ -65,7 +65,7 @@ def test_bench_final_line_is_compact_parseable_json():
     parsed = json.loads(summary)
     assert parsed["metric"] == "headline_corpus_wall_sec"
     assert parsed["unit"] == "sec"
-    assert parsed["timing"] == "min3_headline_min2_corpus"
+    assert parsed["timing"] == "min3_headline_min2_corpus_opposite_order_passes"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert parsed["value"] == round(sum(1.234 for _ in bench.HEADLINE), 3)
     # the detail line still carries every query for round-over-round diffing
