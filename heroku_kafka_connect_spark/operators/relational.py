@@ -3587,3 +3587,447 @@ def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(mlong("value")).cast("double") / 100).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------- r8: market-basket rules
+
+
+@register(
+    "rel_market_basket",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+      FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM basket),
+    item AS (SELECT event_type, COUNT(*) AS n_item FROM basket GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS ant, b.event_type AS cons, COUNT(*) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ant, p.cons, p.n_pair,
+           ROUND(CAST(p.n_pair AS DOUBLE) / n.n_baskets, 6) AS support,
+           ROUND(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND(CAST(p.n_pair AS DOUBLE) * n.n_baskets / (ia.n_item * ic.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.ant
+    JOIN item ic ON ic.event_type = p.cons
+    CROSS JOIN n
+    WHERE CAST(p.n_pair AS DOUBLE) / n.n_baskets >= 0.01
+    """,
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant VLDB'94
+    support/confidence/lift) over user-day behavioral baskets: a
+    basket is the DISTINCT set of event types one user emits in one
+    day; every ordered co-occurring pair becomes a rule ant=>cons
+    with support n_pair/N, confidence n_pair/n_ant and lift
+    N·n_pair/(n_ant·n_cons), floored at 1% support.
+
+    Scale: basket formation is one distinct (hash agg on
+    (user,day,type)); the pair count self-joins ON THE BASKET KEY so
+    the expansion is Σ k_b·(k_b−1) with k_b ≤ |event-type alphabet|
+    — never corpus×corpus. Item counts and N are tiny aggregates
+    that broadcast back onto the pair relation. Every ratio is one
+    IEEE division of exact BIGINT counts, so the 6-dp rounds are
+    cross-engine-identical (no float accumulation anywhere)."""
+    t = load_tables(spark, sf_dir)
+    basket = t.events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_baskets = basket.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = basket.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item"))
+    a = basket.select("user_id", "day", F.col("event_type").alias("ant"))
+    b = basket.select("user_id", "day", F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.select(F.col("event_type").alias("ant"), F.col("n_item").alias("n_ant"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("n_item").alias("n_cons"))
+    out = (
+        pair.join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return (
+        out.withColumn("support", F.round(F.col("n_pair") / F.col("n_baskets"), 6))
+        .filter(F.col("support") >= 0.01)
+        .select(
+            "ant",
+            "cons",
+            "n_pair",
+            "support",
+            F.round(F.col("n_pair") / F.col("n_ant"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("n_baskets") / (F.col("n_ant") * F.col("n_cons")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ------------------------------------------------- r8: EWMA smoothing
+
+
+#: Truncated-EWMA integer weights for α=0.2: w_k = 0.8^k exactly
+#: represented as 8^k·10^(9-k) (k = lag behind the current day,
+#: 10 terms). All-integer weights make the weighted sum BIGINT
+#: arithmetic — order-invariant and bit-identical across engines —
+#: instead of a float POWER() chain whose ulp could differ.
+_EWMA_W = [8**k * 10 ** (9 - k) for k in range(10)]
+
+
+@register(
+    "rel_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (SELECT UNNEST(ARRAY{_EWMA_W!r}) AS wt,
+                 UNNEST(generate_series(0, 9)) AS k),
+    terms AS (
+      SELECT cur.event_type, cur.day,
+             MAX(CASE WHEN lagd.day = cur.day THEN lagd.n END) AS n,
+             SUM(lagd.n * w.wt) AS num, SUM(w.wt) AS den
+      FROM daily cur
+      JOIN w ON TRUE
+      JOIN daily lagd
+        ON lagd.event_type = cur.event_type AND lagd.day = cur.day - CAST(w.k AS INTEGER)
+      GROUP BY cur.event_type, cur.day
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CAST(ROUND(10000.0 * num / den) AS BIGINT) / 10000.0 AS ewma
+    FROM terms
+    """,
+)
+def rel_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2, truncated at 10
+    days, renormalized over the weights actually present) of the
+    daily event volume per event type — the classic dashboard
+    smoother / simple exponential forecast.
+
+    Scale: the trailing band-join is rewritten as an EQUI-join by
+    exploding each daily point to the 10 future days it contributes
+    to (linear ×10 fan-out, hash join on (type, day)) — no range
+    join, no unpartitioned window over the series. Weights are exact
+    integers 8^k·10^(9-k) so num/den are order-invariant BIGINT
+    sums; the 4-dp EWMA derives by round-to-integer of one IEEE
+    division, bit-identical in DuckDB."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    # each observation (type, d, n) contributes weight w_k to target
+    # day d+k: explode k=0..9, re-keying to the target day.
+    contrib = daily.select(
+        "event_type",
+        F.col("n").alias("n_lag"),
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+        F.col("day").alias("src_day"),
+    ).select(
+        "event_type",
+        "n_lag",
+        "k",
+        F.date_add("src_day", F.col("k")).alias("day"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _EWMA_W])
+    terms = (
+        contrib.join(daily, ["event_type", "day"])  # keep only observed target days
+        .withColumn("wt", F.element_at(w_arr, F.col("k") + 1))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("k") == 0, F.col("n_lag"))).alias("n"),
+            F.sum(F.col("n_lag") * F.col("wt")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+    )
+    return terms.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        (F.round(F.lit(10000.0) * F.col("num") / F.col("den")).cast("long") / 10000.0).alias(
+            "ewma"
+        ),
+    )
+
+
+# ------------------------------------------------- r8: autocorrelation
+
+
+@register(
+    "rel_acf_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM seq),
+    dev AS (
+      SELECT rn, st.n * x - st.s AS d FROM seq CROSS JOIN stats st
+    ),
+    den AS (SELECT SUM(d * d) AS den FROM dev),
+    lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+    num AS (
+      SELECT l.lag, COUNT(*) AS n_pairs, SUM(a.d * b.d) AS num
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.rn = a.rn + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(num.lag AS INTEGER) AS lag, num.n_pairs,
+           CAST(ROUND(100000.0 * num.num / den.den) AS BIGINT) / 100000.0 AS acf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+)
+def rel_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-count series at lags
+    1..7 (Box-Jenkins model-identification diagnostic):
+    r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)², computed entirely in
+    integer arithmetic by multiplying deviations through by n
+    (d_t = n·x_t − S), so every sum is order-invariant BIGINT and
+    the 5-dp ACF derives from ONE IEEE division of exact integers.
+
+    Scale: the corpus collapses to the |days| series in one
+    map-side-combinable agg; lagged pairs come from an EQUI-join on
+    the exploded lag offsets (linear ×7, no range join); the only
+    unpartitioned window is the ROW_NUMBER over the tiny aggregated
+    series (allowlisted, same class as rel_cusum_changepoint)."""
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    seq = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    stats = seq.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = seq.crossJoin(F.broadcast(stats)).select(
+        "rn", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    a = dev.select(
+        F.col("d").alias("d_a"),
+        F.col("rn"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("rn_b", F.col("rn") + F.col("lag"))
+    b = dev.select(F.col("rn").alias("rn_b"), F.col("d").alias("d_b"))
+    num = (
+        a.join(b, "rn_b")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("d_a") * F.col("d_b")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            (F.round(F.lit(100000.0) * F.col("num") / F.col("den")).cast("long") / 100000.0).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ------------------------------------------------- r8: grouped OLS trend
+
+
+@register(
+    "rel_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT segment, y,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY day) AS x
+      FROM daily
+    ),
+    agg AS (
+      SELECT segment, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM seq GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT) / 1000000.0 AS slope,
+           CAST(ROUND(1000000.0 * (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                      / (n * sxx - sx * sx)) AS BIGINT) / 1000000.0 AS intercept,
+           CAST(ROUND(1000000.0 * (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             / 1000000.0 AS r2
+    FROM agg
+    """,
+)
+def rel_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordinary-least-squares trend of daily revenue on
+    the day index (slope $/day, intercept, R²) — the grouped
+    regression primitive behind growth dashboards and drift alarms.
+
+    Determinism: y is the exact whole-dollar daily revenue (scaled-
+    long cents → round-to-integer dollars), x the per-segment day
+    ordinal, so all five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) are order-invariant BIGINT sums; slope/intercept/R² are
+    scalar IEEE expressions over those exact integers, emitted via
+    the round-to-integer idiom. Scale: one fact⋈dim broadcast join,
+    one (segment, day) agg, a segment-PARTITIONED ordinal window,
+    then a 5-row closed-form solve — sufficient statistics make OLS
+    a single map-side-combinable pass, no iteration."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            (F.round(F.sum(mlong("o_totalprice")) / 100.0)).cast("long").alias("y")
+        )
+    )
+    seq = daily.select(
+        "segment",
+        "y",
+        F.row_number().over(Window.partitionBy("segment").orderBy("day")).alias("x"),
+    )
+    agg = seq.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    intercept_num = F.col("sy").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sxy")
+    return agg.select(
+        "segment",
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(F.lit(1000000.0) * num / den).cast("long") / 1000000.0).alias("slope"),
+        (F.round(F.lit(1000000.0) * intercept_num / den).cast("long") / 1000000.0).alias("intercept"),
+        (
+            F.round(
+                F.lit(1000000.0) * (num.cast("double") * num.cast("double"))
+                / (den.cast("double") * den_y.cast("double"))
+            ).cast("long")
+            / 1000000.0
+        ).alias("r2"),
+    )
+
+
+# ------------------------------------------------- r8: chi-square independence
+
+
+@register(
+    "rel_chi2_independence",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment, r.r_name AS region
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    grid AS (
+      SELECT s.segment, r.region
+      FROM (SELECT DISTINCT segment FROM joined) s
+      CROSS JOIN (SELECT DISTINCT region FROM joined) r
+    ),
+    obs AS (
+      SELECT segment, region, COUNT(*) AS o FROM joined GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.segment, g.region, COALESCE(obs.o, 0) AS o
+      FROM grid g LEFT JOIN obs ON g.segment = obs.segment AND g.region = obs.region
+    ),
+    tot AS (
+      SELECT segment, region, o,
+             SUM(o) OVER (PARTITION BY segment) AS rt,
+             SUM(o) OVER (PARTITION BY region) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT segment, region, o,
+             CAST(ROUND(1000000.0 * rt * ct / n) AS BIGINT) / 1000000.0 AS expected,
+             CAST(ROUND(1000000000.0 * (o * n - rt * ct) * (o * n - rt * ct)
+                        / (CAST(n AS DOUBLE) * rt * ct)) AS BIGINT) AS contrib_nano
+      FROM tot
+    )
+    SELECT segment, region, o AS observed, expected,
+           contrib_nano / 1000000000.0 AS contribution,
+           CAST(SUM(contrib_nano) OVER () AS BIGINT) / 1000000000.0 AS chi2,
+           CAST(16 AS INTEGER) AS dof,
+           SUM(contrib_nano) OVER () > 26296000000 AS reject_independence
+    FROM contrib
+    """,
+)
+def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between market segment and
+    geographic region (Pearson 1900): the full R×C contingency grid
+    (zero cells included via a dimension cross-join), expected counts
+    E = row·col/N, per-cell contribution (O−E)²/E computed as the
+    integer-exact (O·N−R·C)²/(N·R·C), and the reject decision at
+    α=0.05 / dof=16 (critical value 26.296) taken on the NANO-SCALED
+    INTEGER sum so the verdict cannot flip on float summation order.
+
+    Scale: two broadcast dim joins collapse the fact table to a
+    25-cell grid in one agg; the marginal/total windows and the χ²
+    sum run on that 25-row relation (allowlisted tiny windows). The
+    decision compares BIGINTs; expected/contribution round via
+    round-to-integer of identical IEEE doubles."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .select(F.col("c_mktsegment").alias("segment"), F.col("r_name").alias("region"))
+    )
+    grid = joined.select("segment").distinct().crossJoin(joined.select("region").distinct())
+    obs = joined.groupBy("segment", "region").agg(F.count(F.lit(1)).alias("o"))
+    cells = grid.join(obs, ["segment", "region"], "left").select(
+        "segment", "region", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    tot = cells.select(
+        "segment",
+        "region",
+        "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("region")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    contrib = tot.select(
+        "segment",
+        "region",
+        "o",
+        (F.round(F.lit(1000000.0) * F.col("rt") * F.col("ct") / F.col("n")).cast("long") / 1000000.0).alias("expected"),
+        F.round(
+            F.lit(1000000000.0) * dev * dev / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+        ).cast("long").alias("contrib_nano"),
+    )
+    w_all = Window.partitionBy()
+    return contrib.select(
+        "segment",
+        "region",
+        F.col("o").alias("observed"),
+        "expected",
+        (F.col("contrib_nano") / 1000000000.0).alias("contribution"),
+        (F.sum("contrib_nano").over(w_all).cast("long") / 1000000000.0).alias("chi2"),
+        F.lit(16).cast("int").alias("dof"),
+        (F.sum("contrib_nano").over(w_all) > 26296000000).alias("reject_independence"),
+    )

@@ -188,6 +188,8 @@ UNPART_WINDOW_OK = {
     "rel_seasonal_naive_eval",  # lag-1/lag-7 windows over the |days| series
     "rel_survival_km",        # KM risk-set/product over the |durations| relation
     "llm_unigram_tokenizer_em",  # ranks the top-30-limited piece table
+    "rel_acf_lags",           # ordinal over the |days| aggregated series
+    "rel_chi2_independence",  # marginals/total over the R x C (25-cell) grid
 }
 
 
