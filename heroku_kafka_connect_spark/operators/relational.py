@@ -3997,7 +3997,7 @@ def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
         .select(F.col("c_mktsegment").alias("segment"), F.col("r_name").alias("region"))
     )
-    grid = joined.select("segment").distinct().crossJoin(joined.select("region").distinct())
+    grid = joined.select("segment").distinct().crossJoin(F.broadcast(joined.select("region").distinct()))
     obs = joined.groupBy("segment", "region").agg(F.count(F.lit(1)).alias("o"))
     cells = grid.join(obs, ["segment", "region"], "left").select(
         "segment", "region", F.coalesce("o", F.lit(0)).alias("o")
@@ -4030,4 +4030,310 @@ def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("contrib_nano").over(w_all).cast("long") / 1000000000.0).alias("chi2"),
         F.lit(16).cast("int").alias("dof"),
         (F.sum("contrib_nano").over(w_all) > 26296000000).alias("reject_independence"),
+    )
+
+
+# ------------------------------------------------- r8: Poisson bootstrap CI
+
+
+#: Poisson(1) CDF cut points scaled to the 16-bit md5-prefix range:
+#: a draw u16 ∈ [0, 65536) maps to resample weight w = #{cuts ≤ u16}.
+#: Integer literals (round(CDF·65536)) so the weight assignment is an
+#: integer compare on both engines — no float RNG anywhere.
+_POIS1_CUTS = [24109, 48219, 60273, 64292, 65296, 65497]
+
+
+@register(
+    "rel_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    point AS (
+      SELECT segment, COUNT(*) AS n_orders,
+             CAST(ROUND(1000000.0 * (SUM(cents) / 100.0) / COUNT(*)) AS BIGINT) / 1000000.0 AS mean_price
+      FROM base GROUP BY segment
+    ),
+    drawn AS (
+      SELECT segment, cents, b.b,
+             CAST(concat('0x', substr(md5(CAST(k * 32 + b.b AS VARCHAR)), 1, 4)) AS BIGINT) AS u16
+      FROM base CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b
+    ),
+    weighted AS (
+      SELECT segment, b, cents,
+             CASE {' '.join(f"WHEN u16 < {c} THEN {i}" for i, c in enumerate(_POIS1_CUTS))}
+                  ELSE 6 END AS w
+      FROM drawn
+    ),
+    replica AS (
+      SELECT segment, b,
+             CAST(ROUND(1000000.0 * (SUM(w * cents) / 100.0) / SUM(w)) AS BIGINT) / 1000000.0 AS rmean
+      FROM weighted GROUP BY segment, b
+    ),
+    ranked AS (
+      SELECT segment, rmean,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY rmean, b) AS rn
+      FROM replica
+    )
+    SELECT p.segment, p.n_orders, p.mean_price,
+           MIN(CASE WHEN r.rn = 2 THEN r.rmean END) AS ci_lo,
+           MIN(CASE WHEN r.rn = 31 THEN r.rmean END) AS ci_hi,
+           CAST(32 AS INTEGER) AS n_replicas
+    FROM point p JOIN ranked r ON p.segment = r.segment
+    GROUP BY p.segment, p.n_orders, p.mean_price
+    """,
+)
+def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (Chamandy et al., Google
+    2012 — 'Estimating Uncertainty for Massive Data Streams') for the
+    mean order price per market segment: each row enters replica b
+    with weight ~ Poisson(1) drawn from the 16-bit md5 prefix of
+    (orderkey·32+b), the scalable bootstrap — no resampling pass, no
+    per-replica shuffle of the data. B=32 replicas; the interval is
+    the percentile method at ranks 2 and 31 (~93.75% central).
+
+    Scale: the fan-out is a literal ×32 explode fused into the scan
+    projection; per-(segment, replica) sums are map-side-combinable
+    BIGINT aggregates; the ranking window touches only the
+    |segments|×32 replica-mean relation. Weights come from integer
+    compares against Poisson CDF cut literals, so every engine and
+    every partitioning replays the identical resample."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t.orders.join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            mlong("o_totalprice").alias("cents"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    point = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.round(F.lit(1000000.0) * (F.sum("cents") / 100.0) / F.count(F.lit(1))).cast("long")
+            / 1000000.0
+        ).alias("mean_price"),
+    )
+    drawn = base.select(
+        "segment",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("k"),
+    ).withColumn(
+        "u16",
+        F.conv(F.substring(F.md5((F.col("k") * 32 + F.col("b")).cast("string")), 1, 4), 16, 10).cast("long"),
+    )
+    w = F.lit(6)
+    for i, c in reversed(list(enumerate(_POIS1_CUTS))):
+        w = F.when(F.col("u16") < c, F.lit(i)).otherwise(w)
+    replica = (
+        drawn.withColumn("w", w)
+        .groupBy("segment", "b")
+        .agg(
+            (
+                F.round(
+                    F.lit(1000000.0) * (F.sum(F.col("w") * F.col("cents")) / 100.0) / F.sum("w")
+                ).cast("long")
+                / 1000000.0
+            ).alias("rmean")
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("segment").orderBy("rmean", "b"))
+    ranked = replica.select("segment", "rmean", rn.alias("rn"))
+    ci = ranked.groupBy("segment").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("rmean"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == 31, F.col("rmean"))).alias("ci_hi"),
+    )
+    return point.join(ci, "segment").select(
+        "segment", "n_orders", "mean_price", "ci_lo", "ci_hi",
+        F.lit(32).cast("int").alias("n_replicas"),
+    )
+
+
+# ------------------------------------------------- r8: count-min sketch monitor
+
+
+@register(
+    "rel_cms_heavy_hitters",
+    oracle="""
+    WITH hashed AS (
+      SELECT user_id, d.d,
+             CAST(concat('0x', substr(md5(CAST(user_id * 4 + d.d AS VARCHAR)), 1, 4)) AS BIGINT) % 64 AS bucket
+      FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS d) d
+    ),
+    sketch AS (
+      SELECT d, bucket, COUNT(*) AS cell FROM hashed GROUP BY d, bucket
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id ASC LIMIT 10
+    ),
+    probe AS (
+      SELECT e.user_id, e.exact_n, d.d,
+             CAST(concat('0x', substr(md5(CAST(e.user_id * 4 + d.d AS VARCHAR)), 1, 4)) AS BIGINT) % 64 AS bucket
+      FROM exact e CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS d) d
+    )
+    SELECT p.user_id, p.exact_n, MIN(s.cell) AS cms_estimate,
+           MIN(s.cell) - p.exact_n AS overestimate
+    FROM probe p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def rel_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy monitor (Cormode & Muthukrishnan
+    2005): a d=4 × w=64 CMS over per-user event frequencies, probed
+    at the exact top-10 heavy hitters — estimate = min over the 4
+    hash rows, reported against truth with the (always ≥ 0)
+    overestimate. The operational sketch story: 256 cells of
+    FIXED-WIDTH mergeable state summarize an unbounded key space.
+
+    Scale: the sketch build is one map-side-combinable groupBy of the
+    ×4 exploded hash projection (256 output cells); the exact top-10
+    is a TakeOrdered (per-partition heaps); probing joins the 40
+    candidate (row, bucket) pairs against the 256-cell sketch —
+    broadcast both ways, never a corpus-side rescan. Hashes are the
+    repo-standard 16-bit md5 prefix, identical in DuckDB."""
+    t = load_tables(spark, sf_dir)
+
+    def bucket(uid, d):
+        return (
+            F.conv(F.substring(F.md5((uid * 4 + d).cast("string")), 1, 4), 16, 10).cast("long") % 64
+        )
+
+    hashed = t.events.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
+    ).withColumn("bucket", bucket(F.col("user_id"), F.col("d")))
+    sketch = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    exact = (
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probe = exact.select(
+        "user_id", "exact_n", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
+    ).withColumn("bucket", bucket(F.col("user_id"), F.col("d")))
+    return (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_n"))
+    )
+
+
+# ------------------------------------------------- r8: bloom semi-join audit
+
+
+@register(
+    "rel_bloom_semijoin_audit",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7500
+    ),
+    bits AS (
+      SELECT list_sort(list_distinct(flatten(list(
+               [CAST(concat('0x', substr(md5(CAST(k * 8 + 1 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096,
+                CAST(concat('0x', substr(md5(CAST(k * 8 + 2 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096,
+                CAST(concat('0x', substr(md5(CAST(k * 8 + 3 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096]
+             )))) AS bs
+      FROM dim
+    ),
+    probe AS (
+      SELECT o.o_custkey AS k,
+             EXISTS (SELECT 1 FROM dim d WHERE d.k = o.o_custkey) AS is_true
+      FROM orders o
+    ),
+    tested AS (
+      SELECT k, is_true,
+             list_contains(b.bs, CAST(concat('0x', substr(md5(CAST(k * 8 + 1 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096)
+             AND list_contains(b.bs, CAST(concat('0x', substr(md5(CAST(k * 8 + 2 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096)
+             AND list_contains(b.bs, CAST(concat('0x', substr(md5(CAST(k * 8 + 3 AS VARCHAR)), 1, 4)) AS BIGINT) % 4096)
+             AS bloom_pass
+      FROM probe CROSS JOIN bits b
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(ROUND(1000000.0 * SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+                      / SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END)) AS BIGINT) / 1000000.0 AS fp_rate,
+           (SELECT CAST(len(bs) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(4096 AS INTEGER) AS m_bits,
+           CAST(3 AS INTEGER) AS k_hashes
+    FROM tested
+    """,
+)
+def rel_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction audit (Bloom CACM'70; the
+    runtime-filter pattern Spark applies as
+    spark.sql.optimizer.runtimeFilter.bloomFilter): an m=4096/k=3
+    filter built from the filtered customer dimension probes the
+    orders fact, and the report quantifies what a 100 TB scan would
+    save — rows passing the bloom, true semi-join matches, false
+    positives, and the realized FP rate against the non-member
+    population.
+
+    Scale: the filter is ONE aggregated bit-position array (≤ m
+    elements) broadcast to every probe task — the fact side is
+    touched once, map-only; truth rides a broadcast semi-join of the
+    same dimension. Bit positions are 16-bit md5 prefixes mod m on
+    both engines; counts are exact BIGINTs and the FP rate is one
+    IEEE division."""
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.filter(F.col("c_acctbal") > 7500).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos(key, i):
+        return (
+            F.conv(F.substring(F.md5((key * 8 + i).cast("string")), 1, 4), 16, 10).cast("long")
+            % 4096
+        )
+
+    bits = (
+        dim.select(
+            F.explode(F.array(pos(F.col("k"), 1), pos(F.col("k"), 2), pos(F.col("k"), 3))).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("p")).alias("bs"))
+    )
+    truth = dim.select(F.col("k").alias("o_custkey")).withColumn("is_true", F.lit(True))
+    probe = (
+        t.orders.select("o_custkey")
+        .join(F.broadcast(truth), "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        )
+    )
+    tested = probe.crossJoin(F.broadcast(bits)).select(
+        "is_true",
+        (
+            F.array_contains("bs", pos(F.col("k"), 1))
+            & F.array_contains("bs", pos(F.col("k"), 2))
+            & F.array_contains("bs", pos(F.col("k"), 3))
+        ).alias("bloom_pass"),
+        F.size("bs").alias("n_bits"),
+    )
+    return tested.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)).alias("n_false_pos"),
+        (
+            F.round(
+                F.lit(1000000.0)
+                * F.sum(F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0))
+                / F.sum(F.when(~F.col("is_true"), 1).otherwise(0))
+            ).cast("long")
+            / 1000000.0
+        ).alias("fp_rate"),
+        F.max("n_bits").cast("long").alias("n_bits_set"),
+        F.max(F.lit(4096)).cast("int").alias("m_bits"),
+        F.max(F.lit(3)).cast("int").alias("k_hashes"),
     )

@@ -164,6 +164,13 @@ BNLJ_OK = {
                           # the per-user covariate rows
     "rel_survival_km",    # 1-row horizon/cutoff relation broadcast onto
                           # the per-user lifetime agg
+    "rel_market_basket",  # 1-row basket-count broadcast onto the pair stats
+    "rel_acf_lags",       # 1-row (n, S) + 1-row denominator broadcasts onto
+                          # the |days| deviation series
+    "rel_chi2_independence",  # 5x5 dimension-grid cross (both sides tiny
+                          # DISTINCT aggregates)
+    "rel_bloom_semijoin_audit",  # one aggregated <=m-element bit array
+                          # broadcast to every probe task
 }
 
 
