@@ -4153,3 +4153,232 @@ def llm_unigram_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).cast("int").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------- r8: MMR diverse selection
+
+
+@register(
+    "llm_mmr_select",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, v, rel FROM scored ORDER BY rel DESC, vec_id ASC LIMIT 8
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel, rel AS mmr FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    r2 AS (
+      SELECT c.vec_id, c.rel,
+             0.7 * c.rel - 0.3 * MAX(s.sim) AS mmr
+      FROM cand c JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM s1)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+      GROUP BY c.vec_id, c.rel
+    ),
+    s2 AS (SELECT vec_id, rel, mmr FROM r2 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    r3 AS (
+      SELECT c.vec_id, c.rel,
+             0.7 * c.rel - 0.3 * MAX(s.sim) AS mmr
+      FROM cand c JOIN sims s ON s.ia = c.vec_id
+             AND s.ib IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+      GROUP BY c.vec_id, c.rel
+    ),
+    s3 AS (SELECT vec_id, rel, mmr FROM r3 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    r4 AS (
+      SELECT c.vec_id, c.rel,
+             0.7 * c.rel - 0.3 * MAX(s.sim) AS mmr
+      FROM cand c JOIN sims s ON s.ia = c.vec_id
+             AND s.ib IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                          UNION ALL SELECT vec_id FROM s3)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                             UNION ALL SELECT vec_id FROM s3)
+      GROUP BY c.vec_id, c.rel
+    ),
+    s4 AS (SELECT vec_id, rel, mmr FROM r4 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel AS (
+      SELECT 1 AS rank, * FROM s1 UNION ALL SELECT 2, * FROM s2
+      UNION ALL SELECT 3, * FROM s3 UNION ALL SELECT 4, * FROM s4
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(ROUND(1000000.0 * rel) AS BIGINT) / 1000000.0 AS relevance,
+           CAST(ROUND(1000000.0 * mmr) AS BIGINT) / 1000000.0 AS mmr_score
+    FROM sel
+    """,
+)
+def llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    SIGIR'98): greedily select 4 of the query's top-8 cosine
+    candidates, each round maximizing 0.7·relevance − 0.3·max-
+    similarity-to-already-selected — the de-duplicating selector for
+    RAG context assembly and eval-set curation, where plain top-k
+    returns near-copies.
+
+    Scale: relevance scoring is the brute-force broadcast-query scan
+    (corpus-wide, per-partition heaps via TakeOrdered); everything
+    after the top-8 cut — the 8×7 pair-sim matrix and the 4 unrolled
+    greedy rounds — runs on candidate-sized relations, so the greedy
+    loop's sequential nature costs nothing at corpus scale. All
+    scores are scalar IEEE expressions over identically-computed
+    cosines; ranks break ties on vec_id."""
+    from ..functions.vectors import cosine, to_double
+
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(to_double("embedding").alias("qv"))
+    scored = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            to_double("embedding").alias("v"),
+            cosine(to_double("embedding"), F.col("qv")).alias("rel"),
+        )
+    )
+    cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(8).cache()
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    first = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id", "rel", F.col("rel").alias("mmr"))
+    )
+    selected = [first]
+    for _ in range(3):
+        sel_ids = selected[0].select("vec_id")
+        for s in selected[1:]:
+            sel_ids = sel_ids.unionAll(s.select("vec_id"))
+        nxt = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(sims, F.col("vec_id") == F.col("ia"))
+            .join(sel_ids.select(F.col("vec_id").alias("ib")), "ib")
+            .groupBy("vec_id", "rel")
+            .agg((F.lit(0.7) * F.first("rel") - F.lit(0.3) * F.max("sim")).alias("mmr"))
+            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", "rel", "mmr")
+        )
+        selected.append(nxt)
+    out = None
+    for rank, s in enumerate(selected, start=1):
+        row = s.select(
+            F.lit(rank).cast("int").alias("rank"),
+            "vec_id",
+            (F.round(F.lit(1000000.0) * F.col("rel")).cast("long") / 1000000.0).alias("relevance"),
+            (F.round(F.lit(1000000.0) * F.col("mmr")).cast("long") / 1000000.0).alias("mmr_score"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ------------------------------------------------- r8: clustering silhouette
+
+
+@register(
+    "llm_silhouette_monitor",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    dists AS (
+      SELECT e.vec_id, c.centroid_id,
+             1.0 - list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS dist
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM dists
+    ),
+    ab AS (
+      SELECT vec_id,
+             MIN(CASE WHEN rn = 1 THEN centroid_id END) AS assigned,
+             MIN(CASE WHEN rn = 1 THEN dist END) AS a,
+             MIN(CASE WHEN rn = 2 THEN dist END) AS b
+      FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    ),
+    s AS (
+      SELECT vec_id, assigned,
+             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b)) AS BIGINT) AS s_micro
+      FROM ab
+    )
+    SELECT assigned AS centroid_id, COUNT(*) AS n_vecs,
+           CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 100.0) AS BIGINT) / 10000.0
+             AS mean_silhouette
+    FROM s GROUP BY assigned
+    """,
+)
+def llm_silhouette_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette monitor for the IVF
+    quantizer (Rousseeuw 1987's silhouette with the medoid distances
+    replaced by centroid distances — the O(n·k) variant that scales;
+    the exact O(n²) silhouette is infeasible past toy corpora): per
+    vector, a = cosine distance to its assigned (nearest) centroid,
+    b = distance to the runner-up, s = (b−a)/max(a,b); reported as
+    per-cluster mean and population. Low s flags clusters whose
+    boundary assignments are unstable — the drift alarm for a
+    centroid-partitioned ANN index.
+
+    Determinism: per-row s is quantized to micro-int BEFORE the
+    per-cluster sum (order-invariant BIGINT), mean derives by
+    round-to-integer. Scale: n×k broadcast join (centroids are the
+    broadcast side), per-vec ranking window is partitioned by
+    vec_id; one shuffle for the per-cluster agg."""
+    from ..functions.vectors import _ivf_centroids, cosine, to_double
+
+    t = load_tables(spark, sf_dir)
+    cents = _ivf_centroids(t.embeddings, vec_col="embedding", id_col="vec_id", n_centroids=8)
+    dists = (
+        t.embeddings.select("vec_id", to_double("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (F.lit(1.0) - cosine(F.col("v"), F.col("cv"))).alias("dist"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    )
+    ab = (
+        dists.select("vec_id", "centroid_id", "dist", rn.alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias("assigned"),
+            F.min(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+            F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+        )
+    )
+    s_micro = F.round(
+        F.lit(1000000.0) * (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    ).cast("long")
+    return (
+        ab.select("assigned", s_micro.alias("s_micro"))
+        .groupBy(F.col("assigned").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.round(F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 100.0).cast("long")
+                / 10000.0
+            ).alias("mean_silhouette"),
+        )
+    )

@@ -982,3 +982,235 @@ def text_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_log2_sb"),
         )
     )
+
+
+# ------------------------------------------------- r8: positional inverted index
+
+
+@register(
+    "text_posting_lists",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.token, CAST(t.i AS BIGINT) AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(toks) AS token,
+                           unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY token
+      ORDER BY df DESC, token ASC LIMIT 8
+    ),
+    plist AS (
+      SELECT p.token, p.doc_id, list_sort(list(p.p)) AS ps
+      FROM pos p JOIN df ON p.token = df.token
+      GROUP BY p.token, p.doc_id
+    )
+    SELECT token, doc_id, CAST(len(ps) AS INTEGER) AS n_occ,
+           list_transform(generate_series(1, len(ps)),
+                          i -> CASE WHEN i = 1 THEN ps[1] ELSE ps[i] - ps[i-1] END) AS deltas
+    FROM plist
+    """,
+)
+def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build (the Zobel & Moffat CSUR'06
+    shape): for the 8 highest-df terms, the per-document posting list
+    of 1-based token positions, DELTA-ENCODED (first position, then
+    gaps) — the compression that makes positional indexes feasible:
+    gaps are small ints that varint/bit-pack well, absolute positions
+    don't.
+
+    Scale: positions come from a narrow posexplode fused into the
+    scan (pairs never leave their map task); the df cut is a
+    TakeOrdered over the |vocab| agg; postings group on (term, doc)
+    — the index's own shard key — so the build is one shuffle
+    partitioned exactly how the serving index is laid out. The
+    delta encode is a per-row array transform, no window."""
+    t = load_tables(spark, sf_dir)
+    pos = t.documents.select(
+        "doc_id", F.posexplode(T.ws_tokens("text")).alias("i", "token")
+    ).select("doc_id", "token", (F.col("i") + 1).cast("long").alias("p"))
+    df = (
+        pos.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(8)
+        .select("token")
+    )
+    plist = (
+        pos.join(F.broadcast(df), "token")
+        .groupBy("token", "doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    deltas = F.transform(
+        F.sequence(F.lit(1), F.size("ps")),
+        lambda i: F.when(i == 1, F.element_at("ps", 1)).otherwise(
+            F.element_at("ps", i) - F.element_at("ps", i - 1)
+        ),
+    )
+    return plist.select(
+        "token", "doc_id", F.size("ps").cast("int").alias("n_occ"), deltas.alias("deltas")
+    )
+
+
+# ------------------------------------------------- r8: positional phrase search
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.token, CAST(t.i AS BIGINT) AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(toks) AS token,
+                           unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    bg AS (
+      SELECT a.token AS w1, b.token AS w2, COUNT(*) AS n
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      GROUP BY a.token, b.token
+      ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 3
+    )
+    SELECT bg.w1, bg.w2,
+           COUNT(DISTINCT a.doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM bg
+    JOIN pos a ON a.token = bg.w1
+    JOIN pos b ON b.doc_id = a.doc_id AND b.token = bg.w2 AND b.p = a.p + 1
+    GROUP BY bg.w1, bg.w2
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the positional index — the retrieval-side
+    counterpart of text_posting_lists: for the 3 most frequent
+    bigram phrases, intersect the two terms' posting lists on
+    (doc, position+1 adjacency) and report matching docs and
+    occurrences. This is how a search engine answers quoted-phrase
+    queries without rescanning text.
+
+    Scale: the phrase candidates come from the bigram count table
+    (token-keyed aggs, |vocab|²-bounded); the adjacency intersection
+    joins the two posting lists ON THE DOC KEY after a broadcast
+    semi-join cut to the 3 query terms — probe cost is |postings of
+    queried terms|, independent of corpus width."""
+    t = load_tables(spark, sf_dir)
+    pos = t.documents.select(
+        "doc_id", F.posexplode(T.ws_tokens("text")).alias("i", "token")
+    ).select("doc_id", "token", (F.col("i") + 1).cast("long").alias("p"))
+    bigrams = (
+        t.documents.select(T.ws_tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(3)
+        .select("w1", "w2")
+    )
+    a = pos.select(F.col("token").alias("w1"), "doc_id", F.col("p").alias("p1"))
+    b = pos.select(
+        F.col("token").alias("tok_b"), F.col("doc_id").alias("doc_b"), F.col("p").alias("p2")
+    )
+    hits = a.join(F.broadcast(bigrams), "w1").join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("tok_b") == F.col("w2"))
+        & (F.col("p2") == F.col("p1") + 1),
+    )
+    return hits.groupBy("w1", "w2").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+# ------------------------------------------------- r8: Kneser-Ney bigram LM
+
+
+@register(
+    "text_kneser_ney",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+      WHERE len(t) >= 2
+    ),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+    left_tot AS (SELECT w1, SUM(n) AS c1, COUNT(*) AS follow_types FROM c GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS cont_types FROM c GROUP BY w2),
+    types AS (SELECT COUNT(*) AS n_types FROM c)
+    SELECT c.w1, c.w2, c.n,
+           CAST(ROUND(1000000.0 * c.n / lt.c1) AS BIGINT) / 1000000.0 AS p_mle,
+           CAST(ROUND(1000000.0 * (
+                 (c.n - 0.75) / lt.c1
+                 + (0.75 * lt.follow_types / lt.c1) * (CAST(co.cont_types AS DOUBLE) / ty.n_types)
+               )) AS BIGINT) / 1000000.0 AS p_kn
+    FROM c
+    JOIN left_tot lt ON c.w1 = lt.w1
+    JOIN cont co ON c.w2 = co.w2
+    CROSS JOIN types ty
+    ORDER BY c.n DESC, c.w1 ASC, c.w2 ASC LIMIT 20
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    ICASSP'95; Chen & Goodman formulation, absolute discount D=0.75)
+    for the corpus's top-20 bigrams: p_KN(w2|w1) =
+    (c−D)/c(w1) + D·|follow(w1)|/c(w1) · p_cont(w2), where the
+    continuation probability p_cont(w2) = |distinct left contexts of
+    w2| / |distinct bigram types| — the smoothing that made n-gram
+    LMs competitive and still underlies data-quality LM scorers.
+
+    Determinism: every input is an exact BIGINT count and D=0.75 is
+    exact in binary, so p_KN is one scalar IEEE expression per row,
+    emitted via round-to-integer. Scale: all four count tables are
+    token-keyed map-side-combinable aggs (|vocab|- or |vocab|²-
+    bounded); the 1-row type total broadcasts; the top-20 cut is a
+    TakeOrdered."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(T.ws_tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    left_tot = c.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("follow_types")
+    )
+    cont = c.groupBy("w2").agg(F.count(F.lit(1)).alias("cont_types"))
+    types = c.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        (F.col("n") - 0.75) / F.col("c1")
+        + (F.lit(0.75) * F.col("follow_types") / F.col("c1"))
+        * (F.col("cont_types").cast("double") / F.col("n_types"))
+    )
+    return (
+        c.join(left_tot, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (F.round(F.lit(1000000.0) * F.col("n") / F.col("c1")).cast("long") / 1000000.0).alias("p_mle"),
+            (F.round(F.lit(1000000.0) * p_kn).cast("long") / 1000000.0).alias("p_kn"),
+        )
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )

@@ -171,6 +171,12 @@ BNLJ_OK = {
                           # DISTINCT aggregates)
     "rel_bloom_semijoin_audit",  # one aggregated <=m-element bit array
                           # broadcast to every probe task
+    "text_kneser_ney",    # 1-row bigram-type total broadcast into the
+                          # continuation-probability expression
+    "llm_mmr_select",     # 1-row query vector broadcast + 8x7 candidate
+                          # pair-sim cross (both candidate-sized)
+    "llm_silhouette_monitor",  # n x k: 8 centroids broadcast onto the
+                          # vector scan (the IVF assign shape)
 }
 
 
