@@ -157,3 +157,231 @@ class TestWavEnergyEmptyTextContract:
         )
         duck_ids = {r[0] for r in con.execute(all_queries()["mm_wav_energy"].oracle).fetchall()}
         assert duck_ids == {1}
+
+
+class TestRound8Analytics:
+    """Semantic pins for the round-8 operator batch — properties the
+    oracle equality can't see (it would agree with a consistently
+    wrong formula on both engines)."""
+
+    def test_market_basket_rule_identities(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_market_basket
+
+        rows = rel_market_basket(spark, sf_dir).collect()
+        assert rows
+        by_pair = {(r["ant"], r["cons"]): r for r in rows}
+        for (a, c), r in by_pair.items():
+            assert 0 < r["support"] <= 1 and 0 < r["confidence"] <= 1
+            # co-occurrence counts and lift are symmetric; confidence is not
+            mirror = by_pair.get((c, a))
+            if mirror:
+                assert mirror["n_pair"] == r["n_pair"]
+                assert abs(mirror["lift"] - r["lift"]) < 1e-9
+
+    def test_ewma_constant_series_is_identity(self, spark, tmp_path):
+        """EWMA of a constant daily series equals the constant exactly
+        (the renormalized weights telescope out)."""
+        import os as _os
+        from datetime import datetime
+
+        d = tmp_path / "sf_ewma"
+        d.mkdir()
+        for f in _os.listdir(SF_DIR):
+            if f.endswith(".parquet") and f != "events.parquet":
+                _os.symlink(_os.path.join(SF_DIR, f), d / f)
+        rows = []
+        eid = 0
+        for day in range(1, 15):
+            for i in range(3):  # constant 3 events/day
+                rows.append((eid, datetime(2024, 1, day, 12, 0), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write_events(str(d / "events.parquet"), rows)
+        from heroku_kafka_connect_spark.operators.relational import rel_ewma_daily
+
+        out = rel_ewma_daily(spark, str(d)).collect()
+        assert len(out) == 14
+        assert all(r["ewma"] == 3.0 for r in out)
+
+    def test_acf_bounds_and_pair_counts(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_acf_lags
+
+        rows = {r["lag"]: r for r in rel_acf_lags(spark, sf_dir).collect()}
+        assert set(rows) == set(range(1, 8))
+        n1 = rows[1]["n_pairs"]
+        for lag, r in rows.items():
+            assert -1.0 <= r["acf"] <= 1.0
+            assert r["n_pairs"] == n1 - (lag - 1)
+
+    def test_ols_recovers_exact_linear_trend(self, spark, tmp_path):
+        """Orders fabricated so segment-X daily revenue is exactly
+        100 + 5*day_index dollars -> slope 5, intercept 100, R^2 1."""
+        import os as _os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime
+
+        d = tmp_path / "sf_ols"
+        d.mkdir()
+        for f in _os.listdir(SF_DIR):
+            if f.endswith(".parquet") and f not in ("orders.parquet", "customer.parquet"):
+                _os.symlink(_os.path.join(SF_DIR, f), d / f)
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1], pa.int64()),
+                    "c_name": pa.array(["a"], pa.string()),
+                    "c_nationkey": pa.array([0], pa.int32()),
+                    "c_acctbal": pa.array([0.0], pa.float64()),
+                    "c_mktsegment": pa.array(["X"], pa.string()),
+                }
+            ),
+            str(d / "customer.parquet"),
+        )
+        days = list(range(1, 21))
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(days, pa.int64()),
+                    "o_custkey": pa.array([1] * 20, pa.int64()),
+                    "o_orderstatus": pa.array(["F"] * 20, pa.string()),
+                    "o_totalprice": pa.array([100.0 + 5 * i for i in days], pa.float64()),
+                    "o_orderdate": pa.array(
+                        [datetime(1995, 1, i) for i in days], pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 20, pa.string()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        from heroku_kafka_connect_spark.operators.relational import rel_ols_trend
+
+        (r,) = rel_ols_trend(spark, str(d)).collect()
+        assert r["slope"] == 5.0 and r["intercept"] == 100.0 and r["r2"] == 1.0
+
+    def test_chi2_contributions_sum_and_expected_marginals(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_chi2_independence
+
+        rows = rel_chi2_independence(spark, sf_dir).collect()
+        assert len(rows) == 25
+        chi2 = rows[0]["chi2"]
+        assert all(r["chi2"] == chi2 for r in rows)
+        assert abs(sum(r["contribution"] for r in rows) - chi2) < 1e-6
+        # expected counts preserve the observed row marginals
+        from collections import defaultdict
+
+        obs_row, exp_row = defaultdict(int), defaultdict(float)
+        for r in rows:
+            obs_row[r["segment"]] += r["observed"]
+            exp_row[r["segment"]] += r["expected"]
+        for seg in obs_row:
+            assert abs(obs_row[seg] - exp_row[seg]) < 1e-4
+
+    def test_bootstrap_ci_brackets_point_mean(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_bootstrap_ci
+
+        for r in rel_bootstrap_ci(spark, sf_dir).collect():
+            assert r["ci_lo"] < r["ci_hi"]
+            assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"]
+
+    def test_cms_never_underestimates(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_cms_heavy_hitters
+
+        rows = rel_cms_heavy_hitters(spark, sf_dir).collect()
+        assert len(rows) == 10
+        assert all(r["overestimate"] >= 0 for r in rows)
+        assert all(r["cms_estimate"] >= r["exact_n"] for r in rows)
+
+    def test_bloom_has_no_false_negatives(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import (
+            rel_bloom_semijoin_audit,
+        )
+
+        (r,) = rel_bloom_semijoin_audit(spark, sf_dir).collect()
+        # every true member passes the filter; fp_rate stays in a sane
+        # band around the (1 - e^{-kn/m})^k theory value
+        assert r["n_bloom_pass"] - r["n_false_pos"] == r["n_true"]
+        import math
+
+        theory = (1 - math.exp(-3 * r["n_bits_set"] / 3 / 4096)) ** 3
+        assert r["fp_rate"] <= max(4 * theory, 0.05)
+
+    def test_posting_list_deltas_reconstruct_positions(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.text_queries import text_posting_lists
+
+        rows = text_posting_lists(spark, sf_dir).limit(50).collect()
+        assert rows
+        for r in rows:
+            assert len(r["deltas"]) == r["n_occ"]
+            assert r["deltas"][0] >= 1
+            assert all(g >= 1 for g in r["deltas"][1:])  # strictly increasing positions
+
+    def test_phrase_search_counts(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.text_queries import text_phrase_search
+
+        rows = text_phrase_search(spark, sf_dir).collect()
+        assert len(rows) == 3
+        assert all(r["n_occurrences"] >= r["n_docs"] >= 1 for r in rows)
+
+    def test_kneser_ney_normalizes(self, sf_dir):
+        """Σ_w2 p_KN(w2|w1) = 1 for every prefix — the property that
+        makes it a probability distribution (checked in DuckDB over
+        the FULL conditional, not the top-20 the query emits)."""
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        bad = con.execute("""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        bg AS (
+          SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+          WHERE len(t) >= 2
+        ),
+        c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+        lt AS (SELECT w1, SUM(n) AS c1, COUNT(*) AS ft FROM c GROUP BY w1),
+        co AS (SELECT w2, COUNT(*) AS ct FROM c GROUP BY w2),
+        ty AS (SELECT COUNT(*) AS nt FROM c),
+        pk AS (
+          -- discounted observed mass + lambda(w1) * SUM_{w2 in FULL
+          -- vocab} p_cont(w2); the latter sum is exactly 1, so the
+          -- backoff term contributes lambda(w1) itself
+          SELECT c.w1,
+                 SUM((c.n - 0.75) / lt.c1) + ANY_VALUE(0.75 * lt.ft / lt.c1) AS tot
+          FROM c JOIN lt USING (w1)
+          GROUP BY c.w1
+        )
+        SELECT COUNT(*) FROM pk WHERE ABS(tot - 1.0) > 1e-9
+        """).fetchone()[0]
+        assert bad == 0
+
+    def test_mmr_is_diverse_and_greedy(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.llm import llm_mmr_select
+
+        rows = sorted(llm_mmr_select(spark, sf_dir).collect(), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        assert len({r["vec_id"] for r in rows}) == 4
+        # rank 1 is the pure-relevance argmax: its mmr IS its relevance
+        assert rows[0]["mmr_score"] == rows[0]["relevance"]
+        assert rows[0]["relevance"] == max(r["relevance"] for r in rows)
+
+    def test_silhouette_bounds_and_population(self, spark, sf_dir):
+        import duckdb as _duck
+
+        from heroku_kafka_connect_spark.operators.llm import llm_silhouette_monitor
+
+        rows = llm_silhouette_monitor(spark, sf_dir).collect()
+        n_vecs = _duck.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        assert sum(r["n_vecs"] for r in rows) == n_vecs
+        assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+
+    def test_knn_recall_lsh_memo_caches_per_app(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators import llm as L
+
+        L._LSH_MONITOR_MEMO.clear()
+        r1 = {r["query_id"]: r["recall"] for r in L.llm_knn_recall(spark, sf_dir).collect()}
+        assert len(L._LSH_MONITOR_MEMO) == 1
+        r2 = {r["query_id"]: r["recall"] for r in L.llm_knn_recall(spark, sf_dir).collect()}
+        assert len(L._LSH_MONITOR_MEMO) == 1  # second run reuses the checkpoint
+        assert r1 == r2
