@@ -4403,3 +4403,111 @@ def llm_silhouette_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
         )
     )
+
+
+# ------------------------------------------------- r8: Rocchio feedback
+
+
+@register(
+    "llm_rocchio_expand",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS s
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    seeds AS (SELECT vec_id, v FROM scored ORDER BY s DESC, vec_id ASC LIMIT 5),
+    dimsum AS (
+      SELECT d.dim, SUM(CAST(ROUND(s.v[d.dim] * 1000000000) AS BIGINT)) AS nano
+      FROM seeds s, LATERAL (SELECT unnest(generate_series(1, len(s.v))) AS dim) d
+      GROUP BY d.dim
+    ),
+    q2 AS (
+      SELECT list(0.5 * q.qv[ds.dim] + 0.5 * (ds.nano / 5.0 / 1000000000.0)
+                  ORDER BY ds.dim) AS q2v
+      FROM dimsum ds CROSS JOIN q
+    ),
+    rerank AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q2.q2v)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q2.q2v, q2.q2v))) AS s2
+      FROM embeddings e CROSS JOIN q2 WHERE e.vec_id <> 0
+    )
+    SELECT r.vec_id,
+           CAST(ROUND(1000000.0 * r.s2) AS BIGINT) / 1000000.0 AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.s2 DESC, r.vec_id ASC) AS INTEGER) AS rank,
+           r.vec_id IN (SELECT vec_id FROM seeds) AS was_seed
+    FROM rerank r
+    ORDER BY rank LIMIT 10
+    """,
+)
+def llm_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971, SMART): the
+    query vector moves toward the centroid of its own top-5 retrieval
+    (q' = 0.5·q + 0.5·mean(seeds)), then the corpus is re-ranked
+    against q' — the two-stage retrieval that lifts recall when the
+    initial query is off-center, and the vector analogue of query
+    expansion.
+
+    Determinism: the seed centroid is the ONE cross-row float reduce,
+    so each seed component is quantized to nano-int before the
+    per-dim BIGINT sum; the mean derives by two fixed-order IEEE
+    divisions (÷5, ÷1e9) identically in DuckDB. Scale: seed
+    selection is the broadcast-query brute-force scan (TakeOrdered);
+    the per-dim sum fans the 5 seed vectors out to 5·d rows (seed-
+    sized, not corpus-sized); the re-rank is a second broadcast scan
+    — 2× the cost of one-shot retrieval, the stated PRF price."""
+    from ..functions.vectors import cosine, to_double
+
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(to_double("embedding").alias("qv"))
+    corpus = t.embeddings.filter(F.col("vec_id") != 0).select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id", "v", cosine(F.col("v"), F.col("qv")).alias("s")
+    )
+    seeds = scored.orderBy(F.col("s").desc(), F.col("vec_id").asc()).limit(5).select("vec_id", "v")
+    dimsum = (
+        seeds.select(F.posexplode("v").alias("dim0", "x"))
+        .select((F.col("dim0") + 1).alias("dim"), F.round(F.col("x") * 1_000_000_000).cast("long").alias("nx"))
+        .groupBy("dim")
+        .agg(F.sum("nx").alias("nano"))
+    )
+    q2 = (
+        dimsum.crossJoin(F.broadcast(q))
+        .select(
+            F.struct(
+                F.col("dim"),
+                (
+                    F.lit(0.5) * F.element_at("qv", F.col("dim").cast("int"))
+                    + F.lit(0.5) * (F.col("nano") / 5.0 / 1_000_000_000.0)
+                ).alias("c"),
+            ).alias("dc")
+        )
+        .agg(F.sort_array(F.collect_list("dc")).alias("dcs"))
+        .select(F.transform("dcs", lambda x: x["c"]).alias("q2v"))
+    )
+    seed_ids = seeds.select(F.col("vec_id").alias("sid"))
+    rerank = corpus.crossJoin(F.broadcast(q2)).select(
+        "vec_id", cosine(F.col("v"), F.col("q2v")).alias("s2")
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("s2").desc(), F.col("vec_id").asc()))
+    top = (
+        rerank.orderBy(F.col("s2").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn("rank", rn.cast("int"))
+    )
+    return (
+        top.join(F.broadcast(seed_ids), top.vec_id == F.col("sid"), "left")
+        .select(
+            "vec_id",
+            (F.round(F.lit(1000000.0) * F.col("s2")).cast("long") / 1000000.0).alias("score"),
+            "rank",
+            F.col("sid").isNotNull().alias("was_seed"),
+        )
+    )

@@ -4337,3 +4337,177 @@ def rel_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.lit(4096)).cast("int").alias("m_bits"),
         F.max(F.lit(3)).cast("int").alias("k_hashes"),
     )
+
+
+# ------------------------------------------------- r8: decile lift table
+
+
+@register(
+    "rel_decile_lift",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, COUNT(*) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT score, COUNT(*) AS n_users, CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM users GROUP BY score
+    ),
+    tot AS (SELECT SUM(n_users) AS nu, SUM(n_pos) AS np FROM hist),
+    cuts AS (
+      SELECT score, n_users, n_pos,
+             COALESCE(CAST(SUM(n_users) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      FROM hist
+    ),
+    dec AS (
+      SELECT CAST(LEAST(9, FLOOR(10.0 * c.cum_before / t.nu)) AS INTEGER) AS decile,
+             SUM(c.n_users) AS n_users, SUM(c.n_pos) AS n_pos
+      FROM cuts c CROSS JOIN tot t
+      GROUP BY 1
+    )
+    SELECT d.decile, CAST(d.n_users AS BIGINT) AS n_users, CAST(d.n_pos AS BIGINT) AS n_pos,
+           CAST(ROUND(1000000.0 * d.n_pos / d.n_users) AS BIGINT) / 1000000.0 AS resp_rate,
+           CAST(ROUND(1000000.0 * d.n_pos * t.nu / (d.n_users * t.np)) AS BIGINT) / 1000000.0 AS lift,
+           CAST(ROUND(1000000.0 * SUM(d.n_pos) OVER (ORDER BY d.decile
+                  ROWS UNBOUNDED PRECEDING) / t.np) AS BIGINT) / 1000000.0 AS cum_capture
+    FROM dec d CROSS JOIN tot t
+    """,
+)
+def rel_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table (the classic model-evaluation and
+    campaign-targeting report): users ranked by an activity score,
+    cut into score deciles, each reporting response rate, lift over
+    the base rate, and cumulative capture of all responders.
+
+    Scale: the decile cut NEVER runs ntile over the user population
+    (single-task sort at 100 TB) — it uses the histogram
+    decomposition (the llm_perplexity_buckets idiom): per-user agg →
+    per-SCORE histogram (bounded by the distinct-score count, not
+    users) → prefix sum over that tiny relation → decile =
+    10·users_strictly_better/N via integer division. Ties share a
+    decile, so bucket sizes are approximate — the price of a
+    sort-free cut, stated rather than hidden. All ratios are IEEE
+    divisions of exact BIGINTs via round-to-integer."""
+    t = load_tables(spark, sf_dir)
+    users = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos"),
+    )
+    hist = users.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("pos").alias("n_pos")
+    )
+    tot = hist.agg(F.sum("n_users").alias("nu"), F.sum("n_pos").alias("np"))
+    wcut = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cuts = hist.select(
+        "n_users",
+        "n_pos",
+        F.coalesce(F.sum("n_users").over(wcut), F.lit(0)).alias("cum_before"),
+    )
+    dec = (
+        cuts.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(F.lit(9), F.floor(F.lit(10.0) * F.col("cum_before") / F.col("nu")))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(F.sum("n_users").alias("n_users"), F.sum("n_pos").alias("n_pos"))
+    )
+    wcap = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_pos",
+        (F.round(F.lit(1000000.0) * F.col("n_pos") / F.col("n_users")).cast("long") / 1000000.0).alias("resp_rate"),
+        (
+            F.round(F.lit(1000000.0) * F.col("n_pos") * F.col("nu") / (F.col("n_users") * F.col("np"))).cast("long")
+            / 1000000.0
+        ).alias("lift"),
+        (
+            F.round(F.lit(1000000.0) * F.sum("n_pos").over(wcap) / F.col("np")).cast("long")
+            / 1000000.0
+        ).alias("cum_capture"),
+    )
+
+
+# ------------------------------------------------- r8: ABC / Pareto classification
+
+
+@register(
+    "rel_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev4) AS t FROM rev),
+    cum AS (
+      SELECT r.l_partkey, r.rev4,
+             CAST(SUM(r.rev4) OVER (ORDER BY r.rev4 DESC, r.l_partkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM rev r
+    )
+    SELECT CASE WHEN c * 100 <= 80 * t.t THEN 'A'
+                WHEN c * 100 <= 95 * t.t THEN 'B' ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev4) / 10000.0 AS DOUBLE) AS revenue,
+           CAST(ROUND(1000000.0 * SUM(rev4) / t.t) AS BIGINT) / 1000000.0 AS revenue_share
+    FROM cum CROSS JOIN tot t
+    GROUP BY 1, t.t
+    """,
+)
+def rel_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (the 80/95 cumulative-
+    revenue cut): parts ranked by revenue, class A = parts covering
+    the first 80% of cumulative revenue, B to 95%, C the tail — the
+    curation analogue is 'which sources earn their storage'.
+
+    Scale: the oracle states ONE global running sum; the Spark plan
+    computes the identical cumulative WITHOUT a single-partition
+    window via magnitude banding (the llm_curriculum_order offset
+    decomposition, keyed on digit count): band = digits(rev4) is
+    order-consistent with rev4 (pure integer/string op, no float
+    log whose ulp could flip a band), per-band totals prefix-sum on
+    the ~18-row band relation, within-band running sums stay
+    partitioned. Revenue is the exact scale-4 integer
+    price×(1−discount) product; the class decision compares
+    BIGINTs (c·100 vs 80·T)."""
+    t = load_tables(spark, sf_dir)
+    rev = t.lineitem.groupBy("l_partkey").agg(
+        F.sum(mlong("l_extendedprice") * (F.lit(100) - mlong("l_discount"))).alias("rev4")
+    )
+    banded = rev.withColumn("band", F.length(F.col("rev4").cast("string")))
+    band_tot = banded.groupBy("band").agg(F.sum("rev4").alias("brev"))
+    woff = Window.orderBy(F.col("band").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    offs = band_tot.select(
+        "band", F.coalesce(F.sum("brev").over(woff), F.lit(0)).alias("offset")
+    )
+    win = Window.partitionBy("band").orderBy(
+        F.col("rev4").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = rev.agg(F.sum("rev4").alias("t"))
+    cum = (
+        banded.withColumn("local", F.sum("rev4").over(win))
+        .join(F.broadcast(offs), "band")
+        .select("l_partkey", "rev4", (F.col("local") + F.col("offset")).alias("c"))
+    )
+    cls = (
+        F.when(F.col("c") * 100 <= 80 * F.col("t"), "A")
+        .when(F.col("c") * 100 <= 95 * F.col("t"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"), "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev4") / 10000.0).cast("double").alias("revenue"),
+            (F.round(F.lit(1000000.0) * F.sum("rev4") / F.col("t")).cast("long") / 1000000.0).alias("revenue_share"),
+        )
+        .drop("t")
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_tables
-from .common import msum, o_msum, ts_us
+from .common import mlong, msum, o_msum, ts_us
 from ..sources import jdbc
 from ..sources.kafka import envelope_from_events
 
@@ -457,4 +457,61 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") > 25)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), msum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ------------------------------------------------- r8: CSV source
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_bal,
+           CAST(SUM(CASE WHEN c_name LIKE '%,%' OR c_name LIKE '%"%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quoted
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-row: CSV as a first-class source — the format every Connect
+    migration actually starts from (the reference's JDBC sources are
+    routinely seeded by CSV loads). The customer dim is written once
+    per session as headered CSV (quoting exercised via the name
+    column) and read back with an EXPLICIT schema + FAILFAST, then
+    filtered and aggregated.
+
+    Scale notes: CSV is the anti-parquet — row-oriented, no column
+    pruning, no predicate pushdown, no statistics; the filter here
+    runs post-parse and the docstring exists to say so. The correct
+    100 TB posture is exactly this query's shape: read CSV ONCE with
+    a pinned schema (schema inference is a full extra pass at scale —
+    never on by default), convert to parquet, and serve every
+    downstream query from the columnar copy. FAILFAST surfaces
+    malformed rows at ingest instead of silently nulling columns
+    (PERMISSIVE + _corrupt_record is the JSONL query's contract —
+    both postures covered)."""
+    t = load_tables(spark, sf_dir)
+
+    def _write(loc: str) -> None:
+        t.customer.write.mode("overwrite").option("header", True).csv(loc)
+
+    loc = _derived_fixture(spark, sf_dir, "csv", _write)
+    schema = "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+    quoted = F.col("c_name").contains(",") | F.col("c_name").contains('"')
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(loc)
+        .filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(mlong("c_acctbal")) / 100.0).cast("double").alias("sum_bal"),
+            F.sum(F.when(quoted, 1).otherwise(0)).alias("n_quoted"),
+        )
     )

@@ -177,6 +177,12 @@ BNLJ_OK = {
                           # pair-sim cross (both candidate-sized)
     "llm_silhouette_monitor",  # n x k: 8 centroids broadcast onto the
                           # vector scan (the IVF assign shape)
+    "rel_decile_lift",    # 1-row (N, positives) totals broadcast onto
+                          # the score histogram / decile report
+    "rel_abc_pareto",     # 1-row revenue-total broadcast onto the
+                          # per-part cumulative relation
+    "llm_rocchio_expand",  # 1-row query and q' vectors broadcast onto
+                          # the corpus scans (brute-force shape)
 }
 
 
@@ -203,6 +209,11 @@ UNPART_WINDOW_OK = {
     "llm_unigram_tokenizer_em",  # ranks the top-30-limited piece table
     "rel_acf_lags",           # ordinal over the |days| aggregated series
     "rel_chi2_independence",  # marginals/total over the R x C (25-cell) grid
+    "rel_decile_lift",        # prefix sums over the score histogram and
+                              # the <=10-row decile report
+    "rel_abc_pareto",         # prefix sum over the ~18-row band-offset
+                              # relation (curriculum_order decomposition)
+    "llm_rocchio_expand",     # ranks the LIMIT-10 reranked relation
 }
 
 
