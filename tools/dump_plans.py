@@ -73,6 +73,25 @@ EXTRA = [
     "llm_curation_pipeline",  # E2E curation DAG: dedup+quality+decontam+pack
     "udf_map_in_arrow",    # PythonMapInArrow stage — raw-Arrow Python tier
     "rel_lateral_topn",    # LATERAL decorrelated into join + per-group limit
+    # --- round 7 ---
+    "llm_hamming_rerank",  # codes-only bit_count prefilter, vectors joined
+                           # back for top-32 candidates only
+    "llm_unigram_tokenizer_em",  # piece-table broadcast chain, integer DP
+    "rel_entity_match",    # equi-join blocking, length prefilter BEFORE edit dist
+    "rel_survival_km",     # two map-side per-user MIN aggs -> |durations| KM fold
+    "rel_attribution_last_touch",  # ONE user-partitioned window, linear in events
+    "rel_markov_transitions",  # user-partitioned lag; normalizer on the 25-row matrix
+    # --- round 8 ---
+    "rel_market_basket",   # basket-key self-join, tiny item counts broadcast
+    "rel_ewma_daily",      # exploded-offset equi-join, integer weights
+    "rel_bootstrap_ci",    # x32 literal explode, map-side replica sums
+    "rel_cms_heavy_hitters",  # 256-cell sketch agg + TakeOrdered probes
+    "rel_bloom_semijoin_audit",  # one bit-array agg broadcast to map-only probe
+    "rel_decile_lift",     # histogram-decomposed decile cut, no corpus NTILE
+    "rel_abc_pareto",      # digit-banded running sum (offset decomposition)
+    "text_posting_lists",  # posexplode + df TakeOrdered + shard-key grouping
+    "llm_mmr_select",      # corpus pays the top-8 cut; greedy rounds candidate-sized
+    "llm_rocchio_expand",  # nano-int seed centroid; two broadcast scans
 ]
 
 
