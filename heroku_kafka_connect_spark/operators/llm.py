@@ -4511,3 +4511,141 @@ def llm_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sid").isNotNull().alias("was_seed"),
         )
     )
+
+
+# ------------------------------------------------- r8: b-bit minhash
+
+
+def _bbit_minhash_oracle(bands: int = 8, rows: int = 4, max_bucket: int = 256) -> str:
+    """SQL replica of the b-bit (b=1) minhash monitor: the shared LSH
+    front half (shingles → affine mins → band keys → capped buckets →
+    candidate pairs), then BOTH estimators — full 32-hash agreement
+    and the 1-bit packed-word estimator — against exact Jaccard."""
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    keys = ",\n        ".join(
+        "md5(concat_ws(',', '{j}', {ms}))".format(
+            j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    pack = " + ".join(f"(m{i} % 2) * {1 << i}" for i in range(k))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    packed AS (SELECT doc_id, CAST({pack} AS BIGINT) AS w FROM mins),
+    banded AS (
+      SELECT doc_id, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    ok AS (
+      SELECT key FROM banded GROUP BY key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.key = y.key AND x.doc_id < y.doc_id
+      WHERE x.key IN (SELECT key FROM ok)
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT c.a, c.b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard,
+           ROUND(({agree}) / {k}.0, 4) AS est_full,
+           ROUND(GREATEST(0.0, 2.0 * (({k} - bit_count(xor(pa.w, pb.w))) / {k}.0) - 1.0), 4) AS est_1bit,
+           CAST({k} AS INTEGER) AS sig_bits_full,
+           CAST({k * 32} AS INTEGER) AS stored_bits_full,
+           CAST({k} AS INTEGER) AS stored_bits_1bit
+    FROM cand c
+    JOIN mins ma ON ma.doc_id = c.a
+    JOIN mins mb ON mb.doc_id = c.b
+    JOIN packed pa ON pa.doc_id = c.a
+    JOIN packed pb ON pb.doc_id = c.b
+    JOIN shs sa ON sa.doc_id = c.a
+    JOIN shs sb ON sb.doc_id = c.b
+    """
+
+
+@register("llm_bbit_minhash", oracle=_bbit_minhash_oracle())
+def llm_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash (Li & König WWW'10, b=1): store only the LOWEST
+    BIT of each of the 32 minhashes — one 32-bit word per document
+    instead of 32×32-bit signatures, a 32× sketch-storage cut — and
+    estimate Jaccard from packed-word bit agreement via the b=1
+    estimator Ŝ = 2·A − 1 (A = matching-bit fraction; for b=1 a
+    non-matching hash still agrees with prob. ½, hence the
+    debiasing). Reported per LSH candidate pair NEXT TO the full
+    32-hash estimate and exact Jaccard, so the resolution lost to
+    packing (stderr roughly doubles at J≈0.5) is measured, not
+    assumed.
+
+    Scale: identical front half as llm_dedup_near (shared
+    _lsh_shingle_buckets + minhash_signatures — shingle explode
+    stays narrow, min-aggs map-side-combinable); the packed word
+    adds ONE long column; agreement is bit_count(xor) — whole-stage
+    codegen, the 16-byte-code trick llm_hamming_rerank uses."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    k = 32
+    sh_rel, buckets = llmops._lsh_shingle_buckets(docs, "doc_id", "text", 3, 8, 4)
+    mins = llmops.minhash_signatures(sh_rel, k)
+    packed = mins.select(
+        F.col("__id"),
+        sum(
+            F.shiftleft((F.col(f"m{i}") % 2).cast("long"), i) for i in range(k)
+        ).alias("w"),
+    )
+    live = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= 256))
+    cand = (
+        live.select(F.explode(llmops.ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    agree = sum(
+        F.when(F.col(f"ma.m{i}") == F.col(f"mb.m{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    sh = docs.select("doc_id", llmops.shingles("text", 3).alias("sh"))
+    a1 = (F.lit(k) - F.bit_count(F.col("pa.w").bitwiseXOR(F.col("pb.w")))) / F.lit(float(k))
+    return (
+        cand.join(mins.alias("ma"), F.col("a") == F.col("ma.__id"))
+        .join(mins.alias("mb"), F.col("b") == F.col("mb.__id"))
+        .join(packed.alias("pa"), F.col("a") == F.col("pa.__id"))
+        .join(packed.alias("pb"), F.col("b") == F.col("pb.__id"))
+        .join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            llmops.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            F.round(agree / F.lit(float(k)), 4).alias("est_full"),
+            F.round(F.greatest(F.lit(0.0), F.lit(2.0) * a1 - 1.0), 4).alias("est_1bit"),
+            F.lit(k).cast("int").alias("sig_bits_full"),
+            F.lit(k * 32).cast("int").alias("stored_bits_full"),
+            F.lit(k).cast("int").alias("stored_bits_1bit"),
+        )
+    )

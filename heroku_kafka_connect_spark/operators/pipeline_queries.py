@@ -1085,3 +1085,122 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("log_w6") / 100.0).cast("long") / 10000.0).alias("log_weight"),
         (frac6 < thr6).alias("accepted"),
     )
+
+
+# ------------------------------------------------- r8: DoReMi-style reweighting
+
+
+@register(
+    "llm_doremi_reweight",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS c FROM documents
+      WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT doc_id, source, c, COUNT(*) AS k FROM ch GROUP BY doc_id, source, c),
+    doc_ent AS (
+      SELECT doc_id, source,
+             CAST(ROUND((log2(SUM(k)) - SUM(CAST(ROUND(k * log2(k) * 1000000) AS BIGINT))
+                         / 1000000.0 / SUM(k)) * 10000) AS BIGINT) AS ent_e4
+      FROM cnt GROUP BY doc_id, source
+    ),
+    src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(ent_e4) AS BIGINT) AS sum_e4
+      FROM doc_ent GROUP BY source
+    ),
+    ref AS (
+      SELECT CAST(SUM(sum_e4) AS BIGINT) AS tot_e4, CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM src
+    ),
+    excess AS (
+      SELECT s.source, s.n_docs,
+             CAST(ROUND(CAST(s.sum_e4 AS DOUBLE) / s.n_docs) AS BIGINT) AS loss_e4,
+             GREATEST(0, CAST(ROUND(CAST(s.sum_e4 AS DOUBLE) / s.n_docs) AS BIGINT)
+                         - CAST(ROUND(CAST(r.tot_e4 AS DOUBLE) / r.n) AS BIGINT)) AS excess_e4,
+             r.n_src
+      FROM src s CROSS JOIN ref r
+    ),
+    scored AS (
+      SELECT source, n_docs, loss_e4, excess_e4, n_src,
+             CAST(ROUND(EXP(excess_e4 / 10000.0) * 1000000000) AS BIGINT) AS boost_nano
+      FROM excess
+    ),
+    z AS (SELECT CAST(SUM(boost_nano) AS BIGINT) AS z FROM scored)
+    SELECT s.source, s.n_docs,
+           s.loss_e4 / 10000.0 AS proxy_loss,
+           s.excess_e4 / 10000.0 AS excess_loss,
+           CAST(ROUND(1000000.0 / s.n_src) AS BIGINT) / 1000000.0 AS weight_uniform,
+           CAST(ROUND(1000000.0 * s.boost_nano / z.z) AS BIGINT) / 1000000.0 AS weight_doremi
+    FROM scored s CROSS JOIN z
+    """,
+)
+def llm_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS'23 —
+    'Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining'): one exponentiated-gradient step on the domain
+    mixture, upweighting sources whose proxy loss EXCEEDS the
+    corpus reference — w'_s ∝ uniform · exp(η·excess_s), η=1. The
+    proxy loss here is the char-entropy perplexity proxy (J38's
+    exact integer-scaled spelling, shared so the two queries cannot
+    drift); production swaps in a proxy-model loss column and keeps
+    this plan.
+
+    Determinism: per-doc entropies are e4-scaled BIGINTs; per-source
+    and reference means derive by round-to-integer; exp() outputs
+    are nano-quantized BEFORE the normalizing sum, so the softmax
+    denominator is an order-invariant BIGINT. Scale: one (doc, char)
+    agg + per-source rollup (both map-side-combinable) and
+    |sources|-row tail relations."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    ch = (
+        t.documents.filter(F.col("text").isNotNull())
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", "source", F.explode_outer(F.split(F.col("text"), "")).alias("c"))
+    )
+    cnt = ch.groupBy("doc_id", "source", "c").agg(F.count(F.lit(1)).alias("k"))
+    doc_ent = cnt.groupBy("doc_id", "source").agg(
+        F.round(
+            (
+                F.log2(F.sum("k"))
+                - F.sum(F.round(F.col("k") * F.log2("k") * 1_000_000).cast("long"))
+                / 1e6
+                / F.sum("k")
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("ent_e4")
+    )
+    src = doc_ent.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ent_e4").alias("sum_e4")
+    )
+    ref = src.agg(
+        F.sum("sum_e4").alias("tot_e4"),
+        F.sum("n_docs").alias("n"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    loss = F.round(F.col("sum_e4").cast("double") / F.col("n_docs")).cast("long")
+    ref_loss = F.round(F.col("tot_e4").cast("double") / F.col("n")).cast("long")
+    excess = src.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        loss.alias("loss_e4"),
+        F.greatest(F.lit(0), loss - ref_loss).alias("excess_e4"),
+        "n_src",
+    )
+    scored = excess.withColumn(
+        "boost_nano",
+        F.round(F.exp(F.col("excess_e4") / 10000.0) * 1_000_000_000).cast("long"),
+    )
+    z = scored.agg(F.sum("boost_nano").alias("z"))
+    return scored.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        (F.col("loss_e4") / 10000.0).alias("proxy_loss"),
+        (F.col("excess_e4") / 10000.0).alias("excess_loss"),
+        (F.round(F.lit(1000000.0) / F.col("n_src")).cast("long") / 1000000.0).alias("weight_uniform"),
+        (F.round(F.lit(1000000.0) * F.col("boost_nano") / F.col("z")).cast("long") / 1000000.0).alias("weight_doremi"),
+    )

@@ -450,3 +450,106 @@ def cdc_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cents").alias("after_cents"),
         )
     )
+
+
+# ------------------------------------------------- r8: Avro OCF roundtrip
+
+
+@register(
+    "avro_ocf_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-row: Avro Object Container Files — the FILE half of the Avro
+    surface (serde/avro_ocf.py; avro_wire.py owns the Kafka wire
+    framing). Orders are written ONCE per session as one `.avro` OCF
+    per partition — header, schema metadata, sync-marker-delimited
+    blocks, pure-Python spec codec — then read back through the
+    `binaryFile` source and decoded in an Arrow-batched stage; the
+    oracle is the ORIGINAL table, so any encode/decode corruption
+    fails the hash.
+
+    Scale: write is embarrassingly parallel (each partition encodes
+    its own container; on a lake the files land on shared storage —
+    here /tmp, same contract); read maps whole files to decode tasks,
+    the standard OCF split unit when blocks aren't indexed. The
+    decode stage is mapInPandas (Arrow), never a row-wise UDF; sync
+    markers are VERIFIED per block, so torn writes fail loudly."""
+    import glob
+    import pandas as pd
+
+    from ..serde.avro_ocf import read_ocf, write_ocf
+
+    t = load_tables(spark, sf_dir)
+    schema = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    out = os.path.join(_sink_dir(sf_dir), "ocf")
+    key = (spark.sparkContext.applicationId, out)
+    if key not in _OCF_WRITTEN:
+        for k in [k for k in _OCF_WRITTEN if k[0] != key[0]]:
+            _OCF_WRITTEN.discard(k)
+        os.makedirs(out, exist_ok=True)
+        for f in glob.glob(os.path.join(out, "*.avro")):
+            os.remove(f)
+
+        def _write_part(rows) -> None:
+            import hashlib as _hashlib
+
+            recs = [
+                {
+                    "o_orderkey": r["o_orderkey"],
+                    "o_orderstatus": r["o_orderstatus"],
+                    "o_totalprice": r["o_totalprice"],
+                }
+                for r in rows
+            ]
+            if not recs:
+                return
+            buf = write_ocf(recs, schema)
+            # content-addressed name: unique per partition, stable across
+            # reruns, no partition-index API needed on the DF path
+            name = _hashlib.md5(buf).hexdigest()[:16]
+            with open(os.path.join(out, f"part-{name}.avro"), "wb") as fh:
+                fh.write(buf)
+
+        (
+            t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4, "o_orderkey")
+            .foreachPartition(_write_part)
+        )
+        _OCF_WRITTEN.add(key)
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs, _ = read_ocf(bytes(content))
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    files = spark.read.format("binaryFile").load(os.path.join(out, "*.avro"))
+    decoded = files.select("content").mapInPandas(
+        _decode,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    return decoded.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+_OCF_WRITTEN: set = set()

@@ -183,6 +183,8 @@ BNLJ_OK = {
                           # per-part cumulative relation
     "llm_rocchio_expand",  # 1-row query and q' vectors broadcast onto
                           # the corpus scans (brute-force shape)
+    "llm_doremi_reweight",  # 1-row reference-loss and softmax-normalizer
+                          # relations broadcast onto the |sources| rows
 }
 
 
