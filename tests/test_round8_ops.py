@@ -385,3 +385,133 @@ class TestRound8Analytics:
         r2 = {r["query_id"]: r["recall"] for r in L.llm_knn_recall(spark, sf_dir).collect()}
         assert len(L._LSH_MONITOR_MEMO) == 1  # second run reuses the checkpoint
         assert r1 == r2
+
+
+class TestAvroOcf:
+    """Container-format codec contract (serde/avro_ocf.py): spec
+    framing, block integrity, and loud failure on corruption."""
+
+    SCHEMA = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+
+    def _recs(self, n=2500):
+        return [{"k": i, "s": f"v{i}"} for i in range(n)]
+
+    def test_roundtrip_multi_block(self):
+        from heroku_kafka_connect_spark.serde.avro_ocf import read_ocf, write_ocf
+
+        recs = self._recs()
+        buf = write_ocf(recs, self.SCHEMA, block_records=1000)  # 3 blocks
+        back, schema = read_ocf(buf)
+        assert back == recs
+        assert schema["name"] == "T"
+
+    def test_magic_and_corrupt_sync_fail_loudly(self):
+        import pytest as _pytest
+
+        from heroku_kafka_connect_spark.serde.avro_ocf import read_ocf, write_ocf
+
+        buf = write_ocf(self._recs(10), self.SCHEMA)
+        with _pytest.raises(ValueError, match="magic"):
+            read_ocf(b"PAR1" + buf[4:])
+        # flip one byte inside the trailing sync marker
+        corrupt = buf[:-1] + bytes([buf[-1] ^ 0xFF])
+        with _pytest.raises(ValueError, match="sync"):
+            read_ocf(corrupt)
+
+    def test_empty_and_single_record(self):
+        from heroku_kafka_connect_spark.serde.avro_ocf import read_ocf, write_ocf
+
+        assert read_ocf(write_ocf([], self.SCHEMA))[0] == []
+        one = [{"k": 7, "s": "x"}]
+        assert read_ocf(write_ocf(one, self.SCHEMA))[0] == one
+
+
+class TestRound8PipelineOps:
+    def test_doremi_weights_normalize_and_order(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.pipeline_queries import (
+            llm_doremi_reweight,
+        )
+
+        rows = llm_doremi_reweight(spark, sf_dir).collect()
+        assert abs(sum(r["weight_doremi"] for r in rows) - 1.0) < 1e-3
+        assert abs(sum(r["weight_uniform"] for r in rows) - 1.0) < 1e-3
+        # sources at/below the reference loss all share the MINIMUM weight
+        floor_w = min(r["weight_doremi"] for r in rows)
+        for r in rows:
+            if r["excess_loss"] == 0.0:
+                assert r["weight_doremi"] == floor_w
+            else:
+                assert r["weight_doremi"] >= floor_w
+
+    def test_bbit_estimator_bounds_and_storage(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.llm import llm_bbit_minhash
+
+        rows = llm_bbit_minhash(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["est_1bit"] <= 1.0
+            assert 0.0 <= r["est_full"] <= 1.0
+            assert r["stored_bits_full"] == 32 * r["stored_bits_1bit"] // 32 * 32
+            assert r["stored_bits_1bit"] == 32
+        # packing loses resolution: mean abs error of 1-bit >= full, on
+        # average (allow slack for the small candidate set)
+        import statistics
+
+        e_full = statistics.mean(abs(r["est_full"] - r["jaccard"]) for r in rows)
+        e_1bit = statistics.mean(abs(r["est_1bit"] - r["jaccard"]) for r in rows)
+        assert e_1bit >= e_full - 0.05
+
+    def test_abc_classes_partition_revenue(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_abc_pareto
+
+        rows = {r["abc_class"]: r for r in rel_abc_pareto(spark, sf_dir).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+        # construction invariants: class A's cumulative revenue stops at
+        # the 80% boundary, A+B at 95% (fixture revenue is near-uniform,
+        # so the classic "A is few parts" skew is NOT assumed here)
+        assert rows["A"]["revenue_share"] <= 0.80 + 1e-6
+        assert rows["A"]["revenue_share"] + rows["B"]["revenue_share"] <= 0.95 + 1e-6
+        assert rows["C"]["revenue_share"] >= 0.05 - 1e-6
+
+    def test_decile_lift_identities(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_decile_lift
+
+        rows = sorted(rel_decile_lift(spark, sf_dir).collect(), key=lambda r: r["decile"])
+        assert rows[-1]["cum_capture"] == 1.0
+        caps = [r["cum_capture"] for r in rows]
+        assert caps == sorted(caps)  # monotone capture
+
+    def test_rocchio_seeds_rank_high(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.llm import llm_rocchio_expand
+
+        rows = llm_rocchio_expand(spark, sf_dir).collect()
+        assert len(rows) == 10
+        assert len({r["vec_id"] for r in rows}) == 10
+        # q' moved toward the seed centroid: at least one seed survives
+        # in the re-ranked top-10
+        assert any(r["was_seed"] for r in rows)
+
+    def test_csv_failfast_rejects_malformed(self, spark, tmp_path):
+        """The FAILFAST contract: a malformed row raises at read, never
+        silently nulls columns."""
+        import pytest as _pytest
+
+        p = tmp_path / "bad.csv"
+        p.write_text("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n1,a,0,notanumber,X\n")
+        schema = "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+        with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+            (
+                spark.read.schema(schema)
+                .option("header", True)
+                .option("mode", "FAILFAST")
+                .csv(str(p))
+                .collect()
+            )
