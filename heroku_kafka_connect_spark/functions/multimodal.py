@@ -490,3 +490,62 @@ def frame_energy(df: DataFrame, frame: int = 80) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, ENERGY_SCHEMA)
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """A complete valid grayscale-8 PNG with CALLER-SUPPLIED pixel
+    content (row-major, len == width*height): signature, IHDR, one
+    zlib IDAT of filter-0 scanlines, IEND. The content-bearing
+    sibling of `encode_png` (which plants all-black frames); this is
+    the write half of the pixel-level roundtrip — `decode_png_pixels`
+    must return these exact bytes."""
+    if width <= 0 or height <= 0:
+        raise ValueError("png dims must be positive")
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """FULL pixel decode of a grayscale-8 / filter-0 PNG: chunk walk
+    with per-chunk CRC-32 verification, IDAT concatenation, zlib
+    inflate, filter-byte strip → (width, height, row-major pixel
+    bytes). Raises on any non-conforming structure (other bit
+    depths/color types/filters need a general PNG library — this
+    decodes exactly the profile `encode_png_gray` emits, which is the
+    honest boundary of the pure-Python codec)."""
+    w, h, depth, color = parse_png(b)
+    if (depth, color) != (8, 0):
+        raise NotImplementedError("pixel decode supports grayscale-8 only")
+    pos = 8
+    idat = bytearray()
+    while pos < len(b):
+        (length,), tag = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG {tag!r} CRC mismatch")
+        if tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG raw scanline size mismatch")
+    out = bytearray()
+    for y in range(h):
+        row = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        if row[0] != 0:
+            raise NotImplementedError("only filter-0 scanlines supported")
+        out += row[1:]
+    return w, h, bytes(out)

@@ -351,3 +351,89 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t.documents.filter(F.length("text") > 0)
     return mm.frame_energy(mm.attach_tone_payload(docs))
+
+
+# ------------------------------------------------- r8: perceptual-hash dedup
+
+
+@register(
+    "mm_image_ahash",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, i.i,
+             ord(substr(d.text, CAST(i.i % LENGTH(d.text) AS INTEGER) + 1, 1)) % 256 AS p
+      FROM documents d, LATERAL (SELECT unnest(generate_series(0, 255)) AS i) i
+      WHERE LENGTH(d.text) > 0
+    ),
+    blk AS (
+      SELECT doc_id,
+             (i // 16 // 2) * 8 + (i % 16) // 2 AS b,
+             SUM(p) AS bsum
+      FROM px GROUP BY doc_id, (i // 16 // 2) * 8 + (i % 16) // 2
+    ),
+    tot AS (SELECT doc_id, SUM(bsum) AS t FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT blk.doc_id, blk.b,
+             CASE WHEN blk.bsum * 64 > tot.t THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    words AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS w1
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, w0, w1,
+           COUNT(*) OVER (PARTITION BY w0, w1) AS group_n
+    FROM words
+    """,
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) image dedup over REAL decoded
+    pixels — the pixel-level upgrade of the PNG codec rows (J124
+    proved header+CRC; this proves CONTENT): each doc renders a
+    16×16 grayscale PNG whose pixels are its text bytes, the file
+    round-trips through real zlib IDAT encode → `decode_png_pixels`
+    (per-chunk CRC verify, inflate, filter strip), and the decoded
+    grid hashes as 8×8 block means vs the global mean — two 32-bit
+    words per image, exact-hash groups = near-identical images. The
+    oracle recomputes the hash from the pixel FORMULA (closed-form,
+    like mm_wav_energy), so equality proves the byte roundtrip
+    end-to-end.
+
+    Scale: synth+decode+hash run in ONE narrow mapInPandas stage
+    (numpy block sums per Arrow batch, zero shuffle); the dup-group
+    count is a hash groupBy on the 8-byte signature — the standard
+    exact-dedup shape, corpus-partitionable. All-integer arithmetic
+    (bit = bsum·64 > total), no float anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.filter(F.length("text") > 0).select("doc_id", "text")
+
+    def synth_decode_hash(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # codepoints mod 256, NOT utf-8 bytes: the oracle indexes
+                # CHARACTERS, so multi-byte text must not skew the grid
+                codes = [ord(c) % 256 for c in text]
+                px = bytes(codes[i % len(codes)] for i in range(256))
+                png = mm.encode_png_gray(16, 16, px)
+                w, h, back = mm.decode_png_pixels(png)
+                a = np.frombuffer(back, dtype=np.uint8).astype(np.int64).reshape(16, 16)
+                bsum = a.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # 8x8 block sums
+                bits = (bsum * 64 > a.sum()).astype(np.int64).ravel()
+                w0 = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                w1 = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                out.append((doc_id, w0, w1))
+            yield pd.DataFrame(out, columns=["doc_id", "w0", "w1"])
+
+    words = docs.mapInPandas(synth_decode_hash, "doc_id bigint, w0 bigint, w1 bigint")
+    from pyspark.sql import Window
+
+    grp = Window.partitionBy("w0", "w1")
+    return words.select(
+        "doc_id", "w0", "w1", F.count(F.lit(1)).over(grp).alias("group_n")
+    )

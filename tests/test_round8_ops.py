@@ -515,3 +515,65 @@ class TestRound8PipelineOps:
                 .csv(str(p))
                 .collect()
             )
+
+
+class TestPngPixelCodec:
+    """Pixel-level PNG roundtrip (the content upgrade of the header
+    codec): encode_png_gray -> decode_png_pixels is the identity, and
+    corruption anywhere in the chunk chain fails loudly."""
+
+    def test_pixel_roundtrip_and_nontrivial_content(self):
+        from heroku_kafka_connect_spark.functions.multimodal import (
+            decode_png_pixels,
+            encode_png_gray,
+        )
+
+        px = bytes((i * 31 + 7) % 256 for i in range(16 * 16))
+        b = encode_png_gray(16, 16, px)
+        assert decode_png_pixels(b) == (16, 16, px)
+        assert len(set(px)) > 100  # the fixture is not all-black
+
+    def test_idat_corruption_fails_crc(self):
+        import pytest as _pytest
+
+        from heroku_kafka_connect_spark.functions.multimodal import (
+            decode_png_pixels,
+            encode_png_gray,
+        )
+
+        b = bytearray(encode_png_gray(8, 8, bytes(range(64))))
+        b[50] ^= 0xFF  # inside IDAT body
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png_pixels(bytes(b))
+
+    def test_ahash_groups_identical_texts(self, spark, tmp_path):
+        """Two docs with byte-identical text must share an aHash group;
+        a structurally different doc must not join it."""
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf_ahash"
+        d.mkdir()
+        for f in _os.listdir(SF_DIR):
+            if f.endswith(".parquet") and f != "documents.parquet":
+                _os.symlink(_os.path.join(SF_DIR, f), d / f)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["spark merge join", "spark merge join", "zzzz aaaa qqqq"], pa.string()),
+                    "lang": pa.array(["en"] * 3, pa.string()),
+                    "source": pa.array(["web"] * 3, pa.string()),
+                    "n_chars": pa.array([16, 16, 14], pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        from heroku_kafka_connect_spark.operators.multimodal_queries import mm_image_ahash
+
+        rows = {r["doc_id"]: r for r in mm_image_ahash(spark, str(d)).collect()}
+        assert (rows[1]["w0"], rows[1]["w1"]) == (rows[2]["w0"], rows[2]["w1"])
+        assert rows[1]["group_n"] == rows[2]["group_n"] == 2
+        assert rows[3]["group_n"] == 1
