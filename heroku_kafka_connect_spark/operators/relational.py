@@ -4511,3 +4511,211 @@ def rel_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ------------------------------------------------- r8: Markov attribution
+
+
+def _markov_attr_oracle(rounds: int = 10) -> str:
+    """SQL replica of the removal-effect computation: journey build →
+    transition counts → 10 unrolled value-iteration rounds per
+    scenario (base + one per removed channel), nano-int p vectors."""
+    cte = ["""ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+    ),
+    rn AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn
+      FROM ev
+    ),
+    firstp AS (
+      SELECT user_id, MIN(rn) AS prn FROM rn WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    seq AS (
+      SELECT r.user_id, r.rn,
+             CASE WHEN r.event_type = 'purchase' THEN 'conv' ELSE r.event_type END AS st,
+             f.prn
+      FROM rn r LEFT JOIN firstp f USING (user_id)
+      WHERE f.prn IS NULL OR r.rn <= f.prn
+    ),
+    steps AS (
+      SELECT st, COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn), 'start') AS prev
+      FROM seq
+    ),
+    trans0 AS (
+      SELECT prev AS src, st AS dst FROM steps
+      UNION ALL
+      SELECT s.st, 'null'
+      FROM seq s JOIN (SELECT user_id, MAX(rn) AS mrn FROM seq WHERE prn IS NULL
+                       GROUP BY user_id) l
+        ON s.user_id = l.user_id AND s.rn = l.mrn
+    ),
+    trans AS MATERIALIZED (SELECT src, dst, COUNT(*) AS n FROM trans0 GROUP BY src, dst),
+    tr AS MATERIALIZED (
+      SELECT t.src, t.dst, t.n, s.rowtot
+      FROM trans t JOIN (SELECT src, SUM(n) AS rowtot FROM trans GROUP BY src) s USING (src)
+    ),
+    scen AS (
+      SELECT DISTINCT src AS scenario FROM tr WHERE src <> 'start'
+      UNION ALL SELECT 'base'
+    ),
+    ts_all AS MATERIALIZED (SELECT sc.scenario, tr.* FROM scen sc CROSS JOIN tr),
+    p0 AS (SELECT DISTINCT scenario, src AS state, CAST(0 AS BIGINT) AS p FROM ts_all)"""]
+    for k in range(1, rounds + 1):
+        cte.append(f"""p{k} AS MATERIALIZED (
+      SELECT t.scenario, t.src AS state,
+             CASE WHEN t.scenario = t.src THEN CAST(0 AS BIGINT)
+                  ELSE CAST(SUM(CAST(ROUND(t.n * (
+                         CASE WHEN t.dst = 'conv' THEN 1000000000.0
+                              WHEN t.dst = 'null' THEN 0.0
+                              ELSE CAST(COALESCE(pp.p, 0) AS DOUBLE) END)
+                       / t.rowtot) AS BIGINT)) AS BIGINT) END AS p
+      FROM ts_all t
+      LEFT JOIN p{k - 1} pp ON pp.scenario = t.scenario AND pp.state = t.dst
+      GROUP BY t.scenario, t.src)""")
+    cte.append(f"""base AS (
+      SELECT p FROM p{rounds} WHERE scenario = 'base' AND state = 'start'
+    ),
+    re AS (
+      SELECT scenario AS channel, r.p AS pwo, b.p AS pb,
+             CAST(ROUND(1000000.0 * (1.0 - CAST(r.p AS DOUBLE) / b.p)) AS BIGINT) AS re6
+      FROM p{rounds} r CROSS JOIN base b
+      WHERE r.scenario <> 'base' AND r.state = 'start'
+    ),
+    tot AS (SELECT CAST(SUM(re6) AS BIGINT) AS t6 FROM re)""")
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + """
+    SELECT re.channel,
+           pb / 1000000000.0 AS p_conv_base,
+           pwo / 1000000000.0 AS p_conv_without,
+           re6 / 1000000.0 AS removal_effect,
+           CAST(ROUND(1000000.0 * re6 / tot.t6) AS BIGINT) / 1000000.0 AS attribution
+    FROM re CROSS JOIN tot
+    """
+    )
+
+
+@register("rel_attribution_markov", oracle=_markov_attr_oracle())
+def rel_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2016, 'Mapping the customer journey'): user journeys become a
+    first-order chain over channel states with absorbing conv/null
+    ends; a channel's credit is its REMOVAL EFFECT — how much the
+    start→conv absorption probability drops when the channel is
+    knocked out (made null-absorbing) — normalized into attribution
+    shares. The data-driven counterpart of rel_attribution_last_touch
+    (which credits only the final touch).
+
+    Absorption probabilities come from 10 value-iteration rounds
+    (p ← P·p with conv pinned to 1, null to 0) run per scenario
+    (base + one per removed channel); the p-vector is NANO-INT after
+    every round, so each round is BIGINT-exact across engines and
+    partitionings — convergence tolerance is a property of the
+    declared round count, identical in the oracle's unrolled CTEs.
+
+    Scale: the corpus pays ONE user-partitioned window pass (journey
+    build) and one (src, dst) count agg; everything after —
+    scenarios × |states|² transition matrix, 10 iteration rounds —
+    runs on a ≤ |channels|·|states|² relation measured in dozens of
+    rows. LocalCheckpoint every 4 rounds bounds the tiny plan's
+    lineage, the llm_kmeans_train idiom."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", ts_us("ts").alias("tu"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    rn = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    firstp = (
+        rn.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    seq = (
+        rn.join(firstp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "prn",
+        )
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    steps = seq.select(
+        F.coalesce(F.lag("st").over(wl), F.lit("start")).alias("src"),
+        F.col("st").alias("dst"),
+    )
+    last = (
+        seq.filter(F.col("prn").isNull())
+        .groupBy("user_id")
+        .agg(F.max("rn").alias("mrn"))
+    )
+    nulls = (
+        seq.join(last, "user_id")
+        .filter(F.col("rn") == F.col("mrn"))
+        .select(F.col("st").alias("src"), F.lit("null").alias("dst"))
+    )
+    trans = steps.unionAll(nulls).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tr = trans.join(trans.groupBy("src").agg(F.sum("n").alias("rowtot")), "src")
+    # BOUNDED driver hop (the vectors.py k-centroid-collect class): the
+    # transition matrix is |states|²-bounded — states = channels +
+    # start/conv/null, ~36 rows at ANY corpus size — so the 10-round
+    # value iteration over a ~6×6 matrix belongs on the driver; ten
+    # rounds of tiny shuffle jobs measured 50× slower. The corpus-scale
+    # work (journey window, transition agg) stays distributed above;
+    # the solved vector re-enters Spark as a LocalTableScan.
+    import math
+
+    trans_l = [(r["src"], r["dst"], r["n"], r["rowtot"]) for r in tr.collect()]
+    states = sorted({src for src, _, _, _ in trans_l})
+    channels = [st for st in states if st != "start"]
+
+    def _solve(removed: str | None) -> int:
+        # nano-int p after EVERY round (the oracle's unrolled CTEs
+        # replay the identical arithmetic: double term, half-up round,
+        # BIGINT sum), so the estimate is engine- and order-exact
+        p = {st: 0 for st in states}
+        for _ in range(10):
+            new = {}
+            for st in states:
+                if st == removed:
+                    new[st] = 0
+                    continue
+                acc = 0
+                for src, dst, n, rowtot in trans_l:
+                    if src != st:
+                        continue
+                    val = (
+                        1000000000.0
+                        if dst == "conv"
+                        else (0.0 if dst == "null" else float(p.get(dst, 0)))
+                    )
+                    acc += math.floor(n * val / rowtot + 0.5)
+                new[st] = acc
+            p = new
+        return p["start"]
+
+    pb = _solve(None)
+    per_channel = []
+    for c in channels:
+        pwo = _solve(c)
+        re6 = math.floor(1000000.0 * (1.0 - pwo / pb) + 0.5)
+        per_channel.append((c, pwo, re6))
+    t6 = sum(re6 for _, _, re6 in per_channel)
+    data = [
+        (
+            c,
+            pb / 1000000000.0,
+            pwo / 1000000000.0,
+            re6 / 1000000.0,
+            math.floor(1000000.0 * re6 / t6 + 0.5) / 1000000.0,
+        )
+        for c, pwo, re6 in per_channel
+    ]
+    return spark.createDataFrame(
+        data,
+        "channel string, p_conv_base double, p_conv_without double, "
+        "removal_effect double, attribution double",
+    )
