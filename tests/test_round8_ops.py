@@ -577,3 +577,20 @@ class TestPngPixelCodec:
         assert (rows[1]["w0"], rows[1]["w1"]) == (rows[2]["w0"], rows[2]["w1"])
         assert rows[1]["group_n"] == rows[2]["group_n"] == 2
         assert rows[3]["group_n"] == 1
+
+
+class TestMarkovAttribution:
+    def test_removal_effects_and_shares(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import (
+            rel_attribution_markov,
+        )
+
+        rows = rel_attribution_markov(spark, sf_dir).collect()
+        assert rows
+        base = rows[0]["p_conv_base"]
+        assert all(r["p_conv_base"] == base for r in rows)
+        for r in rows:
+            # knocking out a channel can only remove conversion mass
+            assert 0.0 <= r["p_conv_without"] <= base
+            assert r["removal_effect"] >= 0.0
+        assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-3
