@@ -4719,3 +4719,117 @@ def rel_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_base double, p_conv_without double, "
         "removal_effect double, attribution double",
     )
+
+
+# ------------------------------------------------- r8: day-of-week seasonality
+
+
+@register(
+    "rel_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    dow AS (
+      SELECT dayofweek(day) + 1 AS dow, COUNT(*) AS n_days, SUM(n) AS vol
+      FROM daily GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_days) AS d, SUM(vol) AS v FROM dow)
+    SELECT CAST(dow.dow AS INTEGER) AS dow, CAST(dow.n_days AS BIGINT) AS n_days,
+           CAST(dow.vol AS BIGINT) AS volume,
+           CAST(ROUND(1000000.0 * dow.vol / dow.n_days) AS BIGINT) / 1000000.0 AS mean_daily,
+           CAST(ROUND(1000000.0 * (CAST(dow.vol AS DOUBLE) / dow.n_days)
+                      / (CAST(tot.v AS DOUBLE) / tot.d)) AS BIGINT) / 1000000.0 AS seasonality_index
+    FROM dow CROSS JOIN tot
+    """,
+)
+def rel_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: mean daily volume per weekday
+    and the seasonality index (weekday mean ÷ overall daily mean) —
+    the multiplicative-decomposition input behind staffing curves and
+    the denominator of any 'adjusted for weekday' metric; pairs with
+    rel_seasonal_naive_eval (which FORECASTS with lag-7) by showing
+    the weekly shape it exploits. DuckDB's dayofweek is 0=Sunday
+    while Spark's is 1=Sunday — the oracle shifts by +1 to the Spark
+    numbering.
+
+    Scale: corpus → |days| agg → 7-row weekday agg, every step
+    map-side-combinable; the index is one IEEE expression over exact
+    BIGINTs (sums of counts), round-to-integer emitted."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("vol")
+    )
+    tot = dow.agg(F.sum("n_days").alias("d"), F.sum("vol").alias("v"))
+    return dow.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        F.col("vol").alias("volume"),
+        (F.round(F.lit(1000000.0) * F.col("vol") / F.col("n_days")).cast("long") / 1000000.0).alias("mean_daily"),
+        (
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("vol").cast("double") / F.col("n_days"))
+                / (F.col("v").cast("double") / F.col("d"))
+            ).cast("long")
+            / 1000000.0
+        ).alias("seasonality_index"),
+    )
+
+
+# ------------------------------------------------- r8: new vs returning
+
+
+@register(
+    "rel_new_vs_returning",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    first_seen AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
+    daily AS (
+      SELECT e.day,
+             CASE WHEN e.day = f.d0 THEN 'new' ELSE 'returning' END AS cohort,
+             COUNT(DISTINCT e.user_id) AS users,
+             COUNT(*) AS events
+      FROM ev e JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day, cohort, CAST(users AS BIGINT) AS users,
+           CAST(events AS BIGINT) AS events
+    FROM daily
+    """,
+)
+def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split — the product-analytics staple:
+    each (day, user) classifies as 'new' on the user's first-seen day
+    and 'returning' after, reported as daily distinct users and event
+    counts per cohort.
+
+    Scale: first-seen is ONE map-side-combinable min-agg per user; the
+    classification joins it back ON THE USER KEY (co-partitioned with
+    the per-(day, cohort) count's user-distinct agg — no second
+    corpus pass, no window). At 100 TB first_seen is the incrementally
+    maintained dimension (J88's agg-state merge keeps it current);
+    this query is its read side."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "day",
+            F.when(F.col("day") == F.col("d0"), "new").otherwise("returning").alias("cohort"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "cohort", "users", "events")
+    )

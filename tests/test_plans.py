@@ -185,6 +185,8 @@ BNLJ_OK = {
                           # the corpus scans (brute-force shape)
     "llm_doremi_reweight",  # 1-row reference-loss and softmax-normalizer
                           # relations broadcast onto the |sources| rows
+    "rel_dow_seasonality",  # 1-row overall-mean broadcast onto the
+                          # 7-row weekday profile
 }
 
 
