@@ -3869,7 +3869,8 @@ def rel_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(1000000.0 * (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
                       / (n * sxx - sx * sx)) AS BIGINT) / 1000000.0 AS intercept,
            CAST(ROUND(1000000.0 * (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
              / 1000000.0 AS r2
     FROM agg
     """,
@@ -3914,7 +3915,10 @@ def rel_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # the y-variance leg exceeds int64 at sf0.1 (n·Σy² ~ 2e19): compute
+    # it in DOUBLE on BOTH engines — identical int64→double conversions
+    # feed identical IEEE ops, so the 6-dp round still agrees
+    den_y = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     intercept_num = F.col("sy").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sxy")
     return agg.select(
         "segment",
@@ -3924,7 +3928,7 @@ def rel_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(
                 F.lit(1000000.0) * (num.cast("double") * num.cast("double"))
-                / (den.cast("double") * den_y.cast("double"))
+                / (den.cast("double") * den_y)
             ).cast("long")
             / 1000000.0
         ).alias("r2"),
