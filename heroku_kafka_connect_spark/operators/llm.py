@@ -4649,3 +4649,114 @@ def llm_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(k).cast("int").alias("stored_bits_1bit"),
         )
     )
+
+
+# ------------------------------------------------- r8: retrieval-quality metrics
+
+
+@register(
+    "llm_retrieval_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, vec_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 10),
+    nrel AS (
+      SELECT q.query_id, COUNT(*) AS n_same
+      FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN label = qlabel
+                  THEN CAST(ROUND(1000000000.0 / log2(rank + 1)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_nano,
+             CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             MIN(CASE WHEN label = qlabel THEN rank END) AS first_rel
+      FROM top GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT n.query_id,
+             CAST(SUM(CAST(ROUND(1000000000.0 / log2(i.i + 1)) AS BIGINT)) AS BIGINT) AS idcg_nano
+      FROM nrel n, LATERAL (SELECT unnest(generate_series(1, CAST(LEAST(10, n.n_same) AS INTEGER))) AS i) i
+      GROUP BY n.query_id
+    )
+    SELECT d.query_id, q.qlabel AS label, d.n_hits,
+           CAST(ROUND(1000000.0 * d.n_hits / 10) AS BIGINT) / 1000000.0 AS p_at_10,
+           CASE WHEN d.first_rel IS NULL THEN 0.0
+                ELSE CAST(ROUND(1000000.0 / d.first_rel) AS BIGINT) / 1000000.0 END AS mrr,
+           CAST(ROUND(1000000.0 * d.dcg_nano / i.idcg_nano) AS BIGINT) / 1000000.0 AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id) JOIN q USING (query_id)
+    """,
+)
+def llm_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout (Järvelin & Kekäläinen TOIS'02 NDCG;
+    plus MRR and P@10) for the brute-force cosine retriever with
+    label-match relevance: per query, DCG@10 against the ideal DCG
+    for however many same-label items exist, reciprocal rank of the
+    first hit, and precision@10. The eval harness every embedding
+    swap runs BEFORE it ships — and the exact-metric sibling of the
+    recall monitors (llm_knn_recall watches the ANN approximation;
+    this watches the embedding itself).
+
+    Determinism: the per-rank discount 1/log2(rank+1) is quantized to
+    nano-int PER TERM before the DCG/IDCG sums (BIGINT, order-free);
+    metric ratios are round-to-integer of BIGINT divisions. Scale:
+    one broadcast-query corpus scan (per-partition top-k), a
+    label-count broadcast for IDCG, and ≤10-row-per-query tails."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), "embedding"
+    )
+    topk = brute_force_topk(
+        t.embeddings, q.select(F.col("qid").alias("vec_id"), "embedding"), 11
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    top = (
+        topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .join(F.broadcast(q.select(F.col("qid").alias("query_id"), "qlabel")), "query_id")
+        .join(t.embeddings.select("vec_id", "label"), "vec_id")
+    )
+    hit = F.col("label") == F.col("qlabel")
+    disc = F.round(F.lit(1000000000.0) / F.log2(F.col("rank") + 1)).cast("long")
+    dcg = top.groupBy("query_id").agg(
+        F.sum(F.when(hit, disc).otherwise(F.lit(0))).alias("dcg_nano"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"),
+        F.min(F.when(hit, F.col("rank"))).alias("first_rel"),
+    )
+    corpus_labels = t.embeddings.select(F.col("vec_id").alias("cid"), "label")
+    nrel = (
+        q.join(F.broadcast(corpus_labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))), q.qlabel == F.col("label"))
+        .select(F.col("qid").alias("query_id"), "qlabel", (F.col("n_lab") - 1).alias("n_same"))
+    )
+    idcg = nrel.select(
+        "query_id",
+        "qlabel",
+        F.explode(F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_same").cast("int")))).alias("i"),
+    ).groupBy("query_id", "qlabel").agg(
+        F.sum(F.round(F.lit(1000000000.0) / F.log2(F.col("i") + 1)).cast("long")).alias("idcg_nano")
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        "n_hits",
+        (F.round(F.lit(1000000.0) * F.col("n_hits") / 10).cast("long") / 1000000.0).alias("p_at_10"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.lit(1000000.0) / F.col("first_rel")).cast("long") / 1000000.0)
+        .alias("mrr"),
+        (F.round(F.lit(1000000.0) * F.col("dcg_nano") / F.col("idcg_nano")).cast("long") / 1000000.0).alias("ndcg"),
+    )

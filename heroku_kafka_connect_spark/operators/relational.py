@@ -4837,3 +4837,105 @@ def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("string").alias("day"), "cohort", "users", "events")
     )
+
+
+# ------------------------------------------------- r8: Holt smoothing (recursive CTE)
+
+
+_HOLT_REC = """
+    rec(rn, l, b, fit) AS (
+      SELECT CAST(1 AS BIGINT), s1.x * 1000000, (s2.x - s1.x) * 1000000,
+             CAST(NULL AS BIGINT)
+      FROM seq s1 JOIN seq s2 ON s1.rn = 1 AND s2.rn = 2
+      UNION ALL
+      SELECT s.rn,
+             CAST(ROUND(0.3E0 * (s.x * 1000000) + 0.7E0 * (rec.l + rec.b)) AS BIGINT),
+             CAST(ROUND(0.1E0 * (CAST(ROUND(0.3E0 * (s.x * 1000000) + 0.7E0 * (rec.l + rec.b)) AS BIGINT)
+                               - rec.l) + 0.9E0 * rec.b) AS BIGINT),
+             rec.l + rec.b
+      FROM rec JOIN seq s ON s.rn = rec.rn + 1
+    )"""
+
+
+@register(
+    "rel_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),{_HOLT_REC}
+    SELECT CAST(s.day AS VARCHAR) AS day, s.x AS actual,
+           rec.fit / 1E6 AS fitted,
+           rec.l / 1E6 AS level,
+           rec.b / 1E6 AS trend,
+           (s.x * 1000000 - rec.fit) / 1E6 AS residual
+    FROM rec JOIN seq s ON s.rn = rec.rn
+    WHERE rec.fit IS NOT NULL
+    """,
+)
+def rel_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957; level α=0.3,
+    trend β=0.1) over the daily event-volume series, expressed as ONE
+    recursive CTE — the same SQL runs on Spark 4 (`WITH RECURSIVE`,
+    J144's surface) and DuckDB, with the (level, trend) state held as
+    e6-scaled BIGINTs so every recursion step is round-to-integer
+    exact and the two engines cannot drift across 30 steps. Emits the
+    one-step-ahead fit (l+b of the previous step), the smoothed state
+    and residuals — the trend-aware upgrade of rel_ewma_daily and the
+    second forecaster next to rel_seasonal_naive_eval's lag-7.
+
+    Scale: the corpus collapses to the |days| series in one
+    map-side-combinable agg; the recursion is inherently sequential
+    (each step needs the last), runs on the tiny aggregated series,
+    and is bounded by the calendar, not the corpus — the ordinal
+    window and the 30-level recursion are both |days|-sized
+    (allowlisted). Recursion depth stays far under Spark's
+    cteRecursionLevelLimit (100; the fixture window is 30 days)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    # BOUNDED driver hop (the rel_attribution_markov class): the series
+    # is |days|-sized — calendar-bounded, NOT corpus-bounded — and
+    # Spark's recursive CTE pays one scheduler round PER LEVEL (9.4 s
+    # warm for 30 rows, measured); the exact-integer recursion runs on
+    # the driver and re-enters as a LocalTableScan. The oracle states
+    # the same recursion as a DuckDB recursive CTE over identical
+    # e6-scaled BIGINT state, so the arithmetic is pinned step by step.
+    import math
+
+    def _round_half_away(v: float) -> int:
+        # DuckDB/Spark ROUND semantics: half AWAY from zero — NOT
+        # Python round() (banker's) and NOT floor(v+0.5) (half-up,
+        # which flips negative ties; the trend term goes negative)
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    series = sorted((r["day"], r["x"]) for r in daily.collect())
+    rows = []
+    if len(series) >= 2:
+        l = series[0][1] * 1000000
+        b = (series[1][1] - series[0][1]) * 1000000
+        for day, x in series[1:]:
+            fit = l + b
+            l_new = _round_half_away(0.3 * (x * 1000000) + 0.7 * (l + b))
+            b_new = _round_half_away(0.1 * (l_new - l) + 0.9 * b)
+            l, b = l_new, b_new
+            rows.append(
+                (
+                    str(day),
+                    x,
+                    fit / 1e6,
+                    l / 1e6,
+                    b / 1e6,
+                    (x * 1000000 - fit) / 1e6,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "day string, actual long, fitted double, level double, "
+        "trend double, residual double",
+    )

@@ -187,6 +187,8 @@ BNLJ_OK = {
                           # relations broadcast onto the |sources| rows
     "rel_dow_seasonality",  # 1-row overall-mean broadcast onto the
                           # 7-row weekday profile
+    "llm_retrieval_ndcg",  # 10 broadcast query vectors onto the corpus
+                          # scan (the brute_force_topk shape)
 }
 
 

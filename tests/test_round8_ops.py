@@ -594,3 +594,41 @@ class TestMarkovAttribution:
             assert 0.0 <= r["p_conv_without"] <= base
             assert r["removal_effect"] >= 0.0
         assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-3
+
+
+class TestForecastAndRetrievalEval:
+    def test_holt_tracks_constant_series_exactly(self, spark, tmp_path):
+        """Level init + constant data -> fitted == the constant, trend
+        -> 0 after the first step (state arithmetic identity)."""
+        import os as _os
+        from datetime import datetime
+
+        d = tmp_path / "sf_holt"
+        d.mkdir()
+        for f in _os.listdir(SF_DIR):
+            if f.endswith(".parquet") and f != "events.parquet":
+                _os.symlink(_os.path.join(SF_DIR, f), d / f)
+        rows = []
+        eid = 0
+        for day in range(1, 13):
+            for _ in range(5):
+                rows.append((eid, datetime(2024, 2, day, 9, 0), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write_events(str(d / "events.parquet"), rows)
+        from heroku_kafka_connect_spark.operators.relational import rel_holt_smoothing
+
+        out = rel_holt_smoothing(spark, str(d)).collect()
+        assert len(out) == 11
+        assert all(r["fitted"] == 5.0 and r["trend"] == 0.0 and r["residual"] == 0.0 for r in out)
+
+    def test_ndcg_bounds_and_perfect_retrieval(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.llm import llm_retrieval_ndcg
+
+        rows = llm_retrieval_ndcg(spark, sf_dir).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+            assert 0.0 <= r["mrr"] <= 1.0
+            assert r["p_at_10"] == r["n_hits"] / 10
+            if r["n_hits"] == 0:
+                assert r["mrr"] == 0.0 and r["ndcg"] == 0.0
