@@ -437,3 +437,107 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select(
         "doc_id", "w0", "w1", F.count(F.lit(1)).over(grp).alias("group_n")
     )
+
+
+# ------------------------------------------------- r8: spectral bins over real PCM
+
+
+@register(
+    "mm_tone_spectrum",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, LENGTH(text) * 4 AS n FROM documents WHERE LENGTH(text) > 0
+    ),
+    bins AS (
+      SELECT doc_id, n, m.m,
+             CASE WHEN m.m <= 3 THEN CAST(ROUND(CAST(n AS DOUBLE) * 7 * m.m / 201) AS INTEGER)
+                  ELSE CAST(ROUND(CAST(n AS DOUBLE) / 10) AS INTEGER) END AS k
+      FROM base, LATERAL (SELECT unnest(generate_series(1, 4)) AS m) m
+    ),
+    terms AS (
+      SELECT b.doc_id, b.n, b.m, b.k, i.i,
+             ((b.doc_id * 31 + i.i * 7) % 201) - 100 AS s
+      FROM bins b, LATERAL (SELECT unnest(generate_series(0, CAST(b.n AS INTEGER) - 1)) AS i) i
+    ),
+    sums AS (
+      SELECT doc_id, n, m, k,
+             CAST(SUM(CAST(ROUND(100.0 * s * cos(((2 * pi() * k) * i) / n)) AS BIGINT)) AS BIGINT) AS c,
+             CAST(SUM(CAST(ROUND(100.0 * s * sin(((2 * pi() * k) * i) / n)) AS BIGINT)) AS BIGINT) AS sn
+      FROM terms GROUP BY doc_id, n, m, k
+    ),
+    power AS (
+      SELECT doc_id, n, m, k, c * c + sn * sn AS p FROM sums
+    ),
+    dom AS (
+      SELECT doc_id, MIN(m) FILTER (WHERE rn = 1) AS dominant_harmonic
+      FROM (SELECT doc_id, m,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p DESC, m ASC) AS rn
+            FROM power) t
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(MIN(p.n) AS BIGINT) AS n_samples,
+           CAST(MIN(CASE WHEN m = 1 THEN k END) AS INTEGER) AS k_fund,
+           CAST(MIN(CASE WHEN m = 1 THEN p END) AS BIGINT) AS p_fund,
+           CAST(MIN(CASE WHEN m = 2 THEN p END) AS BIGINT) AS p_h2,
+           CAST(MIN(CASE WHEN m = 3 THEN p END) AS BIGINT) AS p_h3,
+           CAST(MIN(CASE WHEN m = 4 THEN p END) AS BIGINT) AS p_noise,
+           CAST(MIN(d.dominant_harmonic) AS INTEGER) AS dominant_harmonic
+    FROM power p JOIN dom d USING (doc_id)
+    GROUP BY p.doc_id
+    """,
+)
+def mm_tone_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-bin analysis over REAL decoded PCM — the DSP sibling of
+    mm_wav_energy: each doc's tone-WAV round-trips through real RIFF
+    bytes, and the decoded int16 samples are projected onto four DFT
+    bins (the sawtooth's fundamental at 7n/201 cycles — the +7-step
+    mod-201 ramp wraps every ~28.7 samples — its 2nd/3rd harmonics,
+    and an off-harmonic noise bin) — the pitch-detection /
+    band-energy primitive behind VAD and audio fingerprinting. The
+    dominant-harmonic pick is an INTEGER compare of c²+s² powers; the
+    expected answer (fundamental wins) is pinned in pytest.
+
+    Determinism: each s·cos/s·sin term is quantized to CENTI units
+    before the per-bin BIGINT sums — at that quantum a cross-libm cos
+    ulp (~1e-16 rel) sits ~10 orders below the rounding window, so
+    numpy (Spark workers) and DuckDB's libm cannot disagree; angle
+    arithmetic uses one pinned op order ((2πk)·i)/n on both engines.
+    Scale: synth+decode+project run in ONE narrow mapInPandas stage
+    (vectorized numpy, zero shuffle); output is 1 row/doc."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.filter(F.length("text") > 0).select("doc_id", "text")
+
+    def project(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) * 4
+                wav = mm.encode_wav_tone(int(doc_id), n)
+                s = np.frombuffer(mm._wav_data_bytes(wav), dtype="<i2").astype(np.float64)
+                i = np.arange(n, dtype=np.float64)
+                # harmonics of the TRUE fundamental: the +7-step mod-201
+                # sawtooth wraps every 201/7 samples -> 7n/201 cycles per
+                # window. Bin indices can never land on .5 (2*7nm = 201*odd
+                # is even=odd, impossible), so ROUND ties can't diverge.
+                ks = [round(n * 7 * m / 201) for m in (1, 2, 3)] + [round(n / 10)]
+                powers = []
+                for k in ks:
+                    ang = ((2 * np.pi * k) * i) / n
+                    c = int(np.round(100.0 * s * np.cos(ang)).astype(np.int64).sum())
+                    sn = int(np.round(100.0 * s * np.sin(ang)).astype(np.int64).sum())
+                    powers.append(c * c + sn * sn)
+                dom = max(range(4), key=lambda j: (powers[j], -j)) + 1
+                out.append((doc_id, n, ks[0], powers[0], powers[1], powers[2], powers[3], dom))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "k_fund", "p_fund", "p_h2", "p_h3", "p_noise", "dominant_harmonic"],
+            )
+
+    return docs.mapInPandas(
+        project,
+        "doc_id bigint, n_samples bigint, k_fund int, p_fund bigint, "
+        "p_h2 bigint, p_h3 bigint, p_noise bigint, dominant_harmonic int",
+    )

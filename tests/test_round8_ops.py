@@ -632,3 +632,21 @@ class TestForecastAndRetrievalEval:
             assert r["p_at_10"] == r["n_hits"] / 10
             if r["n_hits"] == 0:
                 assert r["mrr"] == 0.0 and r["ndcg"] == 0.0
+
+
+class TestToneSpectrum:
+    def test_fundamental_dominates_everywhere(self, spark, sf_dir):
+        """Physics pin: the sawtooth's fundamental bin (7n/201 cycles)
+        must out-power its harmonics and the noise bin on EVERY doc —
+        the property that makes the op a pitch detector rather than a
+        checksum."""
+        from heroku_kafka_connect_spark.operators.multimodal_queries import (
+            mm_tone_spectrum,
+        )
+
+        rows = mm_tone_spectrum(spark, sf_dir).collect()
+        assert rows
+        assert all(r["dominant_harmonic"] == 1 for r in rows)
+        for r in rows:
+            assert r["p_fund"] > r["p_h2"] > 0
+            assert r["p_fund"] > r["p_noise"]
