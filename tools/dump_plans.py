@@ -92,6 +92,12 @@ EXTRA = [
     "text_posting_lists",  # posexplode + df TakeOrdered + shard-key grouping
     "llm_mmr_select",      # corpus pays the top-8 cut; greedy rounds candidate-sized
     "llm_rocchio_expand",  # nano-int seed centroid; two broadcast scans
+    "llm_bbit_minhash",    # shared LSH front half + packed-word bit_count
+    "avro_ocf_roundtrip",  # binaryFile scan -> MapInPandas OCF decode
+    "mm_image_ahash",      # narrow synth/decode/hash + signature groupBy
+    "mm_tone_spectrum",    # narrow synth/decode/DFT-project, zero shuffle
+    "llm_retrieval_ndcg",  # broadcast-query scan + label-count broadcast
+    "rel_new_vs_returning",  # first-seen min-agg joined on the user key
 ]
 
 
