@@ -551,3 +551,83 @@ def test_dlq_stamp_bucket_decomposition_is_total_and_stable(spark, rows):
     b = sorted((r.k, r.v, r.row_n) for r in stamp(df).collect())
     assert a == b
     assert sorted(x[2] for x in a) == list(range(1, len(rows) + 1))
+
+
+# ------------------------------------------------- r8: codec properties
+
+
+@given(
+    recs=st.lists(
+        st.tuples(st.integers(-(2**62), 2**62), st.text(max_size=40)),
+        max_size=60,
+    ),
+    block=st.integers(1, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_ocf_roundtrip_any_payload(recs, block):
+    """OCF write→read is the identity for arbitrary record lists and
+    ANY block size (incl. blocks smaller than the record count, which
+    exercises the multi-block + trailing-partial-block paths)."""
+    from heroku_kafka_connect_spark.serde.avro_ocf import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [{"k": k, "s": s} for k, s in recs]
+    back, parsed = read_ocf(write_ocf(rows, schema, block_records=block))
+    assert back == rows
+    assert parsed["fields"][0]["name"] == "k"
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_pixel_roundtrip_any_grid(w, h, data):
+    """encode_png_gray→decode_png_pixels is the identity for any
+    dimensions and pixel content (the pixel-level contract behind
+    mm_image_ahash)."""
+    from heroku_kafka_connect_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    assert decode_png_pixels(encode_png_gray(w, h, px)) == (w, h, px)
+
+
+@given(xs=st.lists(st.integers(0, 5000), min_size=2, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_holt_rounding_matches_duckdb_round(xs):
+    """The driver-side Holt recursion must replay EXACTLY under
+    DuckDB's ROUND (half away from zero) — the property the r8
+    half-up/half-away fix pinned. Replays the recursion in DuckDB SQL
+    scalar steps for a random series and diffs the integer state."""
+    import duckdb
+    import math
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    con = duckdb.connect()
+    l = xs[0] * 1000000
+    b = (xs[1] - xs[0]) * 1000000
+    for x in xs[1:]:
+        l_py = half_away(0.3 * (x * 1000000) + 0.7 * (l + b))
+        b_py = half_away(0.1 * (l_py - l) + 0.9 * b)
+        l_du, b_du = con.execute(
+            f"""SELECT CAST(ROUND(0.3E0 * (CAST({x} AS BIGINT) * 1000000) + 0.7E0 * (CAST({l} AS BIGINT) + CAST({b} AS BIGINT))) AS BIGINT),
+                       CAST(ROUND(0.1E0 * (CAST(ROUND(0.3E0 * (CAST({x} AS BIGINT) * 1000000)
+                             + 0.7E0 * (CAST({l} AS BIGINT) + CAST({b} AS BIGINT))) AS BIGINT) - CAST({l} AS BIGINT)) + 0.9E0 * CAST({b} AS BIGINT)) AS BIGINT)"""
+        ).fetchone()
+        assert (l_py, b_py) == (l_du, b_du), (x, l, b)
+        l, b = l_py, b_py
