@@ -1204,3 +1204,118 @@ def llm_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.lit(1000000.0) / F.col("n_src")).cast("long") / 1000000.0).alias("weight_uniform"),
         (F.round(F.lit(1000000.0) * F.col("boost_nano") / F.col("z")).cast("long") / 1000000.0).alias("weight_doremi"),
     )
+
+
+# ------------------------------------------------- r8: calibration (ECE)
+
+
+@register(
+    "llm_quality_calibration",
+    oracle=f"""
+    WITH {T.SQL_GOPHER_STATS.format(src='documents')},
+    f AS (
+      SELECT doc_id,
+             ROUND(n_token_chars / CAST(n_tokens AS DOUBLE), 4) AS mean_word_len,
+             ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+             ROUND(top_cnt / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+             CASE WHEN {T.SQL_GOPHER_PASS} THEN 1 ELSE 0 END AS label
+      FROM s
+    ),
+    scored AS (
+      SELECT doc_id, label,
+             CAST(ROUND(10000 * ROUND(1.0 / (1.0 + exp(-(
+               -2.0 + 0.3 * mean_word_len + 4.0 * distinct_ratio
+               - 6.0 * top_token_frac))), 4)) AS BIGINT) AS p_e4
+      FROM f
+    ),
+    binned AS (
+      SELECT CAST(LEAST(9, p_e4 // 1000) AS INTEGER) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(p_e4) AS BIGINT) AS sum_p_e4,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM binned)
+    SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+           CAST(ROUND(CAST(b.sum_p_e4 AS DOUBLE) / b.n) AS BIGINT) / 10000.0 AS confidence,
+           CAST(ROUND(10000.0 * b.n_pos / b.n) AS BIGINT) / 10000.0 AS accuracy,
+           ABS(CAST(ROUND(CAST(b.sum_p_e4 AS DOUBLE) / b.n) AS BIGINT)
+               - CAST(ROUND(10000.0 * b.n_pos / b.n) AS BIGINT)) / 10000.0 AS gap,
+           CAST(SUM(b.n * ABS(CAST(ROUND(CAST(b.sum_p_e4 AS DOUBLE) / b.n) AS BIGINT)
+                              - CAST(ROUND(10000.0 * b.n_pos / b.n) AS BIGINT))) OVER ()
+                AS BIGINT) / CAST(t.nt AS DOUBLE) / 10000.0 AS ece
+    FROM binned b CROSS JOIN tot t
+    """,
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration readout for the LR quality scorer (reliability
+    bins + expected calibration error, Naeini et al. AAAI'15): the
+    scorer's p_keep is binned into deciles of confidence, each bin
+    reporting mean confidence vs empirical accuracy against the
+    Gopher rule bundle as reference labels, and ECE = Σ n_b/N·|acc−
+    conf| — the standard check that a quality filter's scores MEAN
+    what they say before anyone thresholds on them (the J116 sweep
+    picks a cutoff; this validates the scale it's picked on).
+
+    Determinism: p_keep is the 4-dp-pinned sigmoid (J107's exact
+    spelling from the shared tc relation), so p_e4 is an exact
+    integer; per-bin confidence/accuracy derive by round-to-integer
+    of BIGINT ratios and the ECE sum runs over ≤10 e4-int gaps.
+    Scale: ONE token-count pass feeds both the features and the
+    labels; everything after the per-doc agg is a 10-row relation
+    (allowlisted whole-frame window)."""
+    tc = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = T.gopher_token_stats(tc)
+    f = stats.select(
+        "doc_id",
+        F.round(F.col("n_token_chars") / F.col("n_tokens").cast("double"), 4).alias("mean_word_len"),
+        F.round(F.col("n_distinct") / F.col("n_tokens").cast("double"), 4).alias("distinct_ratio"),
+        F.round(F.col("top_cnt") / F.col("n_tokens").cast("double"), 4).alias("top_token_frac"),
+        T.gopher_pass().cast("int").alias("label"),
+    )
+    p = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(-2.0)
+                    + F.lit(0.3) * F.col("mean_word_len")
+                    + F.lit(4.0) * F.col("distinct_ratio")
+                    - F.lit(6.0) * F.col("top_token_frac")
+                )
+            )
+        ),
+        4,
+    )
+    scored = f.select(
+        "label", F.round(F.lit(10000) * p).cast("long").alias("p_e4")
+    )
+    binned = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p_e4") / 1000)).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_e4").alias("sum_p_e4"),
+        F.sum("label").alias("n_pos"),
+    )
+    tot = binned.agg(F.sum("n").alias("nt"))
+    conf_e4 = F.round(F.col("sum_p_e4").cast("double") / F.col("n")).cast("long")
+    acc_e4 = F.round(F.lit(10000.0) * F.col("n_pos") / F.col("n")).cast("long")
+    w_all = Window.partitionBy()
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        (conf_e4 / 10000.0).alias("confidence"),
+        (acc_e4 / 10000.0).alias("accuracy"),
+        (F.abs(conf_e4 - acc_e4) / 10000.0).alias("gap"),
+        (
+            F.sum(F.col("n") * F.abs(conf_e4 - acc_e4)).over(w_all).cast("long")
+            / F.col("nt").cast("double")
+            / 10000.0
+        ).alias("ece"),
+    )

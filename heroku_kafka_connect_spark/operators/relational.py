@@ -4939,3 +4939,70 @@ def rel_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day string, actual long, fitted double, level double, "
         "trend double, residual double",
     )
+
+
+# ------------------------------------------------- r8: sequential path mining
+
+
+@register(
+    "rel_path_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    tri AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM tri)
+    SELECT tri.path, CAST(tri.n AS BIGINT) AS n,
+           CAST(ROUND(1000000.0 * tri.n / tot.t) AS BIGINT) / 1000000.0 AS share
+    FROM tri CROSS JOIN tot
+    ORDER BY tri.n DESC, tri.path ASC LIMIT 10
+    """,
+)
+def rel_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (sequential pattern mining,
+    the n-gram view of clickstreams — Agrawal & Srikant ICDE'95's
+    question answered with the flat trigram table that scales): per
+    user, every consecutive (e₁ > e₂ > e₃) window becomes a path
+    string; paths rank by frequency with corpus share. The
+    exploratory sibling of rel_markov_transitions (first-order) and
+    rel_event_funnel (fixed pattern).
+
+    Scale: ONE user-partitioned window pass emits both lags (no
+    self-joins — trigrams via lag are linear in events); the path
+    count is a map-side-combinable agg over a ≤|alphabet|³ key space;
+    top-10 is a TakeOrdered. Share = one IEEE division of exact
+    BIGINTs."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", ts_us("ts").alias("tu"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    tri = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type")).alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.sum("n").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            (F.round(F.lit(1000000.0) * F.col("n") / F.col("t")).cast("long") / 1000000.0).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )

@@ -189,6 +189,10 @@ BNLJ_OK = {
                           # 7-row weekday profile
     "llm_retrieval_ndcg",  # 10 broadcast query vectors onto the corpus
                           # scan (the brute_force_topk shape)
+    "llm_quality_calibration",  # 1-row bin-total broadcast onto the
+                          # <=10-row reliability bins
+    "rel_path_mining",    # 1-row trigram-total broadcast onto the
+                          # |alphabet|^3 path counts
 }
 
 
@@ -220,6 +224,7 @@ UNPART_WINDOW_OK = {
     "rel_abc_pareto",         # prefix sum over the ~18-row band-offset
                               # relation (curriculum_order decomposition)
     "llm_rocchio_expand",     # ranks the LIMIT-10 reranked relation
+    "llm_quality_calibration",  # ECE whole-frame sum over the <=10 bins
 }
 
 

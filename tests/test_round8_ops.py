@@ -650,3 +650,31 @@ class TestToneSpectrum:
         for r in rows:
             assert r["p_fund"] > r["p_h2"] > 0
             assert r["p_fund"] > r["p_noise"]
+
+
+class TestCalibrationAndPaths:
+    def test_ece_is_bin_weighted_gap_mean(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.pipeline_queries import (
+            llm_quality_calibration,
+        )
+
+        rows = llm_quality_calibration(spark, sf_dir).collect()
+        assert rows
+        n_tot = sum(r["n"] for r in rows)
+        expect = sum(r["n"] * round(r["gap"] * 10000) for r in rows) / n_tot / 10000
+        ece = rows[0]["ece"]
+        assert all(r["ece"] == ece for r in rows)
+        assert abs(ece - expect) < 1e-9
+        for r in rows:
+            assert 0.0 <= r["confidence"] <= 1.0 and 0.0 <= r["accuracy"] <= 1.0
+
+    def test_paths_are_trigrams_with_share(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_path_mining
+
+        rows = rel_path_mining(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 10
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            assert len(r["path"].split(">")) == 3
+            assert 0 < r["share"] <= 1.0
