@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import llmops
 from ..registry import register
 from ..session import load_tables
 from .common import (
@@ -5005,4 +5006,66 @@ def rel_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
+    )
+
+
+# ------------------------------------------------- r8: sample-ratio mismatch
+
+
+@register(
+    "rel_ab_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM assign
+    )
+    SELECT n_c, n_t,
+           CAST(ROUND(1000000000.0 * (n_c - n_t) * (n_c - n_t) / (n_c + n_t)) AS BIGINT) AS chi2_nano,
+           CAST(ROUND(1000000000.0 * (n_c - n_t) * (n_c - n_t) / (n_c + n_t)) AS BIGINT) / 1000000000.0 AS chi2,
+           CAST(ROUND(1000000000.0 * (n_c - n_t) * (n_c - n_t) / (n_c + n_t)) AS BIGINT) > 3841000000 AS srm_detected
+    FROM counts
+    """,
+)
+def rel_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. KDD'19 'the
+    most useful A/B test quality check'): users are hash-assigned
+    50/50 (the repo's md5-prefix bucket, so the split replays
+    everywhere), and the observed arm counts get the 1-dof χ² against
+    the expected even split — χ² = (n_c−n_t)²/(n_c+n_t) — with the
+    alarm at the 0.05 critical value 3.841. An SRM fires BEFORE
+    anyone reads the CUPED readout (rel_ab_test_cuped): a broken
+    assignment invalidates the experiment, not just widens its CI.
+
+    Determinism: counts are exact BIGINTs, the χ² is one IEEE
+    expression over them, and the detector compares NANO-scaled
+    integers. Scale: one distinct + one conditional agg, both
+    map-side-combinable; output is a single guardrail row."""
+    t = load_tables(spark, sf_dir)
+    users = t.events.select("user_id").distinct()
+    arm = F.when(
+        llmops.md5_prefix_bucket(F.col("user_id"), 2) == 0, "control"
+    ).otherwise("treatment")
+    counts = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+    )
+    chi2_nano = F.round(
+        F.lit(1000000000.0)
+        * (F.col("n_c") - F.col("n_t"))
+        * (F.col("n_c") - F.col("n_t"))
+        / (F.col("n_c") + F.col("n_t"))
+    ).cast("long")
+    return counts.select(
+        "n_c",
+        "n_t",
+        chi2_nano.alias("chi2_nano"),
+        (chi2_nano / 1000000000.0).alias("chi2"),
+        (chi2_nano > 3841000000).alias("srm_detected"),
     )

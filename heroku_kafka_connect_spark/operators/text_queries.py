@@ -1214,3 +1214,108 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------------- r8: source-vocabulary JS divergence
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY source),
+    vocab AS (SELECT DISTINCT token FROM cnt),
+    grid AS (
+      SELECT s.source, v.token, COALESCE(c.n, 0) AS n, s.t
+      FROM tot s CROSS JOIN vocab v
+      LEFT JOIN cnt c ON c.source = s.source AND c.token = v.token
+    ),
+    terms AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(ROUND(1000000000.0 * 0.5 * (
+               (CASE WHEN a.n = 0 THEN 0.0
+                     ELSE (CAST(a.n AS DOUBLE) / a.t)
+                          * log2(2.0 * (CAST(a.n AS DOUBLE) / a.t)
+                                 / (CAST(a.n AS DOUBLE) / a.t + CAST(b.n AS DOUBLE) / b.t)) END)
+               + (CASE WHEN b.n = 0 THEN 0.0
+                       ELSE (CAST(b.n AS DOUBLE) / b.t)
+                            * log2(2.0 * (CAST(b.n AS DOUBLE) / b.t)
+                                   / (CAST(a.n AS DOUBLE) / a.t + CAST(b.n AS DOUBLE) / b.t)) END)
+             )) AS BIGINT) AS term_nano
+      FROM grid a JOIN grid b ON a.token = b.token AND a.source < b.source
+      WHERE a.n + b.n > 0
+    )
+    SELECT src_a, src_b, COUNT(*) AS n_tokens,
+           CAST(ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000.0) AS BIGINT) / 1000000.0 AS jsd
+    FROM terms GROUP BY src_a, src_b
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source vocabulary
+    distributions (Lin IEEE-IT'91; log2, so JSD ∈ [0,1]) — the domain-
+    similarity matrix a mixture designer reads before weighting
+    sources (llm_domain_mixture / llm_doremi_reweight pick weights;
+    this says which sources are near-duplicates of each other in
+    DISTRIBUTION, the corpus-level analogue of doc-level dedup).
+
+    Determinism: each token's JSD contribution is quantized to
+    nano-int BEFORE the per-pair sum; p, q, and the log2 argument are
+    scalar IEEE expressions over exact BIGINT counts. Scale: token
+    counts are one (source, token) agg (|sources|·|vocab|-bounded);
+    the pair expansion joins the zero-filled grid ON THE TOKEN KEY —
+    |vocab|·|sources|² rows, bounded by the SCHEMA of the comparison
+    (sources², not corpus²) exactly like rel_audience_overlap."""
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        t.documents.select("source", F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
+    vocab = cnt.select("token").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "token"], "left")
+        .select("source", "token", F.coalesce("n", F.lit(0)).alias("n"), "t")
+    )
+    a = grid.select(
+        F.col("token"),
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("t").alias("ta"),
+    )
+    b = grid.select(
+        F.col("token"),
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("t").alias("tb"),
+    )
+    pa = F.col("na").cast("double") / F.col("ta")
+    pb = F.col("nb").cast("double") / F.col("tb")
+    term = F.lit(0.5) * (
+        F.when(F.col("na") == 0, F.lit(0.0)).otherwise(
+            pa * F.log2(F.lit(2.0) * pa / (pa + pb))
+        )
+        + F.when(F.col("nb") == 0, F.lit(0.0)).otherwise(
+            pb * F.log2(F.lit(2.0) * pb / (pa + pb))
+        )
+    )
+    terms = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .filter(F.col("na") + F.col("nb") > 0)
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.lit(1000000000.0) * term).cast("long").alias("term_nano"),
+        )
+    )
+    return terms.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.round(F.sum("term_nano").cast("double") / 1000.0).cast("long") / 1000000.0
+        ).alias("jsd"),
+    )

@@ -193,6 +193,8 @@ BNLJ_OK = {
                           # <=10-row reliability bins
     "rel_path_mining",    # 1-row trigram-total broadcast onto the
                           # |alphabet|^3 path counts
+    "text_js_divergence",  # |vocab| token list broadcast onto the
+                          # |sources|-row totals (zero-filled grid)
 }
 
 

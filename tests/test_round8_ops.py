@@ -678,3 +678,26 @@ class TestCalibrationAndPaths:
         for r in rows:
             assert len(r["path"].split(">")) == 3
             assert 0 < r["share"] <= 1.0
+
+
+class TestSrmAndJsd:
+    def test_srm_chi2_identity_and_balanced_split(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.relational import rel_ab_srm_check
+
+        (r,) = rel_ab_srm_check(spark, sf_dir).collect()
+        n_c, n_t = r["n_c"], r["n_t"]
+        assert abs(r["chi2"] - (n_c - n_t) ** 2 / (n_c + n_t)) < 1e-6
+        # a correct hash split must NOT alarm on its own assignment
+        assert not r["srm_detected"]
+
+    def test_jsd_symmetric_bounds_and_self_zero(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.operators.text_queries import text_js_divergence
+
+        rows = text_js_divergence(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["src_a"] < r["src_b"]
+            assert -1e-9 <= r["jsd"] <= 1.0 + 1e-9
+        # fixture sources share one synthetic vocabulary: divergences
+        # are small but strictly positive (distributions differ)
+        assert all(r["jsd"] > 0 for r in rows)
