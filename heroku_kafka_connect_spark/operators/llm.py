@@ -4742,6 +4742,12 @@ def llm_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrel = (
         q.join(F.broadcast(corpus_labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))), q.qlabel == F.col("label"))
         .select(F.col("qid").alias("query_id"), "qlabel", (F.col("n_lab") - 1).alias("n_same"))
+        # A query whose label has no OTHER member has IDCG = 0 — no
+        # defined NDCG. DROP it here so both engines agree: without
+        # this, Spark's sequence(1, 0) is the DESCENDING [1, 0] (i=0
+        # → 1/log2(1) = Inf in the IDCG sum) while DuckDB's
+        # generate_series(1, 0) is empty (inner join drops the row).
+        .filter(F.col("n_same") >= 1)
     )
     idcg = nrel.select(
         "query_id",

@@ -3616,7 +3616,7 @@ def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN item ia ON ia.event_type = p.ant
     JOIN item ic ON ic.event_type = p.cons
     CROSS JOIN n
-    WHERE CAST(p.n_pair AS DOUBLE) / n.n_baskets >= 0.01
+    WHERE p.n_pair * 100 >= n.n_baskets
     """,
 )
 def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3657,9 +3657,14 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ic), "cons")
         .crossJoin(F.broadcast(n_baskets))
     )
+    # The 1% support FLOOR is an exact BIGINT compare (n_pair/N >= 1/100
+    # <=> 100·n_pair >= N) on BOTH engines; ROUND stays presentation-only
+    # for the emitted support value. Filtering the rounded double instead
+    # would keep raw supports in [0.0099995, 0.01) that the raw-ratio
+    # oracle drops — the ROUND-as-decision idiom this corpus bans.
     return (
-        out.withColumn("support", F.round(F.col("n_pair") / F.col("n_baskets"), 6))
-        .filter(F.col("support") >= 0.01)
+        out.filter(F.col("n_pair") * 100 >= F.col("n_baskets"))
+        .withColumn("support", F.round(F.col("n_pair") / F.col("n_baskets"), 6))
         .select(
             "ant",
             "cons",

@@ -60,10 +60,13 @@ def write_ocf(
     )
     out += sync
 
+    # parse the (canonicalized) schema ONCE — encode() takes the parsed
+    # form, and re-parsing per record would cost one json.loads per row
+    parsed_schema = json.loads(schema_json)
     block = bytearray()
     n_in_block = 0
     for rec in records:
-        encode(rec, json.loads(schema_json), block)
+        encode(rec, parsed_schema, block)
         n_in_block += 1
         if n_in_block >= block_records:
             out += _zigzag_encode(n_in_block)

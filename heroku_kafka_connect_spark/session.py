@@ -161,21 +161,45 @@ class Tables:
 #: keys let a stopped session's entries be collected.  _VIEWS_OWNER
 #: tracks which sf_dir currently backs the shared temp-view names, so
 #: interleaving fixture dirs (tests do) re-pins views only on switch.
-_TABLES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Tables]]" = (
+_TABLES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[tuple, Tables]]]" = (
     weakref.WeakKeyDictionary()
 )
 _VIEWS_OWNER: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
+def _fixture_fingerprint(real: str) -> tuple:
+    """(mtime_ns, size) per fixture parquet under ``real`` — the cache
+    validity token. Regenerating a file in place changes its mtime/size,
+    so the cached DataFrames (whose plans pin the OLD file listing) are
+    rebuilt instead of silently serving stale data."""
+    fp = []
+    for name in TABLES:
+        p = os.path.join(real, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            fp.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((0, 0))
+    return tuple(fp)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     real = os.path.realpath(sf_dir)
     per = _TABLES_CACHE.setdefault(spark, {})
-    t = per.get(real)
-    if t is None:
-        t = per[real] = Tables(spark, sf_dir)
+    fp = _fixture_fingerprint(real)
+    hit = per.get(real)
+    if hit is None or hit[0] != fp:
+        # drop entries whose fixture dir is gone (tmp dirs from prior
+        # tests) so long sessions don't accumulate dead handles
+        for k in [k for k in per if k != real and not os.path.isdir(k)]:
+            del per[k]
+        t = Tables(spark, sf_dir)
+        per[real] = (fp, t)
         _VIEWS_OWNER[spark] = real
-    elif _VIEWS_OWNER.get(spark) != real:
-        for name in TABLES:
-            t[name].createOrReplaceTempView(name)
-        _VIEWS_OWNER[spark] = real
+    else:
+        t = hit[1]
+        if _VIEWS_OWNER.get(spark) != real:
+            for name in TABLES:
+                t[name].createOrReplaceTempView(name)
+            _VIEWS_OWNER[spark] = real
     return t
