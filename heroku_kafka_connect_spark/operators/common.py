@@ -138,3 +138,21 @@ def o_davg(expr: str, scale: int = 2, out_scale: int = 6) -> str:
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
         f" / COUNT({expr}), {out_scale})"
     )
+
+
+def bounded_collect(df, cap: int, what: str) -> list:
+    """Driver-hop collect with a MECHANICAL bound: fetch at most
+    ``cap + 1`` rows (limit, so a runaway relation never materializes
+    on the driver) and raise if the contract is violated. Use at every
+    "bounded-collect class" site (alphabet-/calendar-bounded relations
+    whose sequential recursions run on the driver — see
+    rel_attribution_markov / rel_holt_smoothing): the 100 TB safety
+    argument becomes code, not docstring prose."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: bounded-collect contract violated (> {cap} rows); "
+            "this relation must be alphabet- or calendar-bounded, never "
+            "corpus-bounded — refusing the driver hop"
+        )
+    return rows
