@@ -46,7 +46,25 @@ HEADLINE = [
     "llm_sim_topk",
     "llm_dedup_near",
     "udf_explode_tokens",
+    # the end-to-end curation DAG (normalize-dedup -> quality ->
+    # decontaminate -> pack) — the closest query to the north-star
+    # 100 TB workload, benched as a unit since r9
+    "llm_curation_pipeline",
 ]
+
+#: memoized front-halves (session-scoped localCheckpoint indexes): the
+#: representative consumer that triggers each build, and the memo dict
+#: to clear for a COLD measurement. min-across-passes otherwise reports
+#: only the warm-marginal cost for these families (disclosed in
+#: BASELINE.md; the cold number is what a first-build regression gate
+#: needs).
+MEMO_FAMILIES = {
+    "llm_dedup_apply": "_MANIFEST_MEMO",
+    "llm_dedup_embedding": "_SEM_PAIRS_MEMO",
+    "llm_knn_recall": "_LSH_MONITOR_MEMO",
+    "llm_substring_dup_rate": "_GRAMS4_MEMO",
+    "llm_pq_encode": "_PQ_MEMO",
+}
 
 
 def execute(df) -> None:
@@ -54,7 +72,10 @@ def execute(df) -> None:
 
 
 def build_output_lines(
-    timings: dict[str, float], sf: float, loadavg: list[float] | None = None
+    timings: dict[str, float],
+    sf: float,
+    loadavg: list[float] | None = None,
+    cold: dict[str, float] | None = None,
 ) -> tuple[str, str]:
     """(detail_line, summary_line) for stdout.
 
@@ -74,6 +95,7 @@ def build_output_lines(
         {
             "detail": "full_corpus_per_query_sec",
             "queries": timings,
+            "cold_build": cold or {},
             "sf": sf,
             "loadavg": loadavg,
         }
@@ -131,9 +153,22 @@ def main() -> None:
             execute(qs[name].fn(spark, sf_dir))
             walls[name].append(time.time() - t0)
     timings = {n: round(min(w), 3) for n, w in walls.items()}
+
+    # cold-build pass (r8 verdict #4): clear each memoized index and
+    # re-run its representative consumer once — cold_build records
+    # index-build + query cost so regression gating sees first-build
+    # walls, not just the cache-warm marginal the min-of-N reports.
+    from heroku_kafka_connect_spark.operators import llm as _llm
+
+    cold: dict[str, float] = {}
+    for qname, memo_attr in MEMO_FAMILIES.items():
+        getattr(_llm, memo_attr).clear()
+        t0 = time.time()
+        execute(qs[qname].fn(spark, sf_dir))
+        cold[qname] = round(time.time() - t0, 3)
     loadavg = [load_start, round(os.getloadavg()[0], 2)]
 
-    detail, summary = build_output_lines(timings, sf, loadavg)
+    detail, summary = build_output_lines(timings, sf, loadavg, cold)
     # sidecar: the full per-query map survives even if the driver's
     # stdout tail-capture window truncates the detail line (it did in
     # r2/r3 — the window is ~2000 chars)
