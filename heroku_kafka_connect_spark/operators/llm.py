@@ -4953,3 +4953,180 @@ def llm_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mrr"),
         (F.round(F.lit(1000000.0) * F.col("dcg_nano") / F.col("idcg_nano")).cast("long") / 1000000.0).alias("ndcg"),
     )
+
+
+# ------------------------------------------------- r9: LSH banding parameter sweep
+
+
+_SWEEP_CONFIGS = [(16, 2), (8, 4), (4, 8)]  # bands x rows, k = 32 minhashes shared
+
+
+def _band_sweep_oracle(threshold: float = 0.5, max_bucket: int = 256) -> str:
+    """SQL replica of llm_lsh_band_sweep: ONE 32-minhash signature CTE,
+    re-banded three ways; per config, candidate pairs and how many
+    verify at the target Jaccard."""
+    k = 32
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    cfg_sql = []
+    for bands, rows in _SWEEP_CONFIGS:
+        keys = ",\n        ".join(
+            "md5(concat_ws(',', '{j}', {ms}))".format(
+                j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+            )
+            for j in range(bands)
+        )
+        cfg_sql.append(
+            f"""
+    banded_{bands} AS (
+      SELECT doc_id, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    ok_{bands} AS (
+      SELECT key FROM banded_{bands} GROUP BY key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+    ),
+    cand_{bands} AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded_{bands} x JOIN banded_{bands} y
+        ON x.key = y.key AND x.doc_id < y.doc_id
+      WHERE x.key IN (SELECT key FROM ok_{bands})
+    ),
+    summary_{bands} AS (
+      SELECT {bands} AS bands, {rows} AS rows_per_band,
+             CAST(ROUND(1000000.0 * exp(ln(1.0 / {bands}) / {rows})) AS BIGINT) / 1000000.0
+               AS est_threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+             CAST(SUM(CASE WHEN ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= {threshold}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+      FROM cand_{bands} c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT * FROM summary_{bands}" for bands, _ in _SWEEP_CONFIGS
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM xs GROUP BY doc_id
+    ),{','.join(cfg_sql)}
+    SELECT bands, rows_per_band, est_threshold, n_cand_pairs, n_true_pairs,
+           CASE WHEN n_cand_pairs = 0 THEN 0.0
+                ELSE CAST(ROUND(1000000.0 * n_true_pairs / n_cand_pairs) AS BIGINT) / 1000000.0
+           END AS precision
+    FROM ({unions})
+    """
+
+
+@register("llm_lsh_band_sweep", oracle=_band_sweep_oracle())
+def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding TUNER — the measurement a pipeline runs before
+    committing (bands, rows): one shared 32-minhash signature set is
+    re-banded as 16×2 / 8×4 / 4×8, and for each config the query
+    reports the candidate-pair volume (the cost knob), how many
+    candidates verify at Jaccard ≥ 0.5 (the recall knob), measured
+    precision, and the analytic S-curve threshold (1/b)^(1/r)
+    (Leskovec/Rajaraman/Ullman, MMDS ch.3). Data-driven parameter
+    selection instead of folklore defaults — llm_dedup_near's (8, 4)
+    sits in the middle of the sweep.
+
+    Plan: the signature groupBy runs ONCE (k=32 affine mins on the
+    cross-engine md5 family); each config adds one bucket groupBy
+    over banded (id, key) rows and its in-bucket pair explode —
+    exactly the production front half, so measured candidate volume
+    IS what the dedup job would pay. The verify join computes each
+    distinct pair's Jaccard once across the whole sweep (configs
+    share verified pairs via one dedup + one join, not 3×). The same
+    hot-bucket cap (256) as the production path applies per config.
+    Output is 3 rows."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = t.documents.filter(F.col("text").isNotNull()).repartition(par, "doc_id")
+    sh = docs.select(F.col("doc_id").alias("__id"), llmops.shingles("text", 3).alias("__sh"))
+    mins = llmops.minhash_signatures(sh, 32)
+    cands = None
+    for bands, rows in _SWEEP_CONFIGS:
+        banded = mins.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.lit(str(j)),
+                                *[
+                                    F.col(f"m{j * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+        live = (
+            banded.groupBy("key")
+            .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= 256))
+        )
+        c = (
+            live.select(F.explode(llmops.ordered_pairs(F.col("ids"))).alias("p"))
+            .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+            .dropDuplicates(["a", "b"])
+            .select(F.lit(bands).alias("bands"), F.lit(rows).alias("rows_per_band"), "a", "b")
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    pairs = cands.select("a", "b").distinct()
+    jac = (
+        pairs.join(sh.select(F.col("__id").alias("a"), F.col("__sh").alias("sha")), "a")
+        .join(sh.select(F.col("__id").alias("b"), F.col("__sh").alias("shb")), "b")
+        .select("a", "b", llmops.jaccard(F.col("sha"), F.col("shb")).alias("jaccard"))
+    )
+    per_cfg = (
+        cands.join(jac, ["a", "b"])
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+        )
+    )
+    est = (
+        F.round(
+            F.lit(1000000.0)
+            * F.exp(F.log(F.lit(1.0) / F.col("bands")) / F.col("rows_per_band"))
+        ).cast("long")
+        / 1000000.0
+    )
+    prec = F.when(F.col("n_cand_pairs") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1000000.0) * F.col("n_true_pairs") / F.col("n_cand_pairs")).cast(
+            "long"
+        )
+        / 1000000.0
+    )
+    return per_cfg.select(
+        "bands",
+        "rows_per_band",
+        est.alias("est_threshold"),
+        "n_cand_pairs",
+        "n_true_pairs",
+        prec.alias("precision"),
+    )

@@ -1319,3 +1319,138 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("ece"),
     )
+
+
+# ------------------------------------------------- r9: multinomial Naive Bayes lang-id
+
+
+@register(
+    "llm_nb_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cls AS (
+      SELECT lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS total_toks
+      FROM toks GROUP BY lang
+    ),
+    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cls),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM vocab),
+    cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok),
+    grid AS (
+      SELECT vo.tok, cl.lang,
+             CAST(ROUND(1000000.0 * ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                                       / (cl.total_toks + v.vsize))) AS BIGINT) AS ll
+      FROM vocab vo CROSS JOIN cls cl CROSS JOIN v
+      LEFT JOIN cnt ct ON ct.tok = vo.tok AND ct.lang = cl.lang
+    ),
+    prior AS (
+      SELECT lang, CAST(ROUND(1000000.0 * ln(CAST(n_docs AS DOUBLE) / n.n_total)) AS BIGINT) AS p
+      FROM cls CROSS JOIN n
+    ),
+    scores AS (
+      SELECT t.doc_id, t.lang AS true_lang, g.lang AS cand_lang,
+             pr.p + SUM(g.ll) AS score_micro
+      FROM toks t JOIN grid g ON g.tok = t.tok
+      JOIN prior pr ON pr.lang = g.lang
+      GROUP BY t.doc_id, t.lang, g.lang, pr.p
+    ),
+    best AS (
+      SELECT doc_id, true_lang, cand_lang, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, cand_lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
+           score_micro / 1000000.0 AS nb_logprob,
+           cand_lang = true_lang AS correct
+    FROM best WHERE rn = 1
+    """,
+)
+def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, TRAIN + APPLY in
+    one job (the McCallum & Nigam '98 event model with Laplace α=1):
+    per-class token log-likelihoods ln((count+1)/(total_c+|V|)) and
+    log-priors from the corpus, then per-doc argmax — the trainable
+    complement of text_langid's fixed n-gram heuristic, and the same
+    shape as a fastText-style quality/domain classifier a curation
+    pipeline trains on weak labels.
+
+    FULLY RELATIONAL train+apply — no pivot to per-class columns, no
+    driver collect: the model is the (token × class) GRID relation
+    (dense via vocab ⨯ classes left-joined with counts, so
+    unseen-(token, class) smoothing terms exist as rows), scoring is
+    one join of exploded tokens against the grid followed by a
+    per-(doc, class) sum, and the argmax is a per-doc window with
+    integer compares. Every ln() term is quantized to micro-ints
+    BEFORE the additive reduce (order-invariant BIGINT sums, the
+    corpus idiom), so scores and decisions are engine-exact. Scale:
+    grid is |V|·|classes| (linear in vocab), scoring fan-out is
+    |token occurrences|·1 (the grid join matches each occurrence to
+    |classes| rows — still linear), and the final window partitions
+    by doc."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cls = toks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_toks"),
+    )
+    n_total = cls.agg(F.sum("n_docs").alias("n_total"))
+    vocab = toks.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))
+    cnt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        vocab.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "tok"], "left")
+        .select(
+            "tok",
+            "lang",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_toks") + F.col("vsize"))
+                )
+            )
+            .cast("long")
+            .alias("ll"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(n_total)).select(
+        "lang",
+        F.round(
+            F.lit(1000000.0) * F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    scores = (
+        toks.select("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .join(grid.select(F.col("lang").alias("cand_lang"), "tok", "ll"), "tok")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("ll").alias("ll_sum"))
+        .join(F.broadcast(prior.select(F.col("lang").alias("cand_lang"), "p")), "cand_lang")
+        .select(
+            "doc_id", "true_lang", "cand_lang", (F.col("p") + F.col("ll_sum")).alias("score_micro")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("true_lang").alias("lang"),
+            F.col("cand_lang").alias("pred_lang"),
+            (F.col("score_micro") / 1000000.0).alias("nb_logprob"),
+            (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
+        )
+    )

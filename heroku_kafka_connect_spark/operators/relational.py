@@ -5155,3 +5155,224 @@ def rel_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chi2_nano / 1000000000.0).alias("chi2"),
         (chi2_nano > 3841000000).alias("srm_detected"),
     )
+
+
+# ------------------------------------------------- r9: data-layout compaction planner
+
+
+@register(
+    "rel_compaction_plan",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM documents
+    ),
+    grp AS (SELECT lang, doc_id, n_chars, before // 4096 AS file_group FROM sized)
+    SELECT lang, CAST(file_group AS BIGINT) AS file_group,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM grp GROUP BY lang, file_group
+    """,
+)
+def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-pack step every
+    lakehouse table needs): within each partition (lang), pack docs in
+    stable doc_id order into target-size output files — file_group =
+    running-bytes-before // target — and emit the per-file manifest
+    (doc span, row count, bytes). Greedy streaming packing, the shape
+    an incremental compactor actually runs (bin-packing optimally is
+    NP-hard; ordered greedy is the production standard).
+
+    Scale: one window over (lang, doc_id) — partitioned by the layout
+    partition column, so no global sort — and one hash agg. All
+    BIGINT arithmetic (integer division on exact cumulative sums), so
+    group boundaries are engine-exact. Target here is 4096 chars
+    (fixture-sized); production uses 128 MB with the same plan."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = t.documents.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    )
+    return (
+        sized.withColumn("file_group", F.expr("before div 4096"))
+        .groupBy("lang", "file_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ------------------------------------------------- r9: l-diversity audit
+
+
+@register(
+    "rel_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    terms AS (
+      SELECT c_nationkey, n,
+             CAST(ROUND(-1000000.0
+                        * (CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_nationkey))
+                        * ln(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_nationkey)))
+                  AS BIGINT) AS h_term
+      FROM cls
+    ),
+    per AS (
+      SELECT c_nationkey,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+             CAST(SUM(h_term) AS BIGINT) AS h_micro
+      FROM terms GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_rows, distinct_sensitive,
+           h_micro / 1000000.0 AS entropy,
+           distinct_sensitive < 3 AS below_l
+    FROM per
+    """,
+)
+def rel_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. ICDE'06 — the
+    k-anonymity successor): within each quasi-identifier class
+    (nation), the SENSITIVE attribute (market segment) must take at
+    least l distinct values, else membership in the class leaks the
+    attribute. Emits per-class distinct-sensitive count, Shannon
+    entropy of the sensitive distribution (the entropy-l-diversity
+    variant), and the l=3 violation flag. Complements rel_k_anonymity
+    (class SIZE) — a class can be large yet homogeneous.
+
+    Determinism: each class's entropy terms -p·ln p are quantized to
+    micro-ints BEFORE the per-class sum (order-free BIGINT reduce);
+    the release decision is an integer compare on the distinct count.
+    Scale: two map-side-combinable hash aggs over tiny class
+    cardinalities (|nations| × |segments|)."""
+    t = load_tables(spark, sf_dir)
+    cls = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("c_nationkey")
+    p = F.col("n") / F.sum("n").over(wn)
+    term = F.round(F.lit(-1000000.0) * p * F.log(p)).cast("long")
+    per = cls.withColumn("h_term", term).groupBy("c_nationkey").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+        F.sum("h_term").cast("long").alias("h_micro"),
+    )
+    return per.select(
+        "c_nationkey",
+        "n_rows",
+        "distinct_sensitive",
+        (F.col("h_micro") / 1000000.0).alias("entropy"),
+        (F.col("distinct_sensitive") < 3).alias("below_l"),
+    )
+
+
+# ------------------------------------------------- r9: big-big interval overlap join
+
+
+@register(
+    "rel_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      -- the fixture carries only l_shipdate; transit time is derived
+      -- deterministically (1 + partkey mod 28 days), so both engines
+      -- build identical [ship, receipt] intervals in pure integers
+      SELECT l_suppkey AS supp, l_orderkey * 8 + l_linenumber AS line_id,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS s,
+             datediff('day', DATE '1970-01-01', l_shipdate)
+               + 1 + l_partkey % 28 AS e
+      FROM lineitem
+    ),
+    weeks AS (
+      SELECT supp, line_id, s, e, unnest(generate_series(s // 7, e // 7)) AS wk
+      FROM iv
+    ),
+    cand AS (
+      SELECT DISTINCT a.supp, a.line_id AS la, b.line_id AS lb,
+             a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+      FROM weeks a JOIN weeks b
+        ON a.supp = b.supp AND a.wk = b.wk AND a.line_id < b.line_id
+    ),
+    hits AS (SELECT supp, la, lb FROM cand WHERE sa <= eb AND sb <= ea)
+    SELECT i.supp AS l_suppkey,
+           CAST(COUNT(DISTINCT i.line_id) AS BIGINT) AS n_lines,
+           CAST(COALESCE(ANY_VALUE(h.n_pairs), 0) AS BIGINT) AS n_overlap_pairs
+    FROM iv i LEFT JOIN (SELECT supp, COUNT(*) AS n_pairs FROM hits GROUP BY supp) h
+      ON h.supp = i.supp
+    GROUP BY i.supp
+    """,
+)
+def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big INTERVAL OVERLAP join — per supplier, how many pairs of
+    its shipments were simultaneously in transit ([shipdate,
+    receiptdate] intervals overlapping). The missing sibling of
+    rel_join_range (tiny-side banding) and rel_asof_nearest (nearest
+    event): here BOTH sides are corpus-sized, so the only scalable
+    plan is interval BUCKETIZATION — explode each interval into its
+    covering week buckets, equi-join on (supplier, week), dedupe the
+    pair, then apply the EXACT overlap predicate. This is the
+    standard big-big range-join strategy (what Databricks' range-join
+    binning optimizer does under the hood), expressed with plain
+    DataFrame ops.
+
+    Scale: fan-out is linear (interval span / bucket width per row —
+    pick the bucket ~ median interval so the expansion stays small);
+    in-bucket pairs are bounded by per-(supplier, week) concurrency,
+    never corpus². All-integer epoch-day/week arithmetic, so bucket
+    assignment and the overlap predicate are engine-exact; no floats
+    anywhere. The LEFT join back to per-supplier interval counts
+    keeps zero-overlap suppliers in the report."""
+    t = load_tables(spark, sf_dir)
+    iv = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_id"),
+        F.datediff("l_shipdate", F.lit("1970-01-01")).alias("s"),
+        (
+            F.datediff("l_shipdate", F.lit("1970-01-01"))
+            + 1
+            + F.col("l_partkey") % 28
+        ).alias("e"),
+    )
+    weeks = iv.select(
+        "supp",
+        "line_id",
+        "s",
+        "e",
+        F.explode(F.sequence(F.expr("s div 7"), F.expr("e div 7"))).alias("wk"),
+    )
+    a = weeks.select(
+        "supp", "wk",
+        F.col("line_id").alias("la"), F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = weeks.select(
+        F.col("supp").alias("supp_b"), F.col("wk").alias("wk_b"),
+        F.col("line_id").alias("lb"), F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    cand = (
+        a.join(b, (a.supp == b.supp_b) & (a.wk == b.wk_b) & (a.la < b.lb))
+        .select("supp", "la", "lb", "sa", "ea", "sb", "eb")
+        .distinct()
+    )
+    hits = cand.filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+    per_supp = hits.groupBy("supp").agg(F.count(F.lit(1)).alias("n_pairs"))
+    base = iv.groupBy("supp").agg(F.count_distinct("line_id").alias("n_lines"))
+    return base.join(per_supp, "supp", "left").select(
+        F.col("supp").alias("l_suppkey"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_overlap_pairs"),
+    )

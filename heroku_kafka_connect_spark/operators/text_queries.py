@@ -1319,3 +1319,110 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_nano").cast("double") / 1000.0).cast("long") / 1000000.0
         ).alias("jsd"),
     )
+
+
+# ------------------------------------------------- r9: exact set-similarity join (prefix filter)
+
+
+@register(
+    "text_setjoin_prefix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS ts
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY tok
+    ),
+    ordered AS (
+      SELECT x.doc_id,
+             array_agg(x.tok ORDER BY f.df, x.tok) AS arr,
+             COUNT(*) AS sz
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) x
+      JOIN freq f ON f.tok = x.tok
+      GROUP BY x.doc_id
+    ),
+    pref AS (
+      SELECT doc_id, sz, unnest(arr[1:(sz // 2 + 1)]) AS ptok FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM pref a JOIN pref b
+        ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+      WHERE 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz)
+    ),
+    ver AS (
+      SELECT c.a, c.b,
+             ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jaccard
+      FROM cand c JOIN toks ta ON ta.doc_id = c.a JOIN toks tb ON tb.doc_id = c.b
+    )
+    SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def text_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (Chaudhuri
+    et al. ICDE'06; Xiao et al. WWW'08 PPJoin): 3-shingle-set Jaccard
+    ≥ 0.5 pairs with NO false negatives and no all-pairs scan — the
+    exact-answer complement of the MinHash family: the SAME shingle
+    definition and threshold as llm_dedup_near, but guaranteed-
+    complete where MinHash banding is probabilistic (what it finds
+    beyond llm_dedup_near's pairs is exactly LSH's false-negative
+    mass — tests/test_round9_ops.py pins the superset relation).
+
+    Prefix principle: order every doc's tokens by ascending global
+    document frequency (rarest first, ties by token); two sets with
+    Jaccard ≥ τ MUST share at least one token in their first
+    |s| − ⌈τ·|s|⌉ + 1 tokens, so equi-joining on PREFIX tokens only
+    is a complete candidate generator. With τ = 1/2 the prefix length
+    is the pure-integer |s|//2 + 1 (no float ceil to diverge). The
+    size filter 2·min ≥ max (Jaccard ≥ τ ⟹ |smaller|/|larger| ≥ τ)
+    is applied on the join, and exact Jaccard verifies.
+
+    Scale: prefixes are the RARE tokens, so join blocks are small by
+    construction (a token with document frequency d produces ≤ d²/2
+    in-block pairs, and frequent tokens never reach any prefix);
+    candidate mass tracks true similarity, not corpus². One token-
+    frequency agg + one prefix equi-join + one verify join — all
+    hash-partitioned, no windows, no driver hops."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", llmops.shingles("text", 3).alias("ts"))
+    ex = toks.select("doc_id", F.explode("ts").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    pref = ordered.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("arr", 1, (F.col("sz") / 2).cast("int") + 1)).alias("ptok"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "ptok"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("b"), F.col("sz").alias("szb"), F.col("ptok").alias("ptok_b")
+    )
+    cand = (
+        a.join(b, (a.ptok == b.ptok_b) & (a.a < b.b))
+        .filter(2 * F.least("sza", "szb") >= F.greatest("sza", "szb"))
+        .select("a", "b")
+        .distinct()
+    )
+    ver = (
+        cand.join(toks.select(F.col("doc_id").alias("a"), F.col("ts").alias("ta")), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), F.col("ts").alias("tb")), "b")
+        .withColumn("jaccard", llmops.jaccard(F.col("ta"), F.col("tb")))
+    )
+    return ver.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")

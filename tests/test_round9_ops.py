@@ -148,6 +148,27 @@ class TestEntityMatchBlocking:
         assert got == want
 
 
+class TestExactSetJoinVsMinHash:
+    """text_setjoin_prefix (exact, prefix-filtered) must find every
+    pair the probabilistic MinHash path finds — same shingles, same
+    threshold — and its surplus is exactly LSH's false-negative
+    mass."""
+
+    def test_exact_join_is_superset_of_lsh_pairs(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        exact = {
+            (r["a"], r["b"])
+            for r in all_queries()["text_setjoin_prefix"].fn(spark, sf_dir).collect()
+        }
+        lsh = {
+            (r["a"], r["b"])
+            for r in all_queries()["llm_dedup_near"].fn(spark, sf_dir).collect()
+        }
+        assert lsh <= exact
+        assert len(exact) > 0
+
+
 class TestBoundedCollectGuards:
     """Round-8 verdict #3: the bounded-collect contract is code."""
 
