@@ -115,6 +115,10 @@ BNLJ_OK = {
                           # into the single summary row — constant size
     "text_bm25_topk",     # corpus stats (N, total dl) = 1-row broadcast
                           # into the idf/avgdl expressions
+    "llm_nb_langid",      # NB model grid: vocab x |classes|-row broadcast
+                          # (class stats + 1-row vocab size + 1-row doc
+                          # total) — alphabet-bounded broadcasts, never
+                          # corpus-sized
     "llm_perplexity_buckets",  # token total + doc total: two 1-row
                           # broadcasts into p(w) and the decile divisor
     "llm_bpe_train",      # per merge round: the 1-row argmax pair

@@ -162,3 +162,96 @@ def test_minhash_hot_bucket_cap_at_volume(spark):
     overflow = llmops.minhash_lsh_overflow(docs, max_bucket=256)
     hot = overflow.select("n_ids").collect()
     assert hot and max(r.n_ids for r in hot) == n_boiler
+
+
+@pytest.mark.slow
+def test_fastss_entity_match_shape_at_10x(spark):
+    """r9: the FastSS deletion-neighborhood entity matcher at 10× the
+    sf0.1 customer count (150k masters / 50k dirty). The variant
+    fan-out is linear (~170 short strings per row) and the equi-join
+    key is nearly unique, so the wall must grow ~linearly — this is
+    the smoke that distinguishes the r9 plan from the nation-block
+    quadratic it replaced (which would do 100× the sf0.1 Levenshtein
+    work here, ~300M pairs)."""
+    from heroku_kafka_connect_spark.operators.relational import (
+        _deletion_variants_sql,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    parts = []
+    for i in range(COPIES):
+        k = F.col("c_custkey") + F.lit(i * 10_000_000)
+        parts.append(
+            t.customer.select(
+                k.alias("c_custkey"),
+                # rebuild the name from the NEW key so replication adds
+                # distinct entities, not 10 copies of each name
+                F.concat(
+                    F.lit("Customer#"), F.lpad((k % 1_000_000_000).cast("string"), 9, "0")
+                ).alias("c_name"),
+                "c_nationkey",
+            )
+        )
+    cust = parts[0]
+    for p in parts[1:]:
+        cust = cust.unionByName(p)
+    par = spark.sparkContext.defaultParallelism
+    cust = cust.repartition(par, "c_custkey")
+
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, 8 + c_custkey % 9)"),
+            F.expr("substr(c_name, CAST(10 + c_custkey % 9 AS INT))"),
+        ).alias("dirty_name"),
+    )
+    dv = dirty.select(
+        "dirty_id", "d_nationkey", "dirty_name",
+        F.explode(F.expr(_deletion_variants_sql("dirty_name"))).alias("v"),
+    ).withColumn("v", F.xxhash64("v"))
+    mv = cust.select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.explode(F.expr(_deletion_variants_sql("c_name"))).alias("mv"),
+    ).withColumn("mv", F.xxhash64("mv"))
+    cand = (
+        dv.join(mv, (dv.d_nationkey == mv.c_nationkey) & (dv.v == mv.mv))
+        .filter(F.abs(F.length("dirty_name") - F.length("c_name")) <= 1)
+        .select("dirty_id", "dirty_name", "c_custkey", "c_name")
+        .distinct()
+        .withColumn("dist", F.levenshtein("dirty_name", "c_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    t0 = time.time()
+    n_verified = cand.count()
+    wall = time.time() - t0
+    # every dirty record's true master must be among the verified pairs
+    assert n_verified >= 50_000
+    assert wall < 90, f"FastSS entity match at 10x took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_lsh_blocked_semantic_pairs_at_20x(spark):
+    """r9: the (label, LSH-bucket)-blocked semantic pair generator on
+    20× the sf0.01 vector count (10k synthetic 64-d vectors). The
+    label-block all-pairs it replaced would compare 5M pairs here;
+    the bucketed plan's candidate mass is n²·L/2^P per label — and
+    the smoke asserts the whole candidate+verify pass completes in
+    bounded time with the production parameters."""
+    from heroku_kafka_connect_spark.operators.llm import _embedding_cosine_pairs
+
+    vecs = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("int").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "(xxhash64(concat(cast(id AS STRING), ':', cast(d AS STRING))) % 1000)"
+            " / 1000.0E0 + 0.0005E0)"
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    pairs = _embedding_cosine_pairs(vecs)
+    n = pairs.count()
+    wall = time.time() - t0
+    assert n >= 0  # uniform-random vectors: few/no pairs >= 0.35 expected
+    assert wall < 120, f"LSH-blocked semantic pairs at 10k vectors took {wall:.0f}s"
