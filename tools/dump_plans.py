@@ -37,7 +37,7 @@ EXTRA = [
     "stream_static_enrich",  # fact side unshuffled through 2 dims
     "src_python_datasource",  # custom source: BatchScan over generator
     "llm_kmeans_train",    # iterative: k-centroid broadcast per Lloyd round
-    "llm_dedup_semantic",  # blocked cosine pairs -> CC manifest
+    "llm_dedup_semantic",  # (label, LSH-bucket)-blocked cosine pairs -> CC manifest
     "rel_window_range_frame",  # value-bounded RANGE frame, one window shuffle
     "rel_variant_json",    # parse_json once, typed variant_get paths
     "rel_join_bucketed",   # co-bucketed SMJ: only exchange is the final agg
@@ -77,7 +77,11 @@ EXTRA = [
     "llm_hamming_rerank",  # codes-only bit_count prefilter, vectors joined
                            # back for top-32 candidates only
     "llm_unigram_tokenizer_em",  # piece-table broadcast chain, integer DP
-    "rel_entity_match",    # equi-join blocking, length prefilter BEFORE edit dist
+    "rel_entity_match",    # FastSS deletion-variant equi-join, lev only on survivors
+    "text_setjoin_prefix",  # r9: prefix-filtered exact set-sim join (rare-token blocks)
+    "rel_interval_overlap", # r9: week-bucketized big-big interval overlap join
+    "llm_nb_langid",        # r9: relational NB grid join, alphabet-bounded broadcasts
+    "llm_dedup_apply_full", # r9: three-rung manifest (memoized inputs -> one CC + joins)
     "rel_survival_km",     # two map-side per-user MIN aggs -> |durations| KM fold
     "rel_attribution_last_touch",  # ONE user-partitioned window, linear in events
     "rel_markov_transitions",  # user-partitioned lag; normalizer on the 25-row matrix
