@@ -5130,3 +5130,203 @@ def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs",
         prec.alias("precision"),
     )
+
+
+# ------------------------------------------------- r9: IVF list-balance audit
+
+
+def _ivf_balance_oracle(n_centroids: int = 16) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id ASC LIMIT {n_centroids}
+    ),
+    asg AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.v', b='c.cv')} DESC, c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e),
+    lists AS (
+      SELECT c.centroid_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+      FROM cents c LEFT JOIN asg a ON a.centroid_id = c.centroid_id
+      GROUP BY c.centroid_id
+    )
+    SELECT centroid_id, n_vecs,
+           CAST(ROUND(1000000.0 * n_vecs / n.n_total) AS BIGINT) / 1000000.0 AS share,
+           CAST(ROUND(1000000.0 * n_vecs * {n_centroids} / n.n_total) AS BIGINT) / 1000000.0
+             AS load_x_mean,
+           n_vecs * {n_centroids} > 2 * n.n_total AS hot
+    FROM lists CROSS JOIN n
+    """
+
+
+@register("llm_ivf_balance", oracle=_ivf_balance_oracle())
+def llm_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list BALANCE audit — the operational health check
+    every ANN index needs before it serves traffic: per-centroid list
+    size, corpus share, load-vs-mean factor, and a hot flag (> 2× the
+    mean list). A skewed list is to IVF what a hot key is to a join:
+    probe latency concentrates on it, and the fix (re-train, split
+    the list, or spill members to neighbors) must be driven by this
+    exact report. Empty lists still appear (LEFT join from the
+    centroid relation) — they waste probe budget silently otherwise.
+
+    Determinism: deterministic smallest-id centroid init (the
+    oracle-checkable pattern shared with llm_knn_ivf), integer count
+    compares for the hot flag, micro-int rounding for the shares.
+    Scale: assignment is the zero-shuffle literal-centroid projection
+    (vectors.ivf_assign); the audit adds ONE |centroids|-row agg."""
+    from ..functions.vectors import _ivf_centroids, ivf_assign
+
+    t = load_tables(spark, sf_dir)
+    n_centroids = 16
+    cents = _ivf_centroids(
+        t.embeddings, vec_col="embedding", id_col="vec_id", n_centroids=n_centroids
+    )
+    asg = ivf_assign(t.embeddings, n_centroids=n_centroids, cents=cents)
+    n_total = t.embeddings.agg(F.count(F.lit(1)).alias("n_total"))
+    lists = (
+        cents.select("centroid_id")
+        .join(asg.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("nv")), "centroid_id", "left")
+        .select("centroid_id", F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("n_vecs"))
+    )
+    out = lists.crossJoin(F.broadcast(n_total))
+    return out.select(
+        "centroid_id",
+        "n_vecs",
+        (F.round(F.lit(1000000.0) * F.col("n_vecs") / F.col("n_total")).cast("long") / 1000000.0).alias("share"),
+        (
+            F.round(F.lit(1000000.0) * F.col("n_vecs") * n_centroids / F.col("n_total")).cast("long")
+            / 1000000.0
+        ).alias("load_x_mean"),
+        (F.col("n_vecs") * n_centroids > 2 * F.col("n_total")).alias("hot"),
+    )
+
+
+# ------------------------------------------------- r9: ROUGE audit of the dedup discard
+
+
+_ROUGE_ORACLE = _MANIFEST_CTES + """
+    , nd AS (
+      SELECT doc_id, canonical_id FROM manifest WHERE reason = 'near'
+    ),
+    grams AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                               FOR i IN range(1, greatest(len(t) - 1, 1) + 1)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      ) GROUP BY doc_id, g
+    ),
+    ov AS (
+      -- least() SKIPS NULLs in both engines, so an unmatched gram
+      -- (gr.c IS NULL) must clip to 0 explicitly, not to gc.c
+      SELECT nd.doc_id, nd.canonical_id,
+             CAST(SUM(least(gc.c, COALESCE(gr.c, 0))) AS BIGINT) AS ov2,
+             CAST(ANY_VALUE(tc.n) AS BIGINT) AS nc,
+             CAST(ANY_VALUE(tr.n) AS BIGINT) AS nr
+      FROM nd
+      JOIN (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM grams GROUP BY doc_id) tc
+        ON tc.doc_id = nd.doc_id
+      JOIN (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM grams GROUP BY doc_id) tr
+        ON tr.doc_id = nd.canonical_id
+      LEFT JOIN grams gc ON gc.doc_id = nd.doc_id
+      LEFT JOIN grams gr ON gr.doc_id = nd.canonical_id AND gr.g = gc.g
+      GROUP BY nd.doc_id, nd.canonical_id
+    )
+    SELECT doc_id, canonical_id,
+           CAST(COALESCE(ov2, 0) AS BIGINT) AS overlap_bigrams,
+           nc AS n_bigrams_doc, nr AS n_bigrams_canon,
+           CAST(ROUND(1000000.0 * COALESCE(ov2, 0) / nc) AS BIGINT) / 1000000.0 AS rouge2_p,
+           CAST(ROUND(1000000.0 * COALESCE(ov2, 0) / nr) AS BIGINT) / 1000000.0 AS rouge2_r,
+           CAST(ROUND(2000000.0 * COALESCE(ov2, 0) / (nc + nr)) AS BIGINT) / 1000000.0 AS rouge2_f
+    FROM ov
+    """
+
+
+@register("llm_rouge_vs_canonical", oracle=_ROUGE_ORACLE)
+def llm_rouge_vs_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 audit of what near-dedup DISCARDS (Lin, ACL'04 WAS
+    workshop): for every doc the lexical manifest drops as 'near',
+    the clipped-bigram overlap against its surviving canonical —
+    precision (how much of the dropped doc the canonical retains),
+    recall, and F1 = 2·overlap/(nc+nr). A low-F 'near' row is a
+    FALSE near-duplicate: content is being deleted, and this is the
+    report a curation pipeline reviews before committing a threshold.
+
+    Determinism: clipped counts are exact BIGINTs (multiset
+    intersection = Σ least(c_doc, c_canon), from one bigram-count agg
+    joined pair-wise); P/R/F are round-to-integer micro ratios —
+    F1's harmonic form with shared numerator needs no float
+    intermediate. Scale: one bigram-count agg over the corpus (the
+    token-stats shape), then joins keyed on the ~|near-dups| pair
+    relation, which is dedup-output-sized, not corpus-sized."""
+    t = load_tables(spark, sf_dir)
+    m = _dedup_manifest_for(spark, sf_dir, t.documents)
+    nd = m.filter(F.col("reason") == "near").select("doc_id", "canonical_id")
+    toks = t.documents.select("doc_id", F.split("text", " ").alias("ts"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ts) - 1, 1)), "
+                    "i -> array_join(slice(ts, i, 2), ' '))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    gc = grams.select(F.col("doc_id").alias("doc_id"), "g", F.col("c").alias("cc"))
+    gr = grams.select(F.col("doc_id").alias("canonical_id"), "g", F.col("c").alias("cr"))
+    ov = (
+        nd.join(gc, "doc_id")
+        .join(gr, ["canonical_id", "g"], "left")
+        .groupBy("doc_id", "canonical_id")
+        # least() skips NULLs in Spark too — clip unmatched grams to 0
+        .agg(
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0))))
+            .cast("long")
+            .alias("ov2")
+        )
+    )
+    out = (
+        nd.join(ov, ["doc_id", "canonical_id"], "left")
+        .join(totals.select(F.col("doc_id"), F.col("n").alias("nc")), "doc_id")
+        .join(
+            totals.select(F.col("doc_id").alias("canonical_id"), F.col("n").alias("nr")),
+            "canonical_id",
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.coalesce(F.col("ov2"), F.lit(0)).cast("long").alias("overlap_bigrams"),
+            F.col("nc").alias("n_bigrams_doc"),
+            F.col("nr").alias("n_bigrams_canon"),
+        )
+    )
+    ovc = F.col("overlap_bigrams")
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        "overlap_bigrams",
+        "n_bigrams_doc",
+        "n_bigrams_canon",
+        (F.round(F.lit(1000000.0) * ovc / F.col("n_bigrams_doc")).cast("long") / 1000000.0).alias("rouge2_p"),
+        (F.round(F.lit(1000000.0) * ovc / F.col("n_bigrams_canon")).cast("long") / 1000000.0).alias("rouge2_r"),
+        (
+            F.round(F.lit(2000000.0) * ovc / (F.col("n_bigrams_doc") + F.col("n_bigrams_canon"))).cast("long")
+            / 1000000.0
+        ).alias("rouge2_f"),
+    )

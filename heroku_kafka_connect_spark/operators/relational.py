@@ -5376,3 +5376,112 @@ def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("long").alias("n_lines"),
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_overlap_pairs"),
     )
+
+
+# ------------------------------------------------- r9: weekly growth accounting
+
+
+@register(
+    "rel_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(wk) AS first_wk FROM act GROUP BY user_id),
+    status AS (
+      SELECT a.wk, a.user_id,
+             CASE WHEN a.wk = f.first_wk THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS st
+      FROM act a
+      JOIN firsts f ON f.user_id = a.user_id
+      LEFT JOIN act p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+    ),
+    churn AS (
+      SELECT a.wk + 1 AS wk, COUNT(*) AS n_churned
+      FROM act a
+      LEFT JOIN act nx ON nx.user_id = a.user_id AND nx.wk = a.wk + 1
+      WHERE nx.user_id IS NULL AND a.wk < (SELECT MAX(wk) FROM act)
+      GROUP BY a.wk + 1
+    ),
+    agg AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM status GROUP BY wk
+    )
+    SELECT g.wk, g.n_new, g.n_retained, g.n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+           g.n_new + g.n_resurrected - CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS net_growth
+    FROM agg g LEFT JOIN churn c ON c.wk = g.wk
+    """,
+)
+def rel_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly GROWTH ACCOUNTING (the Social-Capital/a16z standard
+    decomposition): every active user each week is exactly one of
+    new (first week ever), retained (also active last week), or
+    resurrected (active, inactive last week, not new); churned(w) =
+    users active in w−1 and silent in w. The identity
+    active(w) = new + retained + resurrected and
+    net_growth = new + resurrected − churned is the canonical
+    health readout behind DAU/WAU curves — finer than
+    rel_new_vs_returning (which folds resurrected into returning)
+    and the input to the quick ratio.
+
+    Scale: one DISTINCT to (user, week) grain — the only
+    corpus-sized shuffle; the first-week agg and the two
+    self-alignments key on (user, week±1), all equi-joins at
+    user-week grain. Pure integer epoch-week arithmetic (the
+    dayofweek/tz traps never enter); churn for the final week is
+    undefined (no w+1 observation) and excluded on BOTH engines."""
+    t = load_tables(spark, sf_dir)
+    act = (
+        t.events.select(
+            "user_id",
+            F.expr(
+                "datediff(cast(date_trunc('day', ts) AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = act.select("user_id", (F.col("wk") + 1).alias("wk"), F.lit(1).alias("had_prev"))
+    status = (
+        act.join(firsts, "user_id")
+        .join(prev, ["user_id", "wk"], "left")
+        .select(
+            "wk",
+            F.when(F.col("wk") == F.col("first_wk"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("st"),
+        )
+    )
+    agg = status.groupBy("wk").agg(
+        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("st") == "retained", 1).otherwise(0)).cast("long").alias("n_retained"),
+        F.sum(F.when(F.col("st") == "resurrected", 1).otherwise(0)).cast("long").alias("n_resurrected"),
+    )
+    max_wk = act.agg(F.max("wk").alias("max_wk"))
+    nxt = act.select("user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("has_next"))
+    churn = (
+        act.join(nxt, ["user_id", "wk"], "left")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("has_next").isNull() & (F.col("wk") < F.col("max_wk")))
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return agg.join(churn, "wk", "left").select(
+        "wk",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+        (
+            F.col("n_new") + F.col("n_resurrected")
+            - F.coalesce(F.col("n_churned"), F.lit(0))
+        ).cast("long").alias("net_growth"),
+    )
