@@ -5302,13 +5302,17 @@ def rel_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT supp, line_id, s, e, unnest(generate_series(s // 7, e // 7)) AS wk
       FROM iv
     ),
-    cand AS (
-      SELECT DISTINCT a.supp, a.line_id AS la, b.line_id AS lb,
-             a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+    hits AS (
+      -- no DISTINCT: an overlapping pair is emitted ONLY at the week
+      -- of greatest(sa, sb) — both intervals contain that day (it is
+      -- <= least(ea, eb) iff they overlap), so each true pair matches
+      -- exactly once; non-overlapping pairs fail the predicate
+      SELECT a.supp, a.line_id AS la, b.line_id AS lb
       FROM weeks a JOIN weeks b
         ON a.supp = b.supp AND a.wk = b.wk AND a.line_id < b.line_id
-    ),
-    hits AS (SELECT supp, la, lb FROM cand WHERE sa <= eb AND sb <= ea)
+      WHERE a.s <= b.e AND b.s <= a.e
+        AND a.wk = greatest(a.s, b.s) // 7
+    )
     SELECT i.supp AS l_suppkey,
            CAST(COUNT(DISTINCT i.line_id) AS BIGINT) AS n_lines,
            CAST(COALESCE(ANY_VALUE(h.n_pairs), 0) AS BIGINT) AS n_overlap_pairs
@@ -5348,7 +5352,12 @@ def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("l_partkey") % 28
         ).alias("e"),
     )
-    weeks = iv.select(
+    from .common import parallelize_scan
+
+    # spread the narrow projection before the week fan-out (one small
+    # parquet file = one task otherwise; on a cluster the scan arrives
+    # pre-split and this is a cheap 4-column shuffle)
+    weeks = parallelize_scan(iv, "line_id").select(
         "supp",
         "line_id",
         "s",
@@ -5363,12 +5372,18 @@ def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp").alias("supp_b"), F.col("wk").alias("wk_b"),
         F.col("line_id").alias("lb"), F.col("s").alias("sb"), F.col("e").alias("eb"),
     )
-    cand = (
+    # no DISTINCT: each overlapping pair is emitted only at the week of
+    # greatest(sa, sb) — both intervals contain that day iff they
+    # overlap — so the wide pair-dedup exchange disappears entirely
+    hits = (
         a.join(b, (a.supp == b.supp_b) & (a.wk == b.wk_b) & (a.la < b.lb))
-        .select("supp", "la", "lb", "sa", "ea", "sb", "eb")
-        .distinct()
+        .filter(
+            (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (F.col("wk") == F.expr("greatest(sa, sb) div 7"))
+        )
+        .select("supp", "la", "lb")
     )
-    hits = cand.filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
     per_supp = hits.groupBy("supp").agg(F.count(F.lit(1)).alias("n_pairs"))
     base = iv.groupBy("supp").agg(F.count_distinct("line_id").alias("n_lines"))
     return base.join(per_supp, "supp", "left").select(

@@ -1326,38 +1326,39 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_setjoin_prefix",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ')
-                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS ts
+             list_distinct([{llmops.sql_hex32("array_to_string(t[i:i+2], ' ')")}
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS hs
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     ),
-    freq AS (
-      SELECT tok, COUNT(*) AS df
-      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY tok
-    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM toks),
+    freq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
     ordered AS (
       SELECT x.doc_id,
-             array_agg(x.tok ORDER BY f.df, x.tok) AS arr,
+             array_agg(x.h ORDER BY f.df, x.h) AS arr,
              COUNT(*) AS sz
-      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) x
-      JOIN freq f ON f.tok = x.tok
+      FROM ex x JOIN freq f ON f.h = x.h
       GROUP BY x.doc_id
     ),
     pref AS (
-      SELECT doc_id, sz, unnest(arr[1:(sz // 2 + 1)]) AS ptok FROM ordered
+      SELECT doc_id, sz,
+             unnest(arr[1:(sz // 2 + 1)]) AS ph,
+             unnest(generate_series(1, len(arr[1:(sz // 2 + 1)]))) AS p
+      FROM ordered
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       FROM pref a JOIN pref b
-        ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+        ON a.ph = b.ph AND a.doc_id < b.doc_id
       WHERE 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz)
+        AND 3 * (1 + least(a.sz - a.p, b.sz - b.p)) >= a.sz + b.sz
     ),
     ver AS (
       SELECT c.a, c.b,
-             ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                   / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jaccard
+             ROUND(CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.hs, tb.hs))), 4) AS jaccard
       FROM cand c JOIN toks ta ON ta.doc_id = c.a JOIN toks tb ON tb.doc_id = c.b
     )
     SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5
@@ -1366,39 +1367,50 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join with PREFIX FILTERING (Chaudhuri
     et al. ICDE'06; Xiao et al. WWW'08 PPJoin): 3-shingle-set Jaccard
-    ≥ 0.5 pairs with NO false negatives and no all-pairs scan — the
+    >= 0.5 pairs with NO false negatives and no all-pairs scan — the
     exact-answer complement of the MinHash family: the SAME shingle
     definition and threshold as llm_dedup_near, but guaranteed-
     complete where MinHash banding is probabilistic (what it finds
     beyond llm_dedup_near's pairs is exactly LSH's false-negative
     mass — tests/test_round9_ops.py pins the superset relation).
 
-    Prefix principle: order every doc's tokens by ascending global
-    document frequency (rarest first, ties by token); two sets with
-    Jaccard ≥ τ MUST share at least one token in their first
-    |s| − ⌈τ·|s|⌉ + 1 tokens, so equi-joining on PREFIX tokens only
-    is a complete candidate generator. With τ = 1/2 the prefix length
-    is the pure-integer |s|//2 + 1 (no float ceil to diverge). The
-    size filter 2·min ≥ max (Jaccard ≥ τ ⟹ |smaller|/|larger| ≥ τ)
-    is applied on the join, and exact Jaccard verifies.
+    Prefix principle: order every doc's shingles by ascending global
+    document frequency (rarest first, ties by the cross-engine hex32
+    key); two sets with Jaccard >= tau MUST share a token in their
+    first |s| - ceil(tau*|s|) + 1 tokens, so equi-joining on PREFIX
+    tokens only is a complete candidate generator — with tau = 1/2
+    the prefix length is the pure-integer |s|//2 + 1. Three
+    candidate-killers, all integer-exact and all completeness-
+    preserving: the size filter 2*min >= max; PPJoin's POSITIONAL
+    filter (a match at prefix positions (pa, pb) caps the possible
+    overlap at 1 + min(sza-pa, szb-pb), and Jaccard >= 1/2 needs
+    3*overlap >= sza+szb); and the exact-Jaccard verify.
 
-    Scale: prefixes are the RARE tokens, so join blocks are small by
-    construction (a token with document frequency d produces ≤ d²/2
-    in-block pairs, and frequent tokens never reach any prefix);
-    candidate mass tracks true similarity, not corpus². One token-
-    frequency agg + one prefix equi-join + one verify join — all
-    hash-partitioned, no windows, no driver hops."""
+    Engineering: shingles ride the cross-engine hex32 LONG everywhere
+    (frequency agg, ordering ties, the prefix equi-join, the verify
+    intersections) — integer shuffles and integer set-intersects, no
+    long-string keys; the scan is spread before the shingle explode
+    (one small parquet file = one task otherwise). Scale: prefixes
+    are the RARE tokens, so join blocks are small by construction;
+    candidate mass tracks true similarity, not corpus squared."""
+    from .common import parallelize_scan
+
     t = load_tables(spark, sf_dir)
-    toks = t.documents.select("doc_id", llmops.shingles("text", 3).alias("ts"))
-    ex = toks.select("doc_id", F.explode("ts").alias("tok"))
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    docs = parallelize_scan(t.documents.select("doc_id", "text"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(llmops.shingles("text", 3), lambda s: llmops.hex32(s))
+        ).alias("hs"),
+    )
+    ex = toks.select("doc_id", F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        ex.join(freq, "tok")
+        ex.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda s: s["tok"],
+                F.array_sort(F.collect_list(F.struct("df", "h"))), lambda s: s["h"]
             ).alias("arr"),
             F.count(F.lit(1)).alias("sz"),
         )
@@ -1406,23 +1418,32 @@ def text_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = ordered.select(
         "doc_id",
         "sz",
-        F.explode(F.slice("arr", 1, (F.col("sz") / 2).cast("int") + 1)).alias("ptok"),
-    )
+        F.posexplode(F.slice("arr", 1, (F.col("sz") / 2).cast("int") + 1)).alias(
+            "p0", "ph"
+        ),
+    ).select("doc_id", "sz", "ph", (F.col("p0") + 1).alias("p"))
     a = pref.select(
-        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "ptok"
+        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "ph", F.col("p").alias("pa")
     )
     b = pref.select(
-        F.col("doc_id").alias("b"), F.col("sz").alias("szb"), F.col("ptok").alias("ptok_b")
+        F.col("doc_id").alias("b"),
+        F.col("sz").alias("szb"),
+        F.col("ph").alias("ph_b"),
+        F.col("p").alias("pb"),
     )
     cand = (
-        a.join(b, (a.ptok == b.ptok_b) & (a.a < b.b))
+        a.join(b, (a.ph == b.ph_b) & (a.a < b.b))
         .filter(2 * F.least("sza", "szb") >= F.greatest("sza", "szb"))
+        .filter(
+            3 * (1 + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")))
+            >= F.col("sza") + F.col("szb")
+        )
         .select("a", "b")
         .distinct()
     )
     ver = (
-        cand.join(toks.select(F.col("doc_id").alias("a"), F.col("ts").alias("ta")), "a")
-        .join(toks.select(F.col("doc_id").alias("b"), F.col("ts").alias("tb")), "b")
+        cand.join(toks.select(F.col("doc_id").alias("a"), F.col("hs").alias("ta")), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), F.col("hs").alias("tb")), "b")
         .withColumn("jaccard", llmops.jaccard(F.col("ta"), F.col("tb")))
     )
     return ver.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
