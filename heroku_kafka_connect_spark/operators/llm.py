@@ -5330,3 +5330,147 @@ def llm_rouge_vs_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("rouge2_f"),
     )
+
+
+# ------------------------------------------------- r9: NEAR-DUP eval decontamination
+
+
+def _contamination_near_oracle(
+    bands: int = 8, rows: int = 4, threshold: float = 0.3, max_bucket: int = 256
+) -> str:
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
+        for i, (a, b) in enumerate(llmops.AFFINE[:k])
+    )
+    keys = ",\n        ".join(
+        "md5(concat_ws(',', '{j}', {ms}))".format(
+            j=j, ms=", ".join(f"m{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, source = 'src1' AS is_eval,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+    ),
+    xs AS (
+      SELECT doc_id, is_eval, {_SQL_HEX32.format(x='s')} AS x
+      FROM (SELECT doc_id, is_eval, unnest(sh) AS s FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id, is_eval,
+           {mins}
+      FROM xs GROUP BY doc_id, is_eval
+    ),
+    banded AS (
+      SELECT doc_id, is_eval, unnest([
+        {keys}
+      ]) AS key FROM mins
+    ),
+    ok AS (
+      SELECT key FROM banded GROUP BY key
+      HAVING COUNT(*) <= {max_bucket}
+         AND SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) >= 1
+         AND SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) >= 1
+    ),
+    cand AS (
+      SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+      FROM banded e JOIN banded t ON e.key = t.key
+      WHERE e.is_eval AND NOT t.is_eval
+        AND e.key IN (SELECT key FROM ok)
+    ),
+    ver AS (
+      SELECT c.eval_id, c.train_id,
+             ROUND(CAST(len(list_intersect(se.sh, st.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(se.sh, st.sh))), 4) AS jaccard
+      FROM cand c JOIN sh se ON se.doc_id = c.eval_id
+                  JOIN sh st ON st.doc_id = c.train_id
+    )
+    SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_neardups,
+           MAX(jaccard) AS max_jaccard
+    FROM ver WHERE jaccard >= {threshold}
+    GROUP BY eval_id
+    """
+
+
+@register("llm_contamination_near", oracle=_contamination_near_oracle())
+def llm_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate eval decontamination (the GPT-3/Brown et al.
+    appendix-C class of check, done with MinHash instead of exact
+    n-grams): eval docs (source='src1', the same benchmark stand-in
+    as `llm_contamination`) whose TRAINING-side near-duplicates at
+    Jaccard ≥ 0.3 exist — paraphrased/reformatted benchmark leakage
+    that the exact 4-gram collision query cannot see. Reports, per
+    contaminated eval doc, how many train docs are implicated and
+    the worst Jaccard.
+
+    Plan: ONE banding pass over the whole corpus carrying an is_eval
+    flag — never two sketch builds; buckets must contain BOTH sides
+    to emit candidates (same hot-bucket cap as production), pairs are
+    eval×train only (never train×train — that is the dedup family's
+    job), and exact Jaccard verifies. Same md5+affine family, so the
+    oracle replays the entire sketch."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        t.documents.filter(F.col("text").isNotNull())
+        .repartition(par, "doc_id")
+        .select("doc_id", (F.col("source") == "src1").alias("is_eval"), "text")
+    )
+    sh = docs.select("doc_id", "is_eval", llmops.shingles("text", 3).alias("__sh"))
+    mins = llmops.minhash_signatures(
+        sh.select(F.col("doc_id").alias("__id"), F.col("__sh")), 32
+    ).join(docs.select(F.col("doc_id").alias("__id"), "is_eval"), "__id")
+    bands, rows = 8, 4
+    banded = mins.select(
+        "__id",
+        "is_eval",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(j)),
+                            *[F.col(f"m{j * rows + r}").cast("string") for r in range(rows)],
+                        )
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    live = (
+        banded.groupBy("key")
+        .agg(
+            F.sort_array(F.collect_set(F.when(F.col("is_eval"), F.col("__id")))).alias("ev"),
+            F.sort_array(F.collect_set(F.when(~F.col("is_eval"), F.col("__id")))).alias("tr"),
+        )
+        .filter(
+            (F.size("ev") >= 1)
+            & (F.size("tr") >= 1)
+            & (F.size("ev") + F.size("tr") <= 256)
+        )
+    )
+    cand = (
+        live.select(F.explode("ev").alias("eval_id"), "tr")
+        .select("eval_id", F.explode("tr").alias("train_id"))
+        .dropDuplicates(["eval_id", "train_id"])
+    )
+    sh_k = sh.select(F.col("doc_id"), F.col("__sh"))
+    ver = (
+        cand.join(sh_k.select(F.col("doc_id").alias("eval_id"), F.col("__sh").alias("se")), "eval_id")
+        .join(sh_k.select(F.col("doc_id").alias("train_id"), F.col("__sh").alias("st")), "train_id")
+        .select("eval_id", "train_id", llmops.jaccard(F.col("se"), F.col("st")).alias("jaccard"))
+    )
+    return (
+        ver.filter(F.col("jaccard") >= 0.3)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_neardups"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -119,6 +119,10 @@ BNLJ_OK = {
                           # (class stats + 1-row vocab size + 1-row doc
                           # total) — alphabet-bounded broadcasts, never
                           # corpus-sized
+    "llm_ivf_balance",    # corpus total = 1-row broadcast onto the
+                          # |centroids|-row list report
+    "rel_growth_accounting",  # max-week bound = 1-row broadcast into the
+                              # final-week churn exclusion
     "llm_perplexity_buckets",  # token total + doc total: two 1-row
                           # broadcasts into p(w) and the decile divisor
     "llm_bpe_train",      # per merge round: the 1-row argmax pair
