@@ -169,6 +169,22 @@ class TestExactSetJoinVsMinHash:
         assert len(exact) > 0
 
 
+class TestBandSweepCrossValidation:
+    """The sweep's (8, 4) row measures the production banding config,
+    so its verified-pair count must equal llm_dedup_near's output
+    row count exactly (same shingles, threshold, hot-bucket cap)."""
+
+    def test_sweep_84_matches_production_pair_count(self, spark, sf_dir):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        sweep = {
+            (r["bands"], r["rows_per_band"]): r
+            for r in all_queries()["llm_lsh_band_sweep"].fn(spark, sf_dir).collect()
+        }
+        n_prod = all_queries()["llm_dedup_near"].fn(spark, sf_dir).count()
+        assert sweep[(8, 4)]["n_true_pairs"] == n_prod
+
+
 class TestBoundedCollectGuards:
     """Round-8 verdict #3: the bounded-collect contract is code."""
 
