@@ -5474,3 +5474,144 @@ def llm_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# ------------------------------------------------- r9: PCA top component (power iteration)
+
+
+def _pca_oracle(rounds: int = 3) -> str:
+    """SQL replica of llm_pca_power: identical centering, identical
+    per-element nano-int quantization inside every reduce, identical
+    exact-decimal L2 normalization — the unrolled-iteration oracle
+    pattern shared with llm_kmeans_train."""
+    ctes = ["""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    pts AS (
+      SELECT vec_id, unnest(generate_series(1, len(v))) AS j, unnest(v) AS xj FROM e
+    ),
+    mu AS (
+      SELECT j, CAST(ROUND(CAST(SUM(CAST(ROUND(1000000.0 * xj) AS BIGINT)) AS DOUBLE)
+                           / ANY_VALUE(n.n)) AS BIGINT) AS mu_micro
+      FROM pts CROSS JOIN n GROUP BY j
+    ),
+    cent AS (
+      SELECT p.vec_id, p.j, p.xj - m.mu_micro / 1000000.0 AS c
+      FROM pts p JOIN mu m ON m.j = p.j
+    ),
+    w0 AS (SELECT j, CASE WHEN j = 1 THEN 1000000 ELSE 0 END AS w_micro
+           FROM (SELECT DISTINCT j FROM pts))"""]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    s{r} AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(ROUND(1000000000.0 * c.c * (w.w_micro / 1000000.0)) AS BIGINT)) AS BIGINT)
+               AS s_nano
+      FROM cent c JOIN {prev} w ON w.j = c.j
+      GROUP BY c.vec_id
+    ),
+    u{r} AS (
+      SELECT c.j,
+             CAST(SUM(CAST(ROUND(1000000000.0 * (s.s_nano / 1000000000.0) * c.c) AS BIGINT)) AS BIGINT)
+               AS u_nano
+      FROM cent c JOIN s{r} s ON s.vec_id = c.vec_id
+      GROUP BY c.j
+    ),
+    l{r} AS (
+      SELECT sqrt(CAST(SUM(CAST(u_nano AS HUGEINT) * CAST(u_nano AS HUGEINT)) AS DOUBLE)) AS l2
+      FROM u{r}
+    ),
+    w{r} AS (
+      SELECT u.j, CAST(ROUND(1000000.0 * u.u_nano / l.l2) AS BIGINT) AS w_micro
+      FROM u{r} u CROSS JOIN l{r} l
+    )""")
+        prev = f"w{r}"
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT j AS dim, w_micro / 1000000.0 AS loading
+    FROM {prev}
+    """)
+
+
+@register("llm_pca_power", oracle=_pca_oracle())
+def llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER
+    ITERATION (3 rounds, deterministic e₁ start) — the missing rung
+    of the embedding-preprocessing ladder (k-means trains centroids,
+    PQ trains codebooks; PCA gives the whitening/compression axis,
+    and its 1-D projections are the classic embedding-drift monitor).
+
+    Fully distributed iterative linear algebra with NO driver-side
+    matrix: each round is (1) per-vector scalar s = (x−μ)·w via a
+    dim-keyed join against the 64-row w relation, (2) per-dim
+    u_j = Σ_i s_i·(x_ij−μ_j), (3) exact-decimal L2 normalization.
+    Engine-exactness uses three idioms at once: every cross-row
+    reduce sums per-element NANO-quantized longs (order-free); the
+    L2 norm squares the u_nano integers in DECIMAL/HUGEINT (a double
+    Σ of 64 squares would be order-dependent) and takes ONE sqrt of
+    the exactly-agreed value; w re-enters each round micro-quantized.
+    Scale: two corpus-sized exchanges per round (the (vec, dim)
+    explode aggregates by vec then by dim), both map-side-combinable;
+    w/μ/L2 are |dims|-row relations that broadcast."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    pts = e.select("vec_id", F.posexplode("v").alias("j0", "xj")).select(
+        "vec_id", (F.col("j0") + 1).alias("j"), "xj"
+    )
+    mu = (
+        pts.groupBy("j")
+        .agg(F.sum(F.round(F.lit(1000000.0) * F.col("xj")).cast("long")).alias("sm"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            F.round(F.col("sm").cast("double") / F.col("n")).cast("long").alias("mu_micro"),
+        )
+    )
+    cent = pts.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("xj") - F.col("mu_micro") / 1000000.0).alias("c")
+    )
+    cent = cent.localCheckpoint(eager=False)
+    dims = mu.select("j")
+    w = dims.select(
+        "j", F.when(F.col("j") == 1, F.lit(1000000)).otherwise(F.lit(0)).cast("long").alias("w_micro")
+    )
+    for _ in range(3):
+        s = (
+            cent.join(F.broadcast(w), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.lit(1000000000.0) * F.col("c") * (F.col("w_micro") / 1000000.0)
+                    ).cast("long")
+                ).alias("s_nano")
+            )
+        )
+        u = (
+            cent.join(s, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.lit(1000000000.0)
+                        * (F.col("s_nano") / 1000000000.0)
+                        * F.col("c")
+                    ).cast("long")
+                ).alias("u_nano")
+            )
+        )
+        l2 = u.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("u_nano").cast("decimal(38,0)") * F.col("u_nano").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("l2")
+        )
+        w = u.crossJoin(F.broadcast(l2)).select(
+            "j",
+            F.round(F.lit(1000000.0) * F.col("u_nano") / F.col("l2")).cast("long").alias("w_micro"),
+        )
+    return w.select(
+        F.col("j").cast("long").alias("dim"), (F.col("w_micro") / 1000000.0).alias("loading")
+    )

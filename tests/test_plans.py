@@ -123,6 +123,8 @@ BNLJ_OK = {
                           # |centroids|-row list report
     "rel_growth_accounting",  # max-week bound = 1-row broadcast into the
                               # final-week churn exclusion
+    "llm_pca_power",      # 1-row corpus count + per-round 1-row L2 norm
+                          # broadcast into the |dims|-row relations
     "llm_perplexity_buckets",  # token total + doc total: two 1-row
                           # broadcasts into p(w) and the decile divisor
     "llm_bpe_train",      # per merge round: the 1-row argmax pair
