@@ -5500,3 +5500,142 @@ def rel_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("n_churned"), F.lit(0))
         ).cast("long").alias("net_growth"),
     )
+
+
+# ------------------------------------------------- r9: always-valid sequential A/B test
+
+
+@register(
+    "rel_ab_sequential_msprt",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN {llmops.sql_md5_prefix_bucket('user_id', 2)} = 0
+                  THEN 'c' ELSE 't' END AS arm
+      FROM events
+    ),
+    daily AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS BIGINT)
+               - CAST(SUM(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM ev GROUP BY day
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(d) AS BIGINT) AS sum_d
+      FROM daily
+    ),
+    sse AS (
+      SELECT CAST(SUM(CAST(ROUND(10000.0 * (daily.d - CAST(stats.sum_d AS DOUBLE) / stats.n_days)
+                                 * (daily.d - CAST(stats.sum_d AS DOUBLE) / stats.n_days))
+                       AS BIGINT)) AS BIGINT) AS sse_e4
+      FROM daily CROSS JOIN stats
+    ),
+    var AS (
+      SELECT greatest(sse.sse_e4 / 10000.0 / stats.n_days, 1.0) AS s2
+      FROM sse CROSS JOIN stats
+    ),
+    seq AS (
+      SELECT day, d,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_d
+      FROM daily
+    ),
+    lr AS (
+      SELECT s.day, s.d, s.t, s.cum_d,
+             CAST(ROUND(1000000.0 * least(1.0,
+               sqrt((v.s2 + s.t * 10000.0) / v.s2)
+               * exp(-(CAST(s.cum_d AS DOUBLE) * s.cum_d * 10000.0)
+                     / (2.0 * v.s2 * (v.s2 + s.t * 10000.0)))))
+             AS BIGINT) AS p_micro
+      FROM seq s CROSS JOIN var v
+    )
+    SELECT CAST(day AS VARCHAR) AS day, d AS daily_diff, t, cum_d,
+           MIN(p_micro) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) / 1000000.0
+             AS p_always_valid,
+           MIN(p_micro) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) < 50000 AS reject_null
+    FROM lr
+    """,
+)
+def rel_ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS-VALID sequential A/B test (mSPRT, Johari/Pekelis/Walsh
+    2017 — 'Peeking at A/B tests'): the mixture likelihood ratio with
+    a N(0, τ²) prior over the treatment effect turns the running
+    daily treatment−control difference into an anytime-valid p-value
+    p_t = min_{s≤t} 1/Λ_s that survives CONTINUOUS monitoring — the
+    fixed-horizon readouts (rel_ab_test_cuped's t-test shape) are
+    only valid at a pre-committed n, and peeking daily inflates their
+    false-positive rate 3-5×. Arms ride the same md5 50/50 hash as
+    rel_ab_srm_check, so the guardrail and the readout agree on
+    assignment.
+
+    Determinism: daily diffs and their prefix sums are exact BIGINTs;
+    the variance's squared deviations are e4-quantized BEFORE the
+    order-free integer sum; Λ's argument is built from exactly-agreed
+    doubles and the p-value is micro-quantized before the running-min
+    and the integer rejection compare. Scale: the corpus collapses to
+    the |days| series in one combinable agg; every window after that
+    is the allowlisted tiny-series class (CUSUM's shape); σ² and the
+    count are 1-row broadcasts."""
+    t = load_tables(spark, sf_dir)
+    arm = F.when(
+        llmops.md5_prefix_bucket(F.col("user_id"), 2) == 0, F.lit("c")
+    ).otherwise(F.lit("t"))
+    daily = (
+        t.events.select(F.date_trunc("day", "ts").cast("date").alias("day"), arm.alias("arm"))
+        .groupBy("day")
+        .agg(
+            (
+                F.sum(F.when(F.col("arm") == "t", 1).otherwise(0)).cast("long")
+                - F.sum(F.when(F.col("arm") == "c", 1).otherwise(0)).cast("long")
+            ).alias("d")
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"), F.sum("d").cast("long").alias("sum_d")
+    )
+    mean = F.col("sum_d").cast("double") / F.col("n_days")
+    sse = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.round(F.lit(10000.0) * (F.col("d") - mean) * (F.col("d") - mean))
+            .cast("long")
+            .alias("term_e4"),
+            "n_days",
+        )
+        .groupBy("n_days")
+        .agg(F.sum("term_e4").cast("long").alias("sse_e4"))
+        .select(
+            F.greatest(F.col("sse_e4") / 10000.0 / F.col("n_days"), F.lit(1.0)).alias("s2")
+        )
+    )
+    TAU2 = 10000.0
+    wday = Window.orderBy("day")
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "day",
+        "d",
+        F.row_number().over(wday).cast("long").alias("t"),
+        F.sum("d").over(wcum).cast("long").alias("cum_d"),
+    )
+    p_raw = F.least(
+        F.lit(1.0),
+        F.sqrt((F.col("s2") + F.col("t") * TAU2) / F.col("s2"))
+        * F.exp(
+            -(F.col("cum_d").cast("double") * F.col("cum_d") * TAU2)
+            / (F.lit(2.0) * F.col("s2") * (F.col("s2") + F.col("t") * TAU2))
+        ),
+    )
+    lr = seq.crossJoin(F.broadcast(sse)).select(
+        "day", "d", "t", "cum_d",
+        F.round(F.lit(1000000.0) * p_raw).cast("long").alias("p_micro"),
+    )
+    pmin = F.min("p_micro").over(wcum)
+    return lr.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("d").alias("daily_diff"),
+        "t",
+        "cum_d",
+        (pmin / 1000000.0).alias("p_always_valid"),
+        (pmin < 50000).alias("reject_null"),
+    )

@@ -125,6 +125,8 @@ BNLJ_OK = {
                               # final-week churn exclusion
     "llm_pca_power",      # 1-row corpus count + per-round 1-row L2 norm
                           # broadcast into the |dims|-row relations
+    "rel_ab_sequential_msprt",  # 1-row variance/count broadcasts onto the
+                                # |days| series
     "llm_perplexity_buckets",  # token total + doc total: two 1-row
                           # broadcasts into p(w) and the decile divisor
     "llm_bpe_train",      # per merge round: the 1-row argmax pair
@@ -237,6 +239,8 @@ UNPART_WINDOW_OK = {
                               # relation (curriculum_order decomposition)
     "llm_rocchio_expand",     # ranks the LIMIT-10 reranked relation
     "llm_quality_calibration",  # ECE whole-frame sum over the <=10 bins
+    "rel_ab_sequential_msprt",  # ordinal/prefix-sum/running-min over the
+                                # |days| series (the CUSUM class)
 }
 
 
