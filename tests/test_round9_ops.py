@@ -169,6 +169,37 @@ class TestExactSetJoinVsMinHash:
         assert len(exact) > 0
 
 
+class TestRound9PartitioningInvariance:
+    """The round-9 float-heavy queries (ln/exp/sqrt through the
+    scaled-int idiom) must be bit-identical under any shuffle
+    partitioning — same property class the r8 tests pin."""
+
+    @pytest.mark.parametrize(
+        "qname", ["llm_nb_langid", "llm_pca_power", "rel_ab_sequential_msprt"]
+    )
+    def test_identical_under_1_7_32_partitions(self, spark, qname):
+        from heroku_kafka_connect_spark.registry import all_queries
+
+        def run(fn):
+            pdf = fn(spark, SF_DIR).toPandas()
+            pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+            return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+        fn = all_queries()[qname].fn
+        base = spark.conf.get("spark.sql.shuffle.partitions")
+        results = {}
+        try:
+            for n in (1, 7, 32):
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+                results[n] = run(fn)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", base)
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(results[1], results[7])
+        pdt.assert_frame_equal(results[1], results[32])
+
+
 class TestBandSweepCrossValidation:
     """The sweep's (8, 4) row measures the production banding config,
     so its verified-pair count must equal llm_dedup_near's output
