@@ -82,6 +82,9 @@ EXTRA = [
     "rel_interval_overlap", # r9: week-bucketized big-big interval overlap join
     "llm_nb_langid",        # r9: relational NB grid join, alphabet-bounded broadcasts
     "llm_dedup_apply_full", # r9: three-rung manifest (memoized inputs -> one CC + joins)
+    "llm_pca_power",        # r9: 3-round power iteration, no driver matrix
+    "llm_contamination_near",  # r9: one banding pass, eval x train buckets only
+    "rel_ab_sequential_msprt",  # r9: corpus -> |days| series, tiny windows
     "rel_survival_km",     # two map-side per-user MIN aggs -> |durations| KM fold
     "rel_attribution_last_touch",  # ONE user-partitioned window, linear in events
     "rel_markov_transitions",  # user-partitioned lag; normalizer on the 25-row matrix
