@@ -1447,3 +1447,233 @@ def text_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", llmops.jaccard(F.col("ta"), F.col("tb")))
     )
     return ver.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+
+
+# ------------------------------------------------- r9: LLR collocations (Dunning '93)
+
+
+_XLX = "CASE WHEN {x} > 0 THEN CAST(ROUND(1000000.0 * {x} * ln(CAST({x} AS DOUBLE))) AS BIGINT) ELSE 0 END"
+
+
+@register(
+    "text_collocation_llr",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+      WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS n FROM c12),
+    cells AS (
+      SELECT c12.w1, c12.w2, c12.n12, c1.n1, c2.n2, tot.n,
+             c12.n12 AS k11, c1.n1 - c12.n12 AS k12,
+             c2.n2 - c12.n12 AS k21, tot.n - c1.n1 - c2.n2 + c12.n12 AS k22
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1 JOIN c2 ON c12.w2 = c2.w2 CROSS JOIN tot
+    ),
+    g AS (
+      SELECT w1, w2, n12,
+             2 * ({_XLX.format(x='k11')} + {_XLX.format(x='k12')}
+                  + {_XLX.format(x='k21')} + {_XLX.format(x='k22')}
+                  - {_XLX.format(x='n1')} - {_XLX.format(x='(n - n1)')}
+                  - {_XLX.format(x='n2')} - {_XLX.format(x='(n - n2)')}
+                  + {_XLX.format(x='n')}) AS llr_micro
+      FROM cells
+    )
+    SELECT w1, w2, n12, llr_micro / 1000000.0 AS llr
+    FROM g WHERE n12 >= 5
+    ORDER BY llr_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio collocations (Dunning, CL'93 — the
+    statistically sound alternative to PMI for SPARSE counts: PMI
+    rewards rare pairs, G² penalizes them): the 2×2 contingency G²
+    for each adjacent bigram, computed as the standard entropy form
+    2·(Σ xlx(k_ij) − Σ xlx(margins) + xlx(N)). Shares the exact
+    bigram/margin base with llm_cooccurrence_pmi, so the two rankings
+    are directly comparable on the same counts.
+
+    Determinism: every x·ln x term is micro-quantized from an exact
+    BIGINT cell BEFORE the fixed 9-term combination, which then runs
+    in pure integer arithmetic — engines agree bit-for-bit including
+    the ORDER BY on llr_micro. Scale: identical to PMI — vocab-bounded
+    aggs, key joins, a 1-row total broadcast, top-20 TakeOrdered."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(llmops.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    c2 = c12.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = c12.agg(F.sum("n12").alias("n"))
+
+    def xlx(col):
+        return (
+            F.when(
+                col > 0,
+                F.round(F.lit(1000000.0) * col * F.log(col.cast("double"))).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    cells = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n12", "n1", "n2", "n",
+            F.col("n12").alias("k11"),
+            (F.col("n1") - F.col("n12")).alias("k12"),
+            (F.col("n2") - F.col("n12")).alias("k21"),
+            (F.col("n") - F.col("n1") - F.col("n2") + F.col("n12")).alias("k22"),
+        )
+    )
+    llr_micro = 2 * (
+        xlx(F.col("k11")) + xlx(F.col("k12")) + xlx(F.col("k21")) + xlx(F.col("k22"))
+        - xlx(F.col("n1")) - xlx(F.col("n") - F.col("n1"))
+        - xlx(F.col("n2")) - xlx(F.col("n") - F.col("n2"))
+        + xlx(F.col("n"))
+    )
+    return (
+        cells.withColumn("llr_micro", llr_micro)
+        .filter(F.col("n12") >= 5)
+        .orderBy(F.col("llr_micro").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "n12", (F.col("llr_micro") / 1000000.0).alias("llr"))
+    )
+
+
+# ------------------------------------------------- r9: RAKE keyphrases (Rose 2010)
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, i, w, CASE WHEN w IN ({_SQL_STOP_EN}) THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, i, w, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS phrase_id
+      FROM flagged
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             array_to_string(array_agg(w ORDER BY i), ' ') AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM seg WHERE stop = 0
+      GROUP BY doc_id, phrase_id
+    ),
+    pw AS (
+      SELECT p.doc_id, p.phrase_id, p.plen, unnest(string_split(p.phrase, ' ')) AS w
+      FROM phrases p
+    ),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg,
+             CAST(ROUND(1000000.0 * SUM(plen) / COUNT(*)) AS BIGINT) AS score_micro
+      FROM pw GROUP BY w
+    ),
+    ps AS (
+      SELECT pw.doc_id, pw.phrase_id, CAST(SUM(ws.score_micro) AS BIGINT) AS pscore_micro
+      FROM pw JOIN ws ON ws.w = pw.w
+      GROUP BY pw.doc_id, pw.phrase_id
+    ),
+    dedup AS (
+      SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MAX(ps.pscore_micro) AS pscore_micro
+      FROM phrases p JOIN ps ON ps.doc_id = p.doc_id AND ps.phrase_id = p.phrase_id
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, pscore_micro / 1000000.0 AS rake_score
+    FROM dedup
+    ORDER BY pscore_micro DESC, phrase LIMIT 20
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose/Engel/Cramer/Cowley 2010):
+    candidate phrases are maximal stopword-delimited token runs;
+    word score = degree/frequency (degree = Σ lengths of phrases the
+    word occurs in); phrase score = Σ member word scores; corpus
+    top-20. The graph-free complement of TextRank (J78) — RAKE is one
+    pass of aggregations where TextRank iterates PageRank, the classic
+    speed/quality trade in keyphrase mining.
+
+    Plan: phrase segmentation is the sessionize prefix-sum idiom (a
+    per-doc running count of stopword boundaries — window partitioned
+    by doc); word and phrase stats are two vocab-bounded aggs; scores
+    are micro-int ratios of exact counts summed as BIGINTs, so the
+    final ranking compares integers. Top-20 is TakeOrdered."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    flagged = toks.withColumn(
+        "stop", F.when(F.col("w").isin(*STOPWORDS["en"]), 1).otherwise(0)
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("i")
+    seg = flagged.withColumn("phrase_id", F.sum("stop").over(wseg))
+    phrases = (
+        seg.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    pw = phrases.select(
+        "doc_id", "phrase_id", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+        F.round(F.lit(1000000.0) * F.sum("plen") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    ps = (
+        pw.join(ws.select("w", "score_micro"), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("score_micro").cast("long").alias("pscore_micro"))
+    )
+    dedup = (
+        phrases.join(ps, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("pscore_micro").alias("pscore_micro"),
+        )
+    )
+    return (
+        dedup.orderBy(F.col("pscore_micro").desc(), "phrase")
+        .limit(20)
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("pscore_micro") / 1000000.0).alias("rake_score"),
+        )
+    )

@@ -136,6 +136,7 @@ BNLJ_OK = {
     "llm_hard_negatives",  # corpus scan x 5 broadcast anchor vectors
                           # (label-mismatch predicate fused in-scan)
     "llm_cooccurrence_pmi",  # 1-row bigram total broadcast into PMI
+    "text_collocation_llr",  # 1-row bigram total broadcast into the G2 cells
     "rel_anomaly_mad_ts",  # 1-row median/MAD relations broadcast into
                           # the daily-series control band
     "llm_dedup_report",   # 1-row corpus total broadcast into the
