@@ -347,3 +347,41 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select(windows.window_bounds_us()[0], "event_type", "n", "rank")
     )
+
+
+@register(
+    "stream_window_distinct_users",
+    oracle="""
+    SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+           (epoch_us(ts) // 600000000) * 600000000 + 600000000 AS window_end_us,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: EXACT windowed distinct users (per-window unique reach) the
+    streaming-legal way — COUNT(DISTINCT) is unsupported in streaming
+    aggregations, so the production composition is dropDuplicates on
+    (window, type, user) followed by a windowed count: both stages
+    are watermark-compatible (dedup state evicts with the watermark,
+    the count is an ordinary stateful agg), and on a batch frame the
+    composition is semantically COUNT(DISTINCT), which is what the
+    oracle checks. The unbounded-window sibling of
+    rel_rolling_distinct_users, and the exact counterpart of an
+    approx_count_distinct sketch when reach numbers must reconcile.
+
+    Scale: the dedup is one hash exchange on (window, type, user) —
+    state O(distinct triples per live watermark window), not
+    O(events); the count then reuses that partitioning map-side."""
+    t = load_tables(spark, sf_dir)
+    win = F.window("ts", "10 minutes")
+    dedup = t.events.select(win.alias("window"), "event_type", "user_id").dropDuplicates(
+        ["window", "event_type", "user_id"]
+    )
+    return (
+        dedup.groupBy("window", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(*windows.window_bounds_us(), "event_type", "n_users")
+    )
