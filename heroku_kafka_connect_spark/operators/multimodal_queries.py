@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import llmops
 from ..functions import multimodal as mm
 from ..registry import register
 from ..session import load_tables
@@ -540,4 +541,136 @@ def mm_tone_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         project,
         "doc_id bigint, n_samples bigint, k_fund int, p_fund bigint, "
         "p_h2 bigint, p_h3 bigint, p_noise bigint, dominant_harmonic int",
+    )
+
+
+# ------------------------------------------------- r9: content-defined chunking (CDC)
+
+
+@register(
+    "mm_cdc_chunking",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT doc_id, text, LENGTH(text) AS L,
+             list_sort(list_distinct(
+               [0] ||
+               [i FOR i IN range(4, LENGTH(text) + 1)
+                  IF (((ascii(substr(text, i - 3, 1)) * 31
+                        + ascii(substr(text, i - 2, 1))) * 31
+                       + ascii(substr(text, i - 1, 1))) * 31
+                      + ascii(substr(text, i, 1))) % 16 = 0] ||
+               [LENGTH(text)])) AS bounds
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, L,
+             unnest([{{'start': bounds[j], 'len': bounds[j+1] - bounds[j]}}
+                     FOR j IN range(1, len(bounds))]) AS c
+      FROM cuts
+    ),
+    hashed AS (
+      SELECT doc_id, L, c.start AS start, c.len AS len,
+             md5(substr((SELECT text FROM documents d WHERE d.doc_id = chunks.doc_id),
+                        c.start + 1, c.len)) AS h
+      FROM chunks
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h)
+    SELECT hashed.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN len ELSE 0 END) AS BIGINT) AS dup_bytes
+    FROM hashed JOIN df ON df.h = hashed.h
+    GROUP BY hashed.doc_id
+    """,
+)
+def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (Rabin/LBFS-class, the FastCDC
+    family's position-local core): a cut-point falls wherever the
+    hash of the trailing 4-byte window ≡ 0 (mod 16), so chunk
+    boundaries move WITH content — an insertion reshuffles only its
+    own chunk, where mm_payload_chunks' fixed 64-byte grid shifts
+    every downstream boundary. Per doc: chunk manifest + how many of
+    its chunks (and bytes) also occur in other docs — the chunk-level
+    dedup signal backup/blob stores bill by, and the byte-level
+    sibling of the document-level dedup cascade. Payload stand-in is
+    the text bytes (the mm convention).
+
+    Plan: cut-points, bounds, and chunk spans are ALL single-row
+    array expressions (no per-character explode, no window) — the
+    only exchanges are the chunk-hash frequency agg and the join
+    back (md5 once per CHUNK); the per-POSITION cut test is four
+    ascii() calls + integer arithmetic, both engines agree exactly
+    (an md5 per position measured 10× slower at sf0.1). Expected
+    chunk ≈ 16 bytes at mod-16 (tune the modulus for real blobs);
+    zero-length chunks are impossible (bounds are distinct-sorted)."""
+    from .common import parallelize_scan
+
+    t = load_tables(spark, sf_dir)
+    L = F.length("text")
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(4), F.greatest(L, F.lit(4))),
+            lambda i: F.when(
+                (i <= L)
+                & (
+                    (
+                        (
+                            (
+                                F.ascii(F.col("text").substr(i - 3, F.lit(1))) * 31
+                                + F.ascii(F.col("text").substr(i - 2, F.lit(1)))
+                            )
+                            * 31
+                            + F.ascii(F.col("text").substr(i - 1, F.lit(1)))
+                        )
+                        * 31
+                        + F.ascii(F.col("text").substr(i, F.lit(1)))
+                    )
+                    % 16
+                    == 0
+                ),
+                i,
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x > 0,
+    )
+    docs = parallelize_scan(
+        t.documents.filter(L > 0).select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.array(F.lit(0)), cuts, F.array(L.cast("int")))
+            )
+        ).alias("bounds"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bounds") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("bounds"), j).alias("start"),
+                    (F.element_at(F.col("bounds"), j + 1) - F.element_at(F.col("bounds"), j)).alias("len"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.start").alias("start"),
+        F.col("c.len").alias("len"),
+        F.md5(F.expr("substr(text, c.start + 1, c.len)")).alias("h"),
+    )
+    df_rel = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        chunks.join(df_rel, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("len").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("len")).otherwise(0)).cast("long").alias("dup_bytes"),
+        )
     )
