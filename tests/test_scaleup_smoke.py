@@ -255,3 +255,96 @@ def test_lsh_blocked_semantic_pairs_at_20x(spark):
     wall = time.time() - t0
     assert n >= 0  # uniform-random vectors: few/no pairs >= 0.35 expected
     assert wall < 120, f"LSH-blocked semantic pairs at 10k vectors took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_prefix_setjoin_and_cdc_at_100k_synthetic(spark):
+    """r9: the prefix-filtered exact set-similarity join and the
+    content-defined chunker at 20× the sf0.1 document count (100k
+    synthetic docs, 5k of them near-dup boilerplate). Both must keep
+    their linear shapes: prefix blocks stay rare-token-small, CDC
+    fan-out stays ~L per row, and walls stay bounded."""
+    from heroku_kafka_connect_spark.sources.synthetic import (
+        register_synthetic_sources,
+    )
+    from heroku_kafka_connect_spark import llmops
+    from heroku_kafka_connect_spark.operators.common import parallelize_scan
+
+    if not register_synthetic_sources(spark):
+        pytest.skip("Python DataSource API unavailable (pyspark < 4)")
+    docs = (
+        spark.read.format("hkc_synthdocs")
+        .option("rows", 100_000)
+        .option("partitions", 32)
+        .load()
+        .select("doc_id", "text")
+    )
+
+    t0 = time.time()
+    # prefix-filter candidate front half (the quadratic-risk part):
+    # shingle -> df -> ordered prefix -> candidate equi-join
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(llmops.shingles("text", 3), lambda s: llmops.hex32(s))
+        ).alias("hs"),
+    )
+    ex = toks.select("doc_id", F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))), lambda s: s["h"]
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    pref = ordered.select(
+        "doc_id", "sz",
+        F.explode(F.slice("arr", 1, (F.col("sz") / 2).cast("int") + 1)).alias("ph"),
+    )
+    a = pref.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "ph")
+    b = pref.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"),
+                    F.col("ph").alias("ph_b"))
+    n_cand = (
+        a.join(b, (a.ph == b.ph_b) & (a.a < b.b))
+        .filter(2 * F.least("sza", "szb") >= F.greatest("sza", "szb"))
+        .select("a", "b").distinct().count()
+    )
+    wall = time.time() - t0
+    # the synthetic generator draws from a small shared vocab, so true
+    # pair mass is HUGE by construction — the scale claim is the CUT:
+    # candidates must be a small fraction of the 5e9 all-pairs space,
+    # and the whole front half must stay bounded even on this
+    # worst-case self-similar corpus (measured ~33M = 0.65%)
+    all_pairs = 100_000 * 99_999 // 2
+    assert n_cand < all_pairs // 50, f"prefix filter cut only to {n_cand}"
+    assert wall < 150, f"prefix setjoin front half at 100k took {wall:.0f}s"
+
+    t0 = time.time()
+    L = F.length("text")
+    spread = parallelize_scan(docs.filter(L > 0), "doc_id")
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(4), F.greatest(F.length("text"), F.lit(4))),
+            lambda i: F.when(
+                (i <= F.length("text"))
+                & ((((F.ascii(F.col("text").substr(i - 3, F.lit(1))) * 31
+                      + F.ascii(F.col("text").substr(i - 2, F.lit(1)))) * 31
+                     + F.ascii(F.col("text").substr(i - 1, F.lit(1)))) * 31
+                    + F.ascii(F.col("text").substr(i, F.lit(1)))) % 16 == 0),
+                i,
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x > 0,
+    )
+    n_chunks = (
+        spread.select(F.size(cuts).alias("nc"))
+        .agg(F.sum(F.col("nc") + 1).alias("total"))
+        .collect()[0]["total"]
+    )
+    wall = time.time() - t0
+    assert n_chunks > 100_000  # every doc chunked
+    assert wall < 120, f"CDC cut-point pass at 100k took {wall:.0f}s"
