@@ -5639,3 +5639,150 @@ def rel_ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pmin / 1000000.0).alias("p_always_valid"),
         (pmin < 50000).alias("reject_null"),
     )
+
+
+# ------------------------------------------------- r9: triangle counting
+
+
+@register(
+    "rel_triangle_count",
+    oracle="""
+    WITH lp AS (
+      SELECT l.l_orderkey, l.l_partkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    co AS (
+      -- same-order, SAME-BRAND part pairs: the brand block keeps the
+      -- affinity graph sparse (cross-brand co-occurrence is noise for
+      -- a within-brand affinity readout, and an unblocked co-order
+      -- graph on this fixture is dense enough that wedge mass ~E^1.5
+      -- explodes at sf0.1)
+      SELECT DISTINCT a.l_orderkey,
+             least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand = b.p_brand
+       AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM co GROUP BY u, v),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    -- orientation: every edge points from the LOWER (degree, id) node
+    -- to the higher, so each triangle is counted exactly once and
+    -- wedge fan-out is bounded by the oriented out-degree
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+      SELECT o1.s, o1.t AS b, o2.t AS c
+      FROM oriented o1 JOIN oriented o2 ON o1.s = o2.s AND o1.t < o2.t
+    ),
+    und AS (SELECT least(s, t) AS x, greatest(s, t) AS y FROM oriented),
+    tri AS (
+      -- wedges carry b < c by id and und is (min, max)-keyed, so the
+      -- closing-edge probe is a pure EQUI-join (an OR of the two
+      -- orientations would degenerate to a nested loop)
+      SELECT w.s, w.b, w.c
+      FROM wedges w JOIN und o ON o.x = w.b AND o.y = w.c
+    ),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT s AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_triangles,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT MAX(n_triangles) FROM per_node) AS BIGINT) AS max_node_triangles
+    """,
+)
+def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNTING with degree-ordered orientation
+    (Suri & Vassilvitskii WWW'11 — the MapReduce classic) over the
+    within-brand parts-co-ordered graph (edge = two same-brand parts
+    in one order — the brand block keeps the affinity graph sparse;
+    an unblocked co-order graph on this fixture is dense enough that
+    wedge mass ~E^1.5 explodes at sf0.1): the
+    clustering-coefficient numerator behind community/affinity
+    analytics, and the canonical example of taming a graph join's
+    skew by ORIENTATION — every edge points from its lower
+    (degree, id) endpoint, so a hub's wedges are generated by its
+    LOW-degree neighbors, wedge fan-out is bounded by oriented
+    out-degree ≈ sqrt(|E|), and each triangle is counted exactly
+    once with no global dedup.
+
+    Scale: edge derivation self-joins WITHIN the order key (≤7 lines
+    per order — block-bounded); the wedge join and the closing-edge
+    semi-join are equi-joins on node keys; degrees are one combinable
+    agg. Integer-only — trivially engine-exact; the (degree, id)
+    total order breaks ties deterministically."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").join(
+        F.broadcast(t.part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+        "l_partkey",
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"), F.col("p_brand").alias("ba"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb"),
+        F.col("p_brand").alias("bb"),
+    )
+    co = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (a.ba == b.bb) & (a.pa < b.pb))
+        .select("l_orderkey", F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = co.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = oriented.select("s", F.col("t").alias("b"))
+    o2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("c"))
+    wedges = o1.join(o2, (o1.s == o2.s2) & (o1.b < o2.c)).select("s", "b", "c")
+    # the closing edge may be oriented either way between b and c; a
+    # (min, max)-keyed undirected edge set keeps the probe a pure
+    # EQUI-join (the OR-of-orientations form degenerates to a BNLJ)
+    und = oriented.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tri = wedges.join(
+        und, (und.x == wedges.b) & (und.y == wedges.c)
+    ).select("s", "b", "c")
+    per_node = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    totals = tri.agg(F.count(F.lit(1)).cast("long").alias("total_triangles"))
+    return (
+        totals.crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))))
+        .crossJoin(
+            F.broadcast(
+                per_node.agg(F.max("n_triangles").cast("long").alias("max_node_triangles"))
+            )
+        )
+    )

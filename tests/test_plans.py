@@ -137,6 +137,8 @@ BNLJ_OK = {
                           # (label-mismatch predicate fused in-scan)
     "llm_cooccurrence_pmi",  # 1-row bigram total broadcast into PMI
     "text_collocation_llr",  # 1-row bigram total broadcast into the G2 cells
+    "rel_triangle_count",  # four 1-row aggregate relations cross-joined
+                           # into the single summary row (dataset_audit class)
     "rel_anomaly_mad_ts",  # 1-row median/MAD relations broadcast into
                           # the daily-series control band
     "llm_dedup_report",   # 1-row corpus total broadcast into the
