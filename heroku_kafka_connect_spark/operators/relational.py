@@ -5786,3 +5786,143 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------------------------- r9: Wilson score interval
+
+
+@register(
+    "rel_wilson_ci",
+    oracle="""
+    WITH conv AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events e GROUP BY e.user_id
+    ),
+    seg AS (
+      SELECT user_id % 4 AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM conv GROUP BY user_id % 4
+    )
+    SELECT segment, n, k,
+           CAST(ROUND(1000000.0 * k / n) AS BIGINT) / 1000000.0 AS p_hat,
+           CAST(ROUND(1000000.0 *
+             ((k + 1.9208) / (n + 3.8416)
+              - 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k) / n + 0.9604)) / (n + 3.8416)))
+           AS BIGINT) / 1000000.0 AS ci_lo,
+           CAST(ROUND(1000000.0 *
+             ((k + 1.9208) / (n + 3.8416)
+              + 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k) / n + 0.9604)) / (n + 3.8416)))
+           AS BIGINT) / 1000000.0 AS ci_hi
+    FROM seg
+    """,
+)
+def rel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927; Brown/Cai/DasGupta 2001's
+    recommended proportion CI) for per-segment conversion rates — the
+    binomial-proportion companion to rel_bootstrap_ci (means) and the
+    interval that stays sane at k≈0/k≈n where the Wald interval
+    collapses; z=1.96 constants enter as exact literals (1.96²=3.8416,
+    z²/2=1.9208, z²/4=0.9604).
+
+    Determinism: (n, k) are exact BIGINTs from two combinable aggs;
+    each bound is ONE double expression over exactly-agreed integers
+    followed by micro-rounding. Scale: corpus collapses to per-user
+    conversion flags (one agg), then |segments| rows."""
+    t = load_tables(spark, sf_dir)
+    conv = t.events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    seg = conv.groupBy((F.col("user_id") % 4).alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    centre = (k + 1.9208) / (n + 3.8416)
+    half = 1.96 * F.sqrt(k.cast("double") * (n - k) / n + 0.9604) / (n + 3.8416)
+    q = lambda c: F.round(F.lit(1000000.0) * c).cast("long") / 1000000.0  # noqa: E731
+    return seg.select(
+        "segment", "n", "k",
+        q(k / n).alias("p_hat"),
+        q(centre - half).alias("ci_lo"),
+        q(centre + half).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------------- r9: sweep-line peak concurrency
+
+
+@register(
+    "rel_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS supp,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS s,
+             datediff('day', DATE '1970-01-01', l_shipdate) + 1 + l_partkey % 28 AS e
+      FROM lineitem
+    ),
+    ev AS (
+      SELECT supp, s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT supp, e + 1 AS d, -1 FROM iv
+    ),
+    daily AS (SELECT supp, d, CAST(SUM(delta) AS BIGINT) AS net FROM ev GROUP BY supp, d),
+    run AS (
+      SELECT supp, d, SUM(net) OVER (PARTITION BY supp ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS live
+      FROM daily
+    ),
+    mx AS (
+      SELECT supp, d, live, MAX(live) OVER (PARTITION BY supp) AS peak
+      FROM run
+    )
+    SELECT supp AS l_suppkey,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(CASE WHEN live = peak THEN d END) AS BIGINT) AS peak_day_epoch
+    FROM mx GROUP BY supp
+    """,
+)
+def rel_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE peak concurrency: the maximum number of a supplier's
+    shipments simultaneously in transit, and the first day it occurs —
+    the capacity-planning twin of rel_interval_overlap (that one
+    counts overlapping PAIRS — quadratic information; this one needs
+    only the linear +1/−1 event walk). Same deterministic intervals
+    ([ship, ship + 1 + partkey mod 28] in epoch days).
+
+    The classic interval→events reduction: each interval becomes a +1
+    at its start and a −1 past its end; per-key prefix sums give the
+    live count; the peak is one more agg. Scale: 2 rows per interval,
+    one (key, day) agg, one KEY-PARTITIONED window — never a global
+    sort, never pair enumeration. All-integer."""
+    t = load_tables(spark, sf_dir)
+    iv = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff("l_shipdate", F.lit("1970-01-01")).alias("s"),
+        (
+            F.datediff("l_shipdate", F.lit("1970-01-01")) + 1 + F.col("l_partkey") % 28
+        ).alias("e"),
+    )
+    ev = iv.select("supp", F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select("supp", (F.col("e") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("supp", "d").agg(F.sum("delta").cast("long").alias("net"))
+    wrun = Window.partitionBy("supp").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = daily.withColumn("live", F.sum("net").over(wrun))
+    wmax = Window.partitionBy("supp")
+    return (
+        run.withColumn("mx", F.max("live").over(wmax))
+        .groupBy("supp")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrent"),
+            F.min(F.when(F.col("live") == F.col("mx"), F.col("d")))
+            .cast("long")
+            .alias("peak_day_epoch"),
+        )
+        .select(
+            F.col("supp").alias("l_suppkey"), "peak_concurrent", "peak_day_epoch"
+        )
+    )
