@@ -86,6 +86,8 @@ EXTRA = [
     "llm_contamination_near",  # r9: one banding pass, eval x train buckets only
     "rel_ab_sequential_msprt",  # r9: corpus -> |days| series, tiny windows
     "mm_cdc_chunking",      # r9: array-expression CDC, md5 once per chunk
+    "rel_triangle_count",   # r9: degree-oriented wedges, equi-join closing probe
+    "rel_peak_concurrency", # r9: sweep-line +-1 events, key-partitioned prefix sum
     "rel_survival_km",     # two map-side per-user MIN aggs -> |durations| KM fold
     "rel_attribution_last_touch",  # ONE user-partitioned window, linear in events
     "rel_markov_transitions",  # user-partitioned lag; normalizer on the 25-row matrix
