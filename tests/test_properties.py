@@ -631,3 +631,112 @@ def test_holt_rounding_matches_duckdb_round(xs):
         ).fetchone()
         assert (l_py, b_py) == (l_du, b_du), (x, l, b)
         l, b = l_py, b_py
+
+
+# ---------------------------------------------------------------- r9 invariants
+
+
+def _lev2(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    strings=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=7), min_size=2, max_size=10
+    )
+)
+@CFG
+def test_deletion_neighborhood_join_complete_for_lev2(spark, strings):
+    """FastSS completeness (rel_entity_match's candidate generator):
+    EVERY pair with |Δlen| ≤ 1 and lev ≤ 2 must share a ≤2-deletion
+    variant — checked via the real SQL expression on arbitrary
+    small-alphabet strings (where lev≤2 pairs are dense and every
+    edit composition occurs)."""
+    from heroku_kafka_connect_spark.operators.relational import (
+        _deletion_variants_sql,
+    )
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    v = df.select("id", "s", F.explode(F.expr(_deletion_variants_sql("s"))).alias("v"))
+    a = v.select(F.col("id").alias("ia"), F.col("s").alias("sa"), "v")
+    b = v.select(F.col("id").alias("ib"), F.col("s").alias("sb"), F.col("v").alias("vb"))
+    got = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, (a.v == b.vb) & (a.ia < b.ib)).select("ia", "ib").distinct().collect()
+    }
+    for (i, x), (j, y) in __import__("itertools").combinations(rows, 2):
+        if abs(len(x) - len(y)) <= 1 and _lev2(x, y) <= 2:
+            assert (i, j) in got, (x, y)
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(0, 12), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+@CFG
+def test_prefix_filter_principle_never_misses(spark, sets):
+    """Prefix-filter completeness (text_setjoin_prefix's principle):
+    under ANY global order, two sets with Jaccard ≥ 1/2 share an
+    element within their first |s|//2 + 1 elements. Checked in pure
+    set algebra over arbitrary small universes — the principle the
+    Spark plan relies on, independent of the frequency order chosen."""
+    for A, B in __import__("itertools").combinations(sets, 2):
+        if len(A & B) / len(A | B) >= 0.5:
+            pa = sorted(A)[: len(A) // 2 + 1]
+            pb = sorted(B)[: len(B) // 2 + 1]
+            assert set(pa) & set(pb), (A, B)
+
+
+@given(texts=st.lists(st.text(alphabet="abcd ", min_size=1, max_size=40), min_size=1, max_size=6))
+@CFG
+def test_cdc_bounds_partition_the_payload(spark, texts):
+    """mm_cdc_chunking's bounds must PARTITION [0, L): chunks are
+    contiguous, non-empty, and reassemble the original byte string —
+    checked via the real bounds expression on arbitrary text."""
+    rows = [(i, t) for i, t in enumerate(texts) if len(t) > 0]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id int, text string")
+    L = F.length("text")
+    poly = lambda i: (  # noqa: E731
+        (
+            (
+                F.ascii(F.col("text").substr(i - 3, F.lit(1))) * 31
+                + F.ascii(F.col("text").substr(i - 2, F.lit(1)))
+            )
+            * 31
+            + F.ascii(F.col("text").substr(i - 1, F.lit(1)))
+        )
+        * 31
+        + F.ascii(F.col("text").substr(i, F.lit(1)))
+    )
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(4), F.greatest(L, F.lit(4))),
+            lambda i: F.when((i <= L) & (poly(i) % 16 == 0), i).otherwise(F.lit(-1)),
+        ),
+        lambda x: x > 0,
+    )
+    out = df.select(
+        "id",
+        "text",
+        F.array_sort(
+            F.array_distinct(F.concat(F.array(F.lit(0)), cuts, F.array(L.cast("int"))))
+        ).alias("bounds"),
+    ).collect()
+    for r in out:
+        b = r["bounds"]
+        assert b[0] == 0 and b[-1] == len(r["text"])
+        assert all(x < y for x, y in zip(b, b[1:]))  # non-empty, ordered
+        rebuilt = "".join(r["text"][x:y] for x, y in zip(b, b[1:]))
+        assert rebuilt == r["text"]
