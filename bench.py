@@ -160,9 +160,12 @@ def main() -> None:
     # walls, not just the cache-warm marginal the min-of-N reports.
     from heroku_kafka_connect_spark.operators import llm as _llm
 
+    # release_memo (not bare .clear()) unpersists the checkpointed
+    # relations first — clearing alone orphans their executor blocks
+    # until GC, skewing later cold timings under memory pressure.
     cold: dict[str, float] = {}
     for qname, memo_attr in MEMO_FAMILIES.items():
-        getattr(_llm, memo_attr).clear()
+        _llm.release_memo(getattr(_llm, memo_attr))
         t0 = time.time()
         execute(qs[qname].fn(spark, sf_dir))
         cold[qname] = round(time.time() - t0, 3)

@@ -7,6 +7,7 @@ ANN)."""
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -17,7 +18,7 @@ from ..functions import text as T
 from ..functions.text import SQL_STOP_EN
 from ..functions.vectors import brute_force_topk
 from ..registry import register
-from ..session import load_tables
+from ..session import _fixture_fingerprint, load_tables
 
 
 @register(
@@ -257,7 +258,12 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of the LSH path (same shingle definition). Threshold
     0.01 / cap 800 keep ~46 result rows at sf0.01 so the hash check
     actually discriminates; both sides filter on the ROUNDED value so
-    the boundary is identical."""
+    the boundary is identical.
+
+    NOT the at-scale exact-join path: the cap exists to keep this
+    cross-validation twin fixture-sized. For exact set-similarity
+    joins at volume use `text_setjoin_prefix` (PPJoin: prefix filter +
+    positional candidate killers, unbounded and complete)."""
     t = load_tables(spark, sf_dir)
     return _ngram_pairs(t.documents)
 
@@ -412,24 +418,60 @@ _DEDUP_APPLY_ORACLE = _MANIFEST_CTES + """
 #: session-scoped materialization here models the real cost structure
 #: (and stops the CC rounds re-running per consumer). Rows = |docs|,
 #: trivially memory-safe; keyed by applicationId like the avro probe.
-#: ASSUMPTION: fixtures under a given sf_dir are immutable for the
-#: lifetime of the application — rewriting parquet under a memoized
-#: sf_dir would serve stale checkpointed relations.
-_MANIFEST_MEMO: dict[tuple[str, str], DataFrame] = {}
+#: Keys carry the SAME fixture-fingerprint token that invalidates
+#: session.load_tables' Tables cache, so regenerating a fixture
+#: parquet in place rebuilds both caches on one signal.
+_MANIFEST_MEMO: dict[tuple, DataFrame] = {}
 
 
-def _evict_other_apps(memo: dict, app_id: str) -> None:
-    """Drop memo entries from prior Spark applications on insert: their
-    localCheckpoint blocks died with the old context, and keeping the
-    keys would pin one stale entry set per restarted session forever."""
-    for k in [k for k in memo if k[0] != app_id]:
-        del memo[k]
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """(applicationId, realpath(sf_dir), per-file mtime_ns+size) — the
+    memo-validity token. The fingerprint component is the same one
+    session.load_tables keys its Tables cache on, so an in-place
+    fixture regeneration invalidates the checkpointed pairs/manifests
+    and the cached DataFrames together instead of leaving this layer
+    serving stale relations."""
+    real = os.path.realpath(sf_dir)
+    return (spark.sparkContext.applicationId, real, _fixture_fingerprint(real))
+
+
+def _release_value(value) -> None:
+    """Unpersist one memo value (a checkpointed DataFrame or a tuple of
+    them — _PQ_MEMO). localCheckpoint blocks are pinned executor
+    storage until explicitly unpersisted; dict eviction alone frees
+    them only on nondeterministic GC."""
+    for df in value if isinstance(value, tuple) else (value,):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — blocks died with it
+
+
+def release_memo(memo: dict) -> None:
+    """Unpersist every checkpointed relation in ``memo``, then clear it
+    (bench's cold-build pass uses this so cold timings aren't skewed by
+    orphaned checkpoint blocks from the cleared warm entries)."""
+    for value in memo.values():
+        _release_value(value)
+    memo.clear()
+
+
+def _evict_stale(memo: dict, key: tuple) -> None:
+    """On insert of ``key``, drop entries from prior Spark applications
+    (their checkpoint blocks died with the old context) and same-app
+    entries for the same sf_dir whose fixture fingerprint changed
+    (in-place regeneration), unpersisting the latter's live blocks."""
+    for k in [k for k in memo if k != key]:
+        if k[0] != key[0]:
+            del memo[k]
+        elif k[1] == key[1]:
+            _release_value(memo.pop(k))
 
 
 def _dedup_manifest_for(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key not in _MANIFEST_MEMO:
-        _evict_other_apps(_MANIFEST_MEMO, key[0])
+        _evict_stale(_MANIFEST_MEMO, key)
         _MANIFEST_MEMO[key] = _dedup_manifest(docs).localCheckpoint(eager=True)
     return _MANIFEST_MEMO[key]
 
@@ -685,13 +727,13 @@ def _emb_pairs_ctes(threshold: str = "0.35") -> str:
 #: production the candidate+verify pass runs once per corpus snapshot
 #: and its output feeds every downstream job. Same immutable-fixture
 #: assumption as _MANIFEST_MEMO.
-_SEM_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SEM_PAIRS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _sem_pairs_for(spark: SparkSession, sf_dir: str, embeddings: DataFrame) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key not in _SEM_PAIRS_MEMO:
-        _evict_other_apps(_SEM_PAIRS_MEMO, key[0])
+        _evict_stale(_SEM_PAIRS_MEMO, key)
         _SEM_PAIRS_MEMO[key] = _embedding_cosine_pairs(embeddings).localCheckpoint(
             eager=True
         )
@@ -1370,13 +1412,13 @@ def _knn_recall_oracle(
 #: 12-table bucket pass runs once per session here too; only the tiny
 #: (query, neighbor) top-k relation (|sample|·k rows) is pinned.
 #: Same immutable-fixture assumption as _MANIFEST_MEMO above.
-_LSH_MONITOR_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LSH_MONITOR_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _lsh_monitor_candidates(spark: SparkSession, sf_dir: str, embeddings, sample) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key not in _LSH_MONITOR_MEMO:
-        _evict_other_apps(_LSH_MONITOR_MEMO, key[0])
+        _evict_stale(_LSH_MONITOR_MEMO, key)
         _LSH_MONITOR_MEMO[key] = (
             llmops.ann_lsh_join(
                 embeddings,
@@ -2224,13 +2266,13 @@ def llm_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: explode; a real pipeline materializes the shingle table once per
 #: corpus snapshot, so the session memo models that — same pattern as
 #: _MANIFEST_MEMO.
-_GRAMS4_MEMO: dict[tuple[str, str], DataFrame] = {}
+_GRAMS4_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _grams4_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key not in _GRAMS4_MEMO:
-        _evict_other_apps(_GRAMS4_MEMO, key[0])
+        _evict_stale(_GRAMS4_MEMO, key)
         t = load_tables(spark, sf_dir)
         _GRAMS4_MEMO[key] = (
             t.documents.select(
@@ -2374,7 +2416,7 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: family. The codes relation (every vector's per-subspace argmin) is
 #: checkpointed because both llm_pq_encode and llm_pq_search read it —
 #: in production the codes ARE the index, written once per snapshot.
-_PQ_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_PQ_MEMO: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _pq_parts(
@@ -2383,9 +2425,9 @@ def _pq_parts(
     """dims (vec_id, label, pos, sub, v·1000), codebook (code_label,
     pos, c), codes (vec_id, sub, code_label, d2) — see llm_pq_encode
     for the quantization/determinism contract."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key not in _PQ_MEMO:
-        _evict_other_apps(_PQ_MEMO, key[0])
+        _evict_stale(_PQ_MEMO, key)
         t = load_tables(spark, sf_dir)
         dims = t.embeddings.select(
             "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
@@ -5351,7 +5393,7 @@ def _contamination_near_oracle(
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, source = 'src1' AS is_eval,
+      SELECT doc_id, coalesce(source = 'src1', false) AS is_eval,
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
       FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
@@ -5418,7 +5460,15 @@ def llm_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t.documents.filter(F.col("text").isNotNull())
         .repartition(par, "doc_id")
-        .select("doc_id", (F.col("source") == "src1").alias("is_eval"), "text")
+        # null-safe flag: a NULL source must count as train-side (not
+        # drop out of collect_set via NULL is_eval) to match the
+        # oracle's coalesce — cross-engine divergence otherwise if
+        # fixtures ever carry null source (r9 ADVICE).
+        .select(
+            "doc_id",
+            F.coalesce(F.col("source") == "src1", F.lit(False)).alias("is_eval"),
+            "text",
+        )
     )
     sh = docs.select("doc_id", "is_eval", llmops.shingles("text", 3).alias("__sh"))
     mins = llmops.minhash_signatures(
