@@ -674,3 +674,112 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("nd") > 1, F.col("len")).otherwise(0)).cast("long").alias("dup_bytes"),
         )
     )
+
+
+# ------------------------------------------------- r10: blob-scale CDC chunking
+
+
+@register(
+    "mm_cdc_chunking_blob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, LENGTH(text) * 4 AS n_samples, LENGTH(text) * 8 AS ds
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    hdr AS (
+      -- encode_wav_tone's 44-byte RIFF header, byte-exact: RIFF,
+      -- LE(36+ds), WAVE, 'fmt ', LE(16), fmt{pcm,mono,8kHz,16bit},
+      -- 'data', LE(ds)
+      SELECT doc_id, ds,
+             [82,73,70,70,
+              (36+ds)&255, ((36+ds)>>8)&255, ((36+ds)>>16)&255, ((36+ds)>>24)&255,
+              87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, 1,0,
+              64,31,0,0, 128,62,0,0, 2,0, 16,0, 100,97,116,97,
+              ds&255, (ds>>8)&255, (ds>>16)&255, (ds>>24)&255] AS h
+      FROM base
+    ),
+    bytes AS MATERIALIZED (
+      -- byte at 0-based offset p: header literal, else int16-LE halves
+      -- of sample s = ((doc_id*31 + i*7) % 201) - 100, i = (p-44)//2
+      SELECT doc_id, p.p AS p,
+             CASE WHEN p.p < 44 THEN h[p.p + 1]
+                  WHEN (p.p - 44) % 2 = 0
+                  THEN ((((doc_id*31 + ((p.p-44)//2)*7) % 201) - 100 + 65536) % 65536) % 256
+                  ELSE ((((doc_id*31 + ((p.p-44)//2)*7) % 201) - 100 + 65536) % 65536) // 256
+             END AS b
+      FROM hdr, LATERAL (SELECT unnest(generate_series(0, 43 + ds)) AS p) p
+    ),
+    marked AS (
+      SELECT doc_id, p, b,
+             CASE WHEN p >= 3 AND
+                  ((LAG(b,3) OVER w * 31 + LAG(b,2) OVER w) * 31
+                   + LAG(b,1) OVER w) * 31 + b = 64 * ((((LAG(b,3) OVER w * 31 + LAG(b,2) OVER w) * 31 + LAG(b,1) OVER w) * 31 + b) // 64)
+             THEN 1 ELSE 0 END AS cut
+      FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    assigned AS (
+      SELECT doc_id, p, b,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM marked
+    ),
+    grp AS MATERIALIZED (
+      SELECT doc_id, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             md5(string_agg(lpad(upper(to_hex(b)), 2, '0'), '' ORDER BY p)) AS h
+      FROM assigned GROUP BY doc_id, chunk_id
+    ),
+    dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM grp GROUP BY h)
+    SELECT grp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN len ELSE 0 END) AS BIGINT) AS dup_bytes
+    FROM grp JOIN dfreq USING (h)
+    GROUP BY grp.doc_id
+    """,
+)
+def mm_cdc_chunking_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-scale content-defined chunking over REAL WAV payloads —
+    the r9 verdict's remaining array-materialization bound closed:
+    where mm_cdc_chunking evaluates an O(len) position array per row
+    in the expression tree (right for KB text stand-ins, wrong for
+    multi-MB blobs), this runs functions/multimodal.cdc_chunk_blob's
+    ``mapInArrow`` rolling-hash chunker: numpy streams the 4-byte
+    polynomial hash over each payload buffer, per-task memory is
+    O(Arrow batch), and md5 runs once per CHUNK. Payloads are the
+    tone WAVs the audio codec family already round-trips
+    (attach_tone_payload: 44-byte RIFF header + closed-form int16
+    PCM), so the oracle replays every BYTE — header literals, LE
+    sample halves — then the rolling hash, the cut rule, and the
+    chunk hashes; a single wrong byte anywhere in pack/chunk/hash
+    breaks the compare. Output is the same per-doc dedup manifest as
+    the text chunker: chunk count/bytes + how many chunks (and bytes)
+    also occur in other docs — docs sharing doc_id ≡ (mod 201) and a
+    text length emit identical PCM, so cross-doc duplicate chunks
+    exist by construction.
+
+    Scale: synth and chunking are narrow mapInPandas/mapInArrow
+    stages (payload bytes never shuffle); the only exchanges move
+    (doc_id, start, len, h) manifest rows — chunk-hash frequency agg
+    + join back, both corpus-partitionable. Modulus 64 ⇒ expected
+    64-byte chunks on these ~1.2 KB payloads; real blob stores tune
+    it to MiB-class chunks (the multi-MB smoke uses 1024)."""
+    from .common import parallelize_scan
+
+    t = load_tables(spark, sf_dir)
+    docs = parallelize_scan(
+        t.documents.filter(F.length("text") > 0).select("doc_id", "text"), "doc_id"
+    )
+    chunks = mm.cdc_chunk_blob(mm.attach_tone_payload(docs), modulus=64)
+    dfreq = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        chunks.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("len").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("len")).otherwise(0)).cast("long").alias("dup_bytes"),
+        )
+    )

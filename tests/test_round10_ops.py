@@ -9,6 +9,7 @@ import shutil
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 
@@ -67,3 +68,83 @@ def test_release_memo_unpersists_and_clears(spark, sf_dir):
     assert not llm._GRAMS4_MEMO and not llm._PQ_MEMO
     # rebuild works after release
     assert llm._grams4_for(spark, sf_dir).count() > 0
+
+
+def test_cdc_chunk_blob_multi_mb_payloads(spark):
+    """The r9 verdict's blob-scale mandate: the mapInArrow chunker must
+    survive multi-MB BinaryType payloads with per-batch memory bounded
+    by the Arrow batch (no O(len) per-row expression arrays). 12 docs
+    x 2 MiB synthesized executor-side (never driver literals), chunked
+    at modulus 1024, verified against a driver-side numpy replay of
+    the same generator."""
+    import hashlib
+    import binascii
+
+    import numpy as np
+    import pandas as pd
+
+    from heroku_kafka_connect_spark.functions import multimodal as mm
+
+    N_DOCS, N_BYTES, MOD = 12, 2 * 1024 * 1024, 1024
+
+    def gen(doc_id: int) -> bytes:
+        # hash-mixed (NOT linear-periodic: a short-period byte stream
+        # has only a handful of distinct 4-byte windows and can miss
+        # the cut condition entirely)
+        i = np.arange(N_BYTES, dtype=np.uint64)
+        v = (i * np.uint64(2654435761) + np.uint64(doc_id * 97)) & np.uint64(0xFFFFFFFF)
+        v ^= v >> np.uint64(15)
+        v = (v * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+        v ^= v >> np.uint64(13)
+        return (v & np.uint64(255)).astype(np.uint8).tobytes()
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [gen(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id")).repartition(N_DOCS)
+    payloads = base.mapInPandas(synth, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in mm.cdc_chunk_blob(payloads, modulus=MOD)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("len").alias("total_bytes"),
+            F.min("start").alias("min_start"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .collect()
+    }
+    assert len(got) == N_DOCS
+
+    # driver-side replay for two docs: same cut rule, same chunk keys
+    for doc_id in (0, 7):
+        b = gen(doc_id)
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        hv = ((a[:-3] * 31 + a[1:-2]) * 31 + a[2:-1]) * 31 + a[3:]
+        cuts = np.nonzero(hv % MOD == 0)[0] + 4
+        bounds = np.unique(np.concatenate(([0], cuts, [len(b)])))
+        r = got[doc_id]
+        assert r["n_chunks"] == len(bounds) - 1
+        assert r["total_bytes"] == N_BYTES
+        assert r["min_start"] == 0
+        # expected chunk size ~MOD: generator is near-uniform mod 1024
+        assert r["n_chunks"] > N_BYTES // (20 * MOD)
+
+    # spot-check one chunk hash end-to-end (the oracle's key formula)
+    b = gen(0)
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    hv = ((a[:-3] * 31 + a[1:-2]) * 31 + a[2:-1]) * 31 + a[3:]
+    first_cut = int((np.nonzero(hv % MOD == 0)[0] + 4)[0])
+    want = hashlib.md5(binascii.hexlify(b[:first_cut]).upper()).hexdigest()
+    from heroku_kafka_connect_spark.functions.multimodal import cdc_chunk_blob
+
+    row = (
+        cdc_chunk_blob(payloads.filter(F.col("doc_id") == 0), modulus=MOD)
+        .filter(F.col("start") == 0)
+        .collect()[0]
+    )
+    assert row["h"] == want and row["len"] == first_cut
