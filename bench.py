@@ -64,6 +64,10 @@ MEMO_FAMILIES = {
     "llm_knn_recall": "_LSH_MONITOR_MEMO",
     "llm_substring_dup_rate": "_GRAMS4_MEMO",
     "llm_pq_encode": "_PQ_MEMO",
+    # r10: the near-contamination sketch+verify pass and the resolved
+    # three-rung manifest, both shared with llm_curation_pipeline
+    "llm_contamination_near": "_NC_PAIRS_MEMO",
+    "llm_dedup_apply_full": "_FULL_MANIFEST_MEMO",
 }
 
 
