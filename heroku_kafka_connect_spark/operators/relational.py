@@ -5215,6 +5215,109 @@ def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- r10: compaction APPLY
+
+
+@register(
+    "rel_compaction_apply",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, doc_id, n_chars, text,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM documents
+    ),
+    grp AS (SELECT lang, doc_id, n_chars, text, before // 65536 AS file_group FROM sized)
+    SELECT lang, CAST(file_group AS BIGINT) AS file_group,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS content_hash,
+           CAST(1 AS BIGINT) AS n_files
+    FROM grp GROUP BY lang, file_group
+    """,
+)
+def rel_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction APPLIED and VERIFIED — the execution step of
+    `rel_compaction_plan` (the r9 verdict: 'nothing executes it').
+    The run (1) materializes the degraded input state — documents
+    hash-scattered across 64 small parquet files, the classic
+    streaming-ingest debris OPTIMIZE exists to fix; (2) re-derives
+    the plan's file_group on the READ-BACK small files (same
+    per-lang running-bytes // 4096 rule as the planner, so the two
+    queries stay one definition); (3) rewrites one output file per
+    (lang, file_group) via repartition-on-the-group-key +
+    partitionBy — hash repartitioning co-locates each group in
+    exactly one task, so each partition directory gets exactly one
+    data file; (4) reads the compacted table back and emits the
+    post-compaction census: per-file row count, bytes, doc span, an
+    ORDERED content hash over the docs' md5s, and the MEASURED file
+    count per group (count_distinct(input_file_name())). The oracle
+    recomputes every column from the source table with n_files
+    pinned to 1 — a lost/duplicated/misrouted row, a group split
+    across files, or a second file per directory all fail the value
+    compare, which is what converts the planner into a verified
+    operator (the J193 pattern).
+
+    Scale: the apply is ONE shuffle on the group key + a partitioned
+    write — the standard incremental-OPTIMIZE shape; the census is a
+    hash agg over the compacted scan. Target here is 65536 chars —
+    16× the planner's manifest granularity — because an APPLY must
+    actually REDUCE the file count on the 64-file degraded state
+    (the planner's 4 KB fixture target would re-fragment it); the
+    packing rule is character-identical, production swaps 128 MB in."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hkc_compact_")
+    small = os.path.join(base, "small")
+    t.documents.select("doc_id", "lang", "n_chars", "text").repartition(
+        64, "doc_id"
+    ).write.mode("overwrite").parquet(small)
+
+    back = spark.read.parquet(small)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = back.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        "text",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    ).withColumn("file_group", F.expr("before div 65536"))
+
+    out = os.path.join(base, "compacted")
+    planned.drop("before").repartition("lang", "file_group").write.mode(
+        "overwrite"
+    ).partitionBy("lang", "file_group").parquet(out)
+
+    rb = (
+        spark.read.parquet(out)
+        .withColumn("file_group", F.col("file_group").cast("long"))
+        # projected BEFORE the agg: input_file_name() is
+        # non-deterministic and may not appear inside an aggregate
+        .withColumn("fname", F.input_file_name())
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.md5("text").alias("h")))
+        ),
+        lambda x: x["h"],
+    )
+    return rb.groupBy("lang", "file_group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(F.concat_ws(",", ordered)).alias("content_hash"),
+        F.count_distinct("fname").alias("n_files"),
+    )
+
+
 # ------------------------------------------------- r9: l-diversity audit
 
 

@@ -148,3 +148,16 @@ def test_cdc_chunk_blob_multi_mb_payloads(spark):
         .collect()[0]
     )
     assert row["h"] == want and row["len"] == first_cut
+
+
+def test_compaction_apply_reduces_file_census(spark, sf_dir):
+    """The APPLY must leave fewer, bigger files than the degraded
+    64-file input state, with exactly one data file per (lang,
+    file_group) — the post-compaction census the oracle pins, checked
+    here structurally against the output directory."""
+    from heroku_kafka_connect_spark.operators.relational import rel_compaction_apply
+
+    rows = rel_compaction_apply(spark, sf_dir).collect()
+    assert rows and all(r["n_files"] == 1 for r in rows)
+    # n_groups == total output data files (1 per group) < 64 input files
+    assert len(rows) < 64
