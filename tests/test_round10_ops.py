@@ -161,3 +161,22 @@ def test_compaction_apply_reduces_file_census(spark, sf_dir):
     assert rows and all(r["n_files"] == 1 for r in rows)
     # n_groups == total output data files (1 per group) < 64 input files
     assert len(rows) < 64
+
+
+def test_cold_floor_gate_logic():
+    """check_cold_floors: flags only committed families beyond 2x,
+    skips unknown/new families and the floors file's _comment key."""
+    import json
+
+    from bench import check_cold_floors
+
+    floors = {"_comment": "doc", "a": 1.0, "b": 4.0}
+    cold = {"a": 2.5, "b": 7.9, "new_family": 99.0}
+    got = check_cold_floors(cold, floors)
+    assert [r["query"] for r in got] == ["a"]
+    assert got[0]["limit_sec"] == 2.0
+    # the committed floors file parses and covers every bench memo family
+    from bench import MEMO_FAMILIES
+
+    committed = json.load(open(os.path.join(os.path.dirname(__file__), "..", "BENCH_COLD_FLOORS.json")))
+    assert set(MEMO_FAMILIES) <= set(committed)
