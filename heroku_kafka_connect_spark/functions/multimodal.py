@@ -625,3 +625,37 @@ def cdc_chunk_blob(
             )
 
     return df.mapInArrow(chunk, CDC_CHUNK_SCHEMA)
+
+
+def frame_energy_rows(df: DataFrame, frame: int = 80) -> DataFrame:
+    """Per-FRAME PCM energies as rows (doc_id, frame, fe) — the
+    long-format sibling of `frame_energy` (which aggregates per doc):
+    RIFF walk → int16 numpy view → per-frame sum of squares, one
+    Arrow batch at a time. Feeds frame-level operators (VAD
+    segmentation, silence trimming) that need the energy SEQUENCE,
+    not its summary. Exact integers throughout."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            frames: list = []
+            fes: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(_wav_data_bytes(bytes(payload)), dtype="<i2").astype(
+                    np.int64
+                )
+                n = len(s)
+                if n == 0:
+                    continue
+                n_frames = -(-n // frame)
+                pad = np.zeros(n_frames * frame - n, dtype=np.int64)
+                fe = np.concatenate([s * s, pad]).reshape(n_frames, frame).sum(axis=1)
+                ids.extend([doc_id] * n_frames)
+                frames.extend(range(n_frames))
+                fes.extend(fe.tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame": frames, "fe": fes})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, "doc_id bigint, frame bigint, fe bigint"
+    )

@@ -783,3 +783,83 @@ def mm_cdc_chunking_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("nd") > 1, F.col("len")).otherwise(0)).cast("long").alias("dup_bytes"),
         )
     )
+
+
+# ------------------------------------------------- r10: VAD segmentation
+
+
+@register(
+    "mm_vad_segments",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 7) % 201) - 100 AS v,
+             i // 80 AS frame
+      FROM (SELECT doc_id, unnest(generate_series(0, LENGTH(text) * 4 - 1)) AS i
+            FROM documents WHERE LENGTH(text) > 0)
+    ),
+    frames AS (
+      SELECT doc_id, frame, SUM(v * v) AS fe FROM s GROUP BY doc_id, frame
+    ),
+    act AS (SELECT doc_id, frame FROM frames WHERE fe > 270000),
+    isl AS (
+      SELECT doc_id, frame,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+      FROM act
+    ),
+    seg AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len, MIN(frame) AS start_frame
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(run_len) AS BIGINT) AS active_frames,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(MIN(start_frame) AS BIGINT) AS first_active_frame
+    FROM seg GROUP BY doc_id
+    """,
+)
+def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL PCM bytes — the
+    speech-data curation primitive that cuts a recording into
+    utterances: frames (10 ms / 80 samples at 8 kHz) whose energy
+    exceeds the threshold are 'speech', and maximal CONSECUTIVE runs
+    of speech frames become segments (the gaps-and-islands pattern:
+    island key = frame − row_number over active frames). Emits per
+    doc the segment count, total active frames, the longest utterance
+    and where speech starts — what an ASR pre-pipeline stores per
+    clip. Docs with no active frame have no utterances and drop out
+    (inner semantics, both engines).
+
+    The energy sequence comes from `frame_energy_rows`: the tone-WAV
+    payloads round-trip through real RIFF bytes, numpy computes exact
+    int64 frame energies per Arrow batch, and the oracle replays the
+    closed-form waveform — so pack/parse/frame/threshold/segmentation
+    are all under the value hash. Threshold 270000 ≈ the expected
+    frame energy of the uniform residue waveform, so activity
+    genuinely alternates. Scale: synth+extract are narrow stages; the
+    islands window partitions per doc (bounded frames/doc); the final
+    agg is map-side combinable."""
+    from .common import parallelize_scan
+
+    t = load_tables(spark, sf_dir)
+    docs = parallelize_scan(
+        t.documents.filter(F.length("text") > 0).select("doc_id", "text"), "doc_id"
+    )
+    fe = mm.frame_energy_rows(mm.attach_tone_payload(docs))
+    act = fe.filter(F.col("fe") > 270000)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    isl = act.select(
+        "doc_id", "frame", (F.col("frame") - F.row_number().over(w)).alias("grp")
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("frame").alias("start_frame")
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("run_len").cast("long").alias("active_frames"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.min("start_frame").cast("long").alias("first_active_frame"),
+    )

@@ -6029,3 +6029,303 @@ def rel_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp").alias("l_suppkey"), "peak_concurrent", "peak_day_epoch"
         )
     )
+
+
+# ------------------------------------------------- r10: MERGE INTO (upsert+delete)
+
+
+@register(
+    "rel_merge_into",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT c_custkey, c_mktsegment, {o_mlong('c_acctbal')} AS bal FROM customer
+    ),
+    src AS (
+      SELECT c_custkey, 'D' AS op, CAST(NULL AS BIGINT) AS new_bal,
+             CAST(NULL AS VARCHAR) AS new_seg
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', bal + 100 * c_custkey, 'UPDATED'
+      FROM tgt WHERE c_custkey % 3 = 0 AND c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 100 * c_custkey, 'NEW'
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    m AS (
+      SELECT c_custkey, s.op, t.c_mktsegment AS t_seg, t.bal AS t_bal,
+             s.new_bal, s.new_seg
+      FROM tgt t FULL OUTER JOIN src s USING (c_custkey)
+    )
+    SELECT c_custkey,
+           CASE WHEN op = 'U' OR op = 'I' THEN new_seg ELSE t_seg END AS mktsegment,
+           CASE WHEN op = 'U' OR op = 'I' THEN new_bal ELSE t_bal END AS acctbal_cents,
+           CASE WHEN op = 'U' THEN 'updated' WHEN op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS origin
+    FROM m WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO — the lakehouse three-clause upsert statement
+    (WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED THEN INSERT), expressed as its canonical
+    physical plan: ONE full-outer join of target and change source on
+    the merge key, resolved row-by-row with the clause precedence.
+    The change source is derived deterministically from the target
+    (custkey%10 deletes, remaining %3 updates with a balance bump,
+    %7 inserts under shifted keys), and — as real MERGE requires —
+    carries at most one row per key (a duplicate-key source is a
+    runtime error in Delta/Iceberg MERGE; the %-classes here are
+    disjoint by construction). Output is the post-merge table with
+    each row's provenance, so a wrong clause resolution anywhere
+    flips hashes.
+
+    Scale: exactly the Delta/Iceberg MERGE shape — a single shuffle
+    on the merge key (or a broadcast when the change set is small),
+    no second pass; balances ride the scaled-long money path so the
+    updated values are engine-exact. SMT cousins: B2 upsert is the
+    keep-latest special case, B3 tombstones are the DELETE clause."""
+    t = load_tables(spark, sf_dir)
+    tgt = t.customer.select(
+        "c_custkey", "c_mktsegment", mlong("c_acctbal").alias("bal")
+    )
+    src = (
+        t.customer.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("long").alias("new_bal"),
+            F.lit(None).cast("string").alias("new_seg"),
+        )
+        .unionAll(
+            tgt.filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 10 != 0)).select(
+                "c_custkey",
+                F.lit("U").alias("op"),
+                (F.col("bal") + 100 * F.col("c_custkey")).alias("new_bal"),
+                F.lit("UPDATED").alias("new_seg"),
+            )
+        )
+        .unionAll(
+            t.customer.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                (100 * F.col("c_custkey")).cast("long").alias("new_bal"),
+                F.lit("NEW").alias("new_seg"),
+            )
+        )
+    )
+    m = tgt.withColumnRenamed("c_mktsegment", "t_seg").withColumnRenamed(
+        "bal", "t_bal"
+    ).join(src, "c_custkey", "full_outer")
+    changed = F.col("op").isin("U", "I")
+    return m.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        "c_custkey",
+        F.when(changed, F.col("new_seg")).otherwise(F.col("t_seg")).alias("mktsegment"),
+        F.when(changed, F.col("new_bal")).otherwise(F.col("t_bal")).alias("acctbal_cents"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("origin"),
+    )
+
+
+# ------------------------------------------------- r10: ANALYZE-style column statistics
+
+
+@register(
+    "rel_analyze_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority, o_custkey,
+             {o_mlong('o_totalprice')} AS price_cents,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+      FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base)
+    SELECT s.column, n.n_rows, s.n_nulls, s.ndv, s.min_val, s.max_val,
+           s.avg_width_milli
+    FROM n, (
+      SELECT 'o_orderstatus' AS "column",
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+             MIN(o_orderstatus) AS min_val, MAX(o_orderstatus) AS max_val,
+             CAST(1000 * SUM(LENGTH(o_orderstatus)) AS BIGINT)
+               // COUNT(o_orderstatus) AS avg_width_milli
+      FROM base
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             MIN(o_orderpriority), MAX(o_orderpriority),
+             CAST(1000 * SUM(LENGTH(o_orderpriority)) AS BIGINT) // COUNT(o_orderpriority)
+      FROM base
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+             CAST(1000 * SUM(LENGTH(CAST(o_custkey AS VARCHAR))) AS BIGINT)
+               // COUNT(o_custkey)
+      FROM base
+      UNION ALL
+      SELECT 'o_totalprice_cents',
+             CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT price_cents) AS BIGINT),
+             CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR),
+             CAST(1000 * SUM(LENGTH(CAST(price_cents AS VARCHAR))) AS BIGINT)
+               // COUNT(price_cents)
+      FROM base
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(SUM(CASE WHEN odate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT odate) AS BIGINT),
+             MIN(odate), MAX(odate),
+             CAST(1000 * SUM(LENGTH(odate)) AS BIGINT) // COUNT(odate)
+      FROM base
+    ) s
+    """,
+)
+def rel_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the CBO
+    statistics-collection operator every engine runs before join
+    reordering and broadcast decisions can be cost-based: per column,
+    null count, exact NDV, min/max and average serialized width.
+    Emitted long-format (one row per column) like the catalog stores
+    them. Engine-neutral canonicalization is the content: timestamps
+    compare as fixed-width strftime strings (lexicographic ==
+    chronological), money as scaled-long cents, widths as
+    integer-division milli-chars — so the whole stats relation value-
+    hashes across engines.
+
+    Scale: ONE scan, all columns' aggregates computed together (the
+    multi-distinct Expand is how ANALYZE actually executes; at 100 TB
+    swap exact NDV for HLL per partition and merge — rel_hll_mergeable
+    demonstrates that path). The final unpivot is |columns| rows."""
+    from .common import parallelize_scan
+
+    t = load_tables(spark, sf_dir)
+    # fixture parquet is ONE file = one input split; the 5-column
+    # multi-distinct Expand multiplies rows 5x, so spread the scan
+    # before it or the whole ANALYZE runs single-task
+    base = parallelize_scan(t.orders, "o_orderkey").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        mlong("o_totalprice").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+    )
+    specs = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_totalprice_cents", F.col("price_cents")),
+        ("o_orderdate", F.col("odate")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in specs:
+        s = c.cast("string")
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"{name}__nulls"),
+            F.count_distinct(c).alias(f"{name}__ndv"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+            (
+                (F.lit(1000) * F.sum(F.length(s)))
+                / F.count(s)
+            ).cast("long").alias(f"{name}__w"),
+        ]
+    one = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__ndv").alias("ndv"),
+                F.col(f"{name}__min").alias("min_val"),
+                F.col(f"{name}__max").alias("max_val"),
+                F.col(f"{name}__w").alias("avg_width_milli"),
+            )
+            for name, _ in specs
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+# ------------------------------------------------- r10: KMV distinct-count sketch
+
+
+@register(
+    "rel_kmv_distinct",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS exact_distinct
+      FROM h
+    )
+    SELECT event_type,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN exact_distinct < 64 THEN exact_distinct
+                ELSE (63 * 281474976710656) // hv END AS BIGINT) AS kmv_estimate,
+           CAST((1000000 * abs(CASE WHEN exact_distinct < 64 THEN exact_distinct
+                                    ELSE (63 * 281474976710656) // hv END
+                               - exact_distinct)) // exact_distinct AS BIGINT) AS err_micro
+    FROM r WHERE rn = CASE WHEN exact_distinct < 64 THEN exact_distinct ELSE 64 END
+    """,
+)
+def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch with
+    its error measured against the exact count — the mergeable
+    DISTINCT estimator behind theta sketches (Bar-Yossef et al. 2002):
+    hash every member to [0,1), keep the k smallest hashes per group,
+    estimate NDV = (k-1)/h_(k). Unlike HLL (engine-specific register
+    layout — rel_hll_mergeable is rows-only for that reason), KMV
+    over md5 is FULLY deterministic cross-engine, so this sketch
+    carries a complete value oracle: hashes are the first 48 bits of
+    md5, the estimate is pure BIGINT floor-division, and groups
+    smaller than k fall back to exact (the sketch is lossless below
+    k). k=64 → expected relative error ~1/sqrt(62) ≈ 13%.
+
+    Scale: dedup shuffle + one window per group keyed on the sketch
+    column; at 100 TB the k smallest hashes per partition merge
+    associatively (sort_array(collect_list)[0:k] per combine), which
+    is the entire point of KMV — bottom-k sets union like counters."""
+    t = load_tables(spark, sf_dir)
+    k = 64
+    d = t.events.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("exact_distinct"),
+    )
+    small = F.col("exact_distinct") < k
+    est = F.when(small, F.col("exact_distinct")).otherwise(
+        F.expr(f"({k - 1} * 281474976710656) div hv")
+    )
+    return r.filter(
+        F.col("rn") == F.when(small, F.col("exact_distinct")).otherwise(F.lit(k))
+    ).select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        est.cast("long").alias("kmv_estimate"),
+        F.expr(
+            f"(1000000 * abs((CASE WHEN exact_distinct < {k} THEN exact_distinct"
+            f" ELSE ({k - 1} * 281474976710656) div hv END) - exact_distinct))"
+            " div exact_distinct"
+        ).cast("long").alias("err_micro"),
+    )
