@@ -5751,3 +5751,156 @@ def llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         F.col("j").cast("long").alias("dim"), (F.col("w_micro") / 1000000.0).alias("loading")
     )
+
+
+# ------------------------------------------------- r10: IVF n_probe recall sweep
+
+
+def _ivf_probe_sweep_oracle(k: int = 10, n_centroids: int = 16) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id ASC LIMIT {n_centroids}
+    ),
+    asg AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a='e.v', b='c.cv')} DESC, c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 40),
+    probes AS (
+      SELECT q.query_id, q.qv, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC, c.centroid_id ASC) AS probe_rank
+      FROM q CROSS JOIN cents c
+    ),
+    scored AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id, p.probe_rank,
+             ROUND({cos.format(a='a.v', b='p.qv')}, 4) AS score
+      FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND({cos.format(a='e.v', b='q.qv')}, 4) DESC, e.vec_id ASC) AS rn
+        FROM q CROSS JOIN e)
+      WHERE rn <= {k}
+    ),
+    sweep AS (
+      SELECT np, query_id, vec_id FROM (
+        SELECT np.np AS np, s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY np.np, s.query_id
+                                  ORDER BY s.score DESC, s.vec_id ASC) AS rn
+        FROM (SELECT unnest([1, 2, 4, 8, {n_centroids}]) AS np) np
+        JOIN scored s ON s.probe_rank <= np.np)
+      WHERE rn <= {k}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_possible FROM exact)
+    SELECT sweep.np AS n_probe,
+           CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+           tot.n_possible,
+           (1000000 * CAST(COUNT(x.vec_id) AS BIGINT)) // tot.n_possible AS recall_micro
+    FROM sweep
+    LEFT JOIN exact x ON x.query_id = sweep.query_id AND x.vec_id = sweep.vec_id
+    CROSS JOIN tot
+    GROUP BY sweep.np, tot.n_possible
+    """
+
+
+@register("llm_ivf_probe_sweep", oracle=_ivf_probe_sweep_oracle())
+def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n_probe → recall@k sweep — the tuning curve an ANN
+    operator ships with (the IVF twin of `llm_lsh_band_sweep`): ONE
+    assignment pass and ONE candidate-scoring relation serve every
+    sweep point (probe_rank ≤ n_probe is a filter, not a rebuild),
+    and recall@10 over 40 queries is measured against the exact
+    brute-force top-k (a genuinely monotone curve on the fixture:
+    ~0.5 at n_probe=1 rising to 1.0).
+    n_probe = n_centroids is the exhaustive rung, so the sweep's last
+    row MUST read recall 1.0 — a built-in correctness sentinel the
+    oracle also pins. Recall is reported as (1e6·hits)//possible —
+    pure BIGINT, no float decision anywhere.
+
+    Scale: the scored relation shuffles once on centroid_id (probe
+    side broadcast); the per-sweep-point top-k is a WindowGroupLimit
+    over (np, query) — map-side bounded. The sweep answers the real
+    operations question (cheapest n_probe meeting a recall SLO)
+    from one index build, which is how FAISS/Milvus tuning runs
+    actually execute."""
+    t = load_tables(spark, sf_dir)
+    from ..functions.vectors import cosine, ivf_assign, to_double
+
+    k, n_centroids = 10, 16
+    e = t.embeddings
+    index = ivf_assign(e, n_centroids=n_centroids)
+    cents = F.broadcast(
+        e.orderBy(F.col("vec_id").asc())
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), to_double("embedding").alias("__cv"))
+    )
+    q = e.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), to_double("embedding").alias("__qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("__qcs").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("__qcs", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("probe_rank", F.row_number().over(qw))
+        .select("query_id", "__qv", "centroid_id", "probe_rank")
+    )
+    scored = index.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        "probe_rank",
+        F.round(cosine(F.col("__v"), F.col("__qv")), 4).alias("score"),
+    )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        q.crossJoin(e.select("vec_id", to_double("embedding").alias("__v")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__v"), F.col("__qv")), 4).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    nps = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (2,), (4,), (8,), (n_centroids,)], "np int"
+    )
+    sw = Window.partitionBy("np", "query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    sweep = (
+        F.broadcast(nps)
+        .join(scored, F.col("probe_rank") <= F.col("np"))
+        .withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= k)
+        .select("np", "query_id", "vec_id")
+    )
+    n_possible = exact.count()
+    hits = sweep.join(
+        exact.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return hits.groupBy(F.col("np").alias("n_probe")).agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        F.lit(n_possible).cast("long").alias("n_possible"),
+        F.expr(
+            f"(1000000 * sum(coalesce(hit, 0))) div {n_possible}"
+        ).cast("long").alias("recall_micro"),
+    )

@@ -6329,3 +6329,126 @@ def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div exact_distinct"
         ).cast("long").alias("err_micro"),
     )
+
+
+# ------------------------------------------------- r10: Z-order APPLY + skipping census
+
+
+_ZAPPLY_XY = """
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 256 AS BIGINT) AS y
+      FROM orders
+"""
+
+_ZAPPLY_Z = (
+    "("
+    + " + ".join(
+        f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "rel_zorder_apply",
+    oracle=f"""
+    WITH xy AS ({_ZAPPLY_XY}),
+    keyed AS (
+      SELECT o_orderkey, x, y,
+             {_ZAPPLY_Z} // 4096 AS zbucket,
+             x // 16 AS lbucket
+      FROM xy
+    ),
+    layouts AS (
+      SELECT 'zorder' AS layout, zbucket AS bucket, x, y FROM keyed
+      UNION ALL
+      SELECT 'linear', lbucket, x, y FROM keyed
+    ),
+    census AS (
+      SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             CAST(1 AS BIGINT) AS n_files
+      FROM layouts GROUP BY layout, bucket
+    )
+    SELECT layout, bucket, n_rows, min_x, max_x, min_y, max_y, n_files,
+           (max_x < 64 OR min_x > 127 OR max_y < 64 OR min_y > 127) AS skippable
+    FROM census
+    """,
+)
+def rel_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER applied and VERIFIED — the execution step of
+    `rel_zorder_index` (same conversion the r9 verdict asked of the
+    compaction planner): write the orders table to disk TWICE — once
+    clustered by the Morton bucket (z = bit-interleave of the two
+    bucketized dims, files = z//4096) and once by the single-dim
+    'linear' layout (files = x//16) — then read BOTH layouts back and
+    emit each file's zone map (min/max of both dims, measured from
+    the bytes on disk) plus whether the 2-D box probe
+    x,y ∈ [64,127]² can skip it. On this key space the box intersects
+    exactly ONE of 16 z-files (Morton puts the whole quadrant's
+    prefix together: scan 1/16 of rows) but FOUR of 16 linear files
+    (y is unconstrained in an x-sorted layout: scan 1/4) — the
+    measured census IS the multi-dimensional-clustering business
+    case. The oracle recomputes every zone map from the source table
+    with n_files pinned to 1, so misrouted rows, split buckets, or a
+    wrong interleave all fail the value compare.
+
+    Scale: each apply is one shuffle on its file key + a partitioned
+    write (identical plan to rel_compaction_apply); the census is a
+    hash agg per layout over the read-back scan. Production swaps the
+    8-bit dims for range-bucketized columns and 128 MB targets."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.floor("o_totalprice").cast("long") % 256).cast("long")
+
+    def interleave(xc, yc, bits=8):
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            z = z + F.shiftright(xc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            z = z + F.shiftright(yc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        return z
+
+    keyed = t.orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        F.expr(f"({_ZAPPLY_Z}) div 4096").alias("zbucket"),
+        F.expr("(o_custkey % 256) div 16").alias("lbucket"),
+    )
+    base = tempfile.mkdtemp(prefix="hkc_zorder_")
+    censuses = []
+    for layout, key in (("zorder", "zbucket"), ("linear", "lbucket")):
+        out = os.path.join(base, layout)
+        keyed.select("o_orderkey", "x", "y", F.col(key).alias("bucket")).repartition(
+            "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(out)
+        rb = (
+            spark.read.parquet(out)
+            .withColumn("bucket", F.col("bucket").cast("long"))
+            .withColumn("fname", F.input_file_name())
+        )
+        censuses.append(
+            rb.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.count_distinct("fname").alias("n_files"),
+            ).select(F.lit(layout).alias("layout"), "*")
+        )
+    census = censuses[0].unionAll(censuses[1])
+    skippable = (
+        (F.col("max_x") < 64)
+        | (F.col("min_x") > 127)
+        | (F.col("max_y") < 64)
+        | (F.col("min_y") > 127)
+    )
+    return census.withColumn("skippable", skippable)

@@ -145,6 +145,10 @@ BNLJ_OK = {
                           # per-reason share projection
     "llm_matryoshka_recall",  # two corpus scans x 10 broadcast query
                           # vectors (full-dim and 16-dim prefix passes)
+    "llm_ivf_probe_sweep",  # corpus scan x 16 broadcast centroids +
+                          # x 40 broadcast query vectors; the 5-row
+                          # n_probe grid theta-joins (probe_rank <= np)
+                          # onto the scored relation — all tiny sides
     "llm_quality_threshold_sweep",  # 19-row grid x <=21-row bin
                           # histogram x 1-row total — all tiny sides
     "rel_numeric_histogram",  # 1-row bucket total broadcast into the
