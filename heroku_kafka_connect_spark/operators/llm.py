@@ -5839,9 +5839,13 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually execute."""
     t = load_tables(spark, sf_dir)
     from ..functions.vectors import cosine, ivf_assign, to_double
+    from .common import parallelize_scan
 
     k, n_centroids = 10, 16
-    e = t.embeddings
+    # one parquet file = one input split: both the assignment and the
+    # exact brute-force crossJoin are compute-heavy narrow stages, so
+    # spread the scan or the whole sweep runs single-task
+    e = parallelize_scan(t.embeddings, "vec_id")
     index = ivf_assign(e, n_centroids=n_centroids)
     cents = F.broadcast(
         e.orderBy(F.col("vec_id").asc())
@@ -5893,14 +5897,20 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("np", "query_id", "vec_id")
     )
-    n_possible = exact.count()
+    # n_possible rides as a 1-row aggregate relation (no driver hop,
+    # no second execution of the exact subtree for a .count())
+    tot = exact.agg(F.count(F.lit(1)).cast("long").alias("n_possible"))
     hits = sweep.join(
         exact.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
     )
-    return hits.groupBy(F.col("np").alias("n_probe")).agg(
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
-        F.lit(n_possible).cast("long").alias("n_possible"),
-        F.expr(
-            f"(1000000 * sum(coalesce(hit, 0))) div {n_possible}"
-        ).cast("long").alias("recall_micro"),
+    return (
+        hits.groupBy(F.col("np").alias("n_probe"))
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_probe",
+            "n_hits",
+            "n_possible",
+            F.expr("(1000000 * n_hits) div n_possible").cast("long").alias("recall_micro"),
+        )
     )
