@@ -3983,7 +3983,7 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_curation_pipeline",
-    oracle=_APPLY_FULL_CTES.rstrip().rstrip(",")
+    oracle=(_CURATION_ORACLE := _APPLY_FULL_CTES.rstrip().rstrip(",")
     + ",\n    "
     + _near_contam_ctes().strip().rstrip(",")
     + f""",
@@ -4033,7 +4033,7 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 2048.0) AS BIGINT)
            END AS pack_id
     FROM flags
-    """,
+    """),
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation run — every stage a real 100 TB
@@ -5913,4 +5913,68 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_possible",
             F.expr("(1000000 * n_hits) div n_possible").cast("long").alias("recall_micro"),
         )
+    )
+
+
+# ------------------------------------------------- r10: per-(source, lang) dataset card
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN final_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(CASE WHEN NOT dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS dedup_removed,
+           CAST(SUM(CASE WHEN dedup_reason = 'semantic' THEN 1 ELSE 0 END) AS BIGINT) AS semantic_removed,
+           CAST(SUM(CASE WHEN NOT quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS quality_failed,
+           CAST(SUM(CASE WHEN NOT contam_keep THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           CAST(SUM(CASE WHEN NOT near_contam_keep THEN 1 ELSE 0 END) AS BIGINT) AS near_contaminated,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           (1000 * CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS keep_rate_milli
+    FROM ({_CURATION_ORACLE})
+    GROUP BY source, lang
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD — the per-(source, lang) summary a data lead
+    actually reads before signing off a training mix: corpus size in
+    docs and tokens, how much each curation stage removed (three-rung
+    dedup with its semantic share broken out, Gopher quality, exact +
+    near decontamination), what survived, how many packed sequences
+    it yields, and the keep rate. Computed by AGGREGATING the
+    per-document audit manifest `llm_curation_pipeline` emits — one
+    definition of every verdict, consumed twice (doc-level lineage,
+    card-level summary), which is the composability argument for
+    expressing curation declaratively: the card is a groupBy on the
+    same DAG, and its oracle is a GROUP BY over the pipeline's
+    oracle. Rates are integer milli (BIGINT division) — no float
+    decisions.
+
+    Scale: everything heavy is shared — the memoized manifest /
+    near-contam relations and the pipeline's joins; the card itself
+    adds one hash agg over |train docs| rows."""
+    flags = llm_curation_pipeline(spark, sf_dir)
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("final_keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum(F.when(F.col("final_keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(~F.col("dedup_keep"), 1).otherwise(0)).cast("long").alias("dedup_removed"),
+        F.sum(F.when(F.col("dedup_reason") == "semantic", 1).otherwise(0))
+        .cast("long")
+        .alias("semantic_removed"),
+        F.sum(F.when(~F.col("quality_keep"), 1).otherwise(0)).cast("long").alias("quality_failed"),
+        F.sum(F.when(~F.col("contam_keep"), 1).otherwise(0)).cast("long").alias("contaminated"),
+        F.sum(F.when(~F.col("near_contam_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("near_contaminated"),
+        F.count_distinct("pack_id").alias("n_packs"),
+        F.expr("(1000 * sum(CASE WHEN final_keep THEN 1 ELSE 0 END)) div count(1)")
+        .cast("long")
+        .alias("keep_rate_milli"),
     )

@@ -6452,3 +6452,158 @@ def rel_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("min_y") > 127)
     )
     return census.withColumn("skippable", skippable)
+
+
+# ------------------------------------------------- r10: theta-sketch set operations
+
+
+@register(
+    "rel_theta_sketch_setops",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    bk AS (SELECT event_type, hv, rn FROM r WHERE rn <= 64),
+    th AS (
+      SELECT MIN(t) AS theta FROM (
+        SELECT event_type,
+               COALESCE(MAX(CASE WHEN rn = 64 THEN hv END), 281474976710656) AS t
+        FROM bk GROUP BY event_type)
+    ),
+    sa AS (SELECT hv FROM bk WHERE event_type = 'click'),
+    sb AS (SELECT hv FROM bk WHERE event_type = 'purchase'),
+    cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sa JOIN sb USING (hv), th
+           WHERE hv < th.theta),
+    ub AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)), th
+           WHERE hv < th.theta),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS n_click,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchase,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS union_exact
+      FROM d
+    ),
+    exi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact FROM (
+        SELECT user_id FROM d WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM d WHERE event_type = 'purchase')
+    )
+    SELECT ex.n_click, ex.n_purchase, ex.union_exact, exi.inter_exact,
+           (ub.n * 281474976710656) // th.theta AS union_est,
+           (cb.n * 281474976710656) // th.theta AS inter_est,
+           CASE WHEN ex.union_exact > 0 THEN
+             (1000000 * abs((ub.n * 281474976710656) // th.theta - ex.union_exact))
+               // ex.union_exact END AS union_err_micro,
+           CASE WHEN exi.inter_exact > 0 THEN
+             (1000000 * abs((cb.n * 281474976710656) // th.theta - exi.inter_exact))
+               // exi.inter_exact END AS inter_err_micro
+    FROM ex, exi, ub, cb, th
+    """,
+)
+def rel_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS — the reason bottom-k sketches beat
+    plain counters: given only the two groups' bottom-k hash samples
+    (here click vs purchase user sets), estimate the UNION and
+    INTERSECTION cardinalities without rescanning — θ = min of the
+    per-set k-th minima, samples below θ union/intersect like sets,
+    estimate = |samples| · 2^48/θ (the Apache DataSketches theta
+    algebra). Extends `rel_kmv_distinct` (one-set NDV) to the
+    audience-overlap question warehouses buy sketch libraries for;
+    exact counts ride along so the row also measures the error.
+    Deterministic end-to-end: md5-48bit hashes, BIGINT floor division,
+    sets smaller than k degrade to exact (θ = 2^48).
+
+    Scale: the bottom-k samples are the ONLY thing that crosses the
+    wire (k rows per set, mergeable associatively per partition);
+    every estimate is arithmetic on two k-row relations — the whole
+    point of sketch algebra at 100 TB."""
+    k, full = 64, 281474976710656
+    t = load_tables(spark, sf_dir)
+    d = (
+        t.events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = d.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    bk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    th = (
+        bk.groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k, F.col("hv"))), F.lit(full)
+            ).alias("t")
+        )
+        .agg(F.min("t").alias("theta"))
+    )
+    sa = bk.filter(F.col("event_type") == "click").select("hv")
+    sb = bk.filter(F.col("event_type") == "purchase").select("hv")
+    cb = (
+        sa.join(sb, "hv")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ub = (
+        sa.unionAll(sb)
+        .distinct()
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    ex = d.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+        F.count_distinct("user_id").alias("union_exact"),
+    )
+    exi = (
+        d.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(d.filter(F.col("event_type") == "purchase").select("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    row = (
+        ex.crossJoin(F.broadcast(exi))
+        .crossJoin(F.broadcast(ub))
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(th))
+    )
+    u_est = F.expr(f"(n_union * {full}) div theta")
+    i_est = F.expr(f"(n_common * {full}) div theta")
+    return row.select(
+        "n_click",
+        "n_purchase",
+        "union_exact",
+        "inter_exact",
+        u_est.alias("union_est"),
+        i_est.alias("inter_est"),
+        F.when(
+            F.col("union_exact") > 0,
+            F.expr(f"(1000000 * abs((n_union * {full}) div theta - union_exact)) div union_exact"),
+        ).alias("union_err_micro"),
+        F.when(
+            F.col("inter_exact") > 0,
+            F.expr(f"(1000000 * abs((n_common * {full}) div theta - inter_exact)) div inter_exact"),
+        ).alias("inter_err_micro"),
+    )

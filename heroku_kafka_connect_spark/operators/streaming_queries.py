@@ -385,3 +385,102 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .select(*windows.window_bounds_us(), "event_type", "n_users")
     )
+
+
+# ------------------------------------------------- r10: foreachBatch idempotent MERGE
+
+
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent MERGE — THE production streaming-sink
+    pattern for stores without a streaming writer (JDBC, Delta MERGE,
+    every warehouse): a REAL checkpointed stream (file source staged
+    as FOUR files, maxFilesPerTrigger=1 ⇒ four micro-batches,
+    Trigger.AvailableNow) whose every batch merges keep-latest-per-
+    (user, event_type) into a versioned parquet target — read current
+    state, union the batch, resolve by (ts, event_id) DESC, write
+    version[epoch]. Idempotence falls out of the versioning: a
+    RETRIED epoch rewrites its own version dir from the same inputs
+    (the exactly-once-for-idempotent-sinks contract, F2); batch-order
+    independence falls out of keep-latest being a semilattice join
+    (any merge order converges — the property the oracle's global
+    keep-latest pins). This is the streaming twin of rel_merge_into's
+    batch MERGE and the streaming complement of B2 sink_upsert_latest.
+
+    Scale: per batch the merge shuffles on the merge key only; state
+    lives in the TARGET table (not executor state stores), so state
+    size is bounded by distinct keys exactly like a real MERGE sink;
+    a Delta/Iceberg writer drops into the same foreachBatch body."""
+    import os
+    import tempfile
+
+    from ..session import configure
+
+    configure(spark)
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hkc_febm_")
+    staged = os.path.join(base, "staged")
+    # stage the fixture as 4 hash-scattered files => 4 micro-batches
+    t.events.select("event_id", "ts", "user_id", "event_type").repartition(
+        4, "event_id"
+    ).write.mode("overwrite").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(staged)
+    )
+
+    target = os.path.join(base, "target")
+    os.makedirs(target, exist_ok=True)
+    keyw = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_version() -> str | None:
+        vs = sorted(v for v in os.listdir(target) if v.startswith("v"))
+        return os.path.join(target, vs[-1]) if vs else None
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = latest_version()
+        merged = batch_df if cur is None else s.read.parquet(cur).unionByName(batch_df)
+        resolved = (
+            merged.withColumn("__rn", F.row_number().over(keyw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # one dir per epoch: a retried epoch regenerates ITS version
+        # from the same (prior version, batch) pair — idempotent
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{epoch_id:06d}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = latest_version()
+    return spark.read.parquet(final).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
