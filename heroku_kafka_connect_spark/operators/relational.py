@@ -6607,3 +6607,203 @@ def rel_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(1000000 * abs((n_common * {full}) div theta - inter_exact)) div inter_exact"),
         ).alias("inter_err_micro"),
     )
+
+
+# ------------------------------------------------- r10: MATCH_RECOGNIZE V-pattern
+
+
+@register(
+    "rel_match_recognize_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    diffed AS (
+      SELECT d, cents,
+             cents - LAG(cents) OVER (ORDER BY d) AS diff,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily
+    ),
+    dirs AS (
+      SELECT d, cents, diff, rn,
+             CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS dir
+      FROM diffed WHERE diff IS NOT NULL
+    ),
+    grps AS (
+      SELECT d, diff, rn, dir,
+             rn - ROW_NUMBER() OVER (PARTITION BY dir ORDER BY rn) AS grp
+      FROM dirs
+    ),
+    runs1 AS (
+      SELECT dir, grp, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(SUM(diff) AS BIGINT) AS net_cents,
+             MIN(d) AS start_d, MAX(d) AS end_d
+      FROM grps GROUP BY dir, grp
+    ),
+    seq AS (
+      SELECT dir, len, net_cents, start_d, end_d, start_rn, end_rn,
+             LEAD(dir) OVER o AS next_dir,
+             LEAD(len) OVER o AS next_len,
+             LEAD(net_cents) OVER o AS next_net,
+             LEAD(end_d) OVER o AS next_end_d,
+             LEAD(start_rn) OVER o AS next_start_rn
+      FROM runs1 WINDOW o AS (ORDER BY start_rn)
+    )
+    SELECT CAST(strftime(start_d, '%Y-%m-%d') AS VARCHAR) AS decline_start,
+           CAST(strftime(end_d, '%Y-%m-%d') AS VARCHAR) AS bottom_day,
+           CAST(strftime(next_end_d, '%Y-%m-%d') AS VARCHAR) AS recovery_end,
+           CAST(len AS BIGINT) AS decline_days,
+           CAST(next_len AS BIGINT) AS recovery_days,
+           CAST(-net_cents AS BIGINT) AS drop_cents,
+           CAST(next_net AS BIGINT) AS recover_cents
+    FROM seq
+    WHERE dir = -1 AND len >= 2 AND next_dir = 1 AND next_len >= 2
+      AND next_start_rn = end_rn + 1
+    """,
+)
+def rel_match_recognize_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching (SQL:2016 row
+    pattern recognition, the Flink/Oracle CEP surface Spark lacks
+    natively): find every V-shape in the daily revenue series —
+    PATTERN (DOWN{2,} UP{2,}) — expressed as the composable primitive
+    pair that row-pattern engines compile to anyway: (1) classify
+    each row against its predecessor (the DEFINE clause → lag diff
+    sign), (2) collapse consecutive same-class rows into runs
+    (gaps-and-islands), (3) join ADJACENT runs on the pattern's
+    quantified sequence (down-run length ≥2 immediately followed by
+    up-run length ≥2). Emits one row per match with the MEASURES a
+    CEP user asks for: decline window, bottom day, recovery window,
+    drop/recover depth in exact cents.
+
+    Determinism: daily sums ride scaled-long cents; every later
+    column is integer arithmetic or fixed-width date strings.
+    Scale: the series windows run over the |days| aggregate (bounded,
+    in UNPART_WINDOW_OK like the CUSUM class); at 100 TB the same
+    plan partitions by series key (per product / per region)."""
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(mlong("o_totalprice")).alias("cents")
+    )
+    wd = Window.orderBy("d")
+    diffed = daily.select(
+        "d",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(wd)).alias("diff"),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("diff").isNotNull())
+    dirs = diffed.withColumn(
+        "dir",
+        F.when(F.col("diff") > 0, 1).when(F.col("diff") < 0, -1).otherwise(0),
+    )
+    wg = Window.partitionBy("dir").orderBy("rn")
+    grouped = dirs.withColumn("grp", F.col("rn") - F.row_number().over(wg))
+    runs = grouped.groupBy("dir", "grp").agg(
+        F.min("rn").alias("start_rn"),
+        F.max("rn").alias("end_rn"),
+        F.count(F.lit(1)).alias("len"),
+        F.sum("diff").cast("long").alias("net_cents"),
+        F.min("d").alias("start_d"),
+        F.max("d").alias("end_d"),
+    )
+    wo = Window.orderBy("start_rn")
+    seq = runs.select(
+        "dir",
+        "len",
+        "net_cents",
+        "start_d",
+        "end_d",
+        "start_rn",
+        "end_rn",
+        F.lead("dir").over(wo).alias("next_dir"),
+        F.lead("len").over(wo).alias("next_len"),
+        F.lead("net_cents").over(wo).alias("next_net"),
+        F.lead("end_d").over(wo).alias("next_end_d"),
+        F.lead("start_rn").over(wo).alias("next_start_rn"),
+    )
+    return seq.filter(
+        (F.col("dir") == -1)
+        & (F.col("len") >= 2)
+        & (F.col("next_dir") == 1)
+        & (F.col("next_len") >= 2)
+        & (F.col("next_start_rn") == F.col("end_rn") + 1)
+    ).select(
+        F.date_format("start_d", "yyyy-MM-dd").alias("decline_start"),
+        F.date_format("end_d", "yyyy-MM-dd").alias("bottom_day"),
+        F.date_format("next_end_d", "yyyy-MM-dd").alias("recovery_end"),
+        F.col("len").cast("long").alias("decline_days"),
+        F.col("next_len").cast("long").alias("recovery_days"),
+        (-F.col("net_cents")).cast("long").alias("drop_cents"),
+        F.col("next_net").cast("long").alias("recover_cents"),
+    )
+
+
+# ------------------------------------------------- r10: funnel time-to-convert
+
+
+@register(
+    "rel_funnel_time_percentiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    ),
+    dur AS (
+      SELECT fv.user_id,
+             epoch_us(fp.first_purchase) - epoch_us(fv.first_view) AS us
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(us) // 1000000 AS BIGINT) AS min_s,
+           ROUND(quantile_cont(us, 0.5) / 1000000, 4) AS p50_s,
+           ROUND(quantile_cont(us, 0.9) / 1000000, 4) AS p90_s,
+           CAST(MAX(us) // 1000000 AS BIGINT) AS max_s
+    FROM dur
+    """,
+)
+def rel_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY — `rel_event_funnel` answers who converts; this
+    answers how long conversion takes, the product metric behind
+    'median time to purchase': per user, first view → first
+    subsequent purchase, then the exact interpolated latency
+    distribution (min/p50/p90/max). The sequence constraint
+    (purchase AFTER the first view) matches the funnel query's
+    ordering semantics, so the two compose into one report.
+
+    Determinism: durations are exact BIGINT micros; percentiles use
+    the interpolated-quantile pair (Spark `percentile` ≡ DuckDB
+    `quantile_cont`) over integers, rounded once for display. Scale:
+    two per-user min-aggregates (map-side combinable) + one tiny
+    global percentile over |converted users| durations; at 100 TB
+    the global percentile swaps for approx_percentile."""
+    t = load_tables(spark, sf_dir)
+    fv = (
+        t.events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    dur = fv.join(fp, "user_id").select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("us")
+    )
+    return dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("min(us) div 1000000").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(us, 0.5)") / 1000000, 4).alias("p50_s"),
+        F.round(F.expr("percentile(us, 0.9)") / 1000000, 4).alias("p90_s"),
+        F.expr("max(us) div 1000000").cast("long").alias("max_s"),
+    )

@@ -377,3 +377,68 @@ def udf_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         F.col("max_chars").cast("long").alias("max_chars"),
     )
+
+
+# ------------------------------------------------- r10: grouped applyInArrow
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-surface (Spark 4): ``groupBy().applyInArrow`` — the grouped
+    custom-aggregation extension point one tier below applyInPandas:
+    each group arrives as a raw Arrow table and the reducer runs
+    pyarrow.compute C++ kernels with no pandas materialization (the
+    same overhead argument as `udf_map_in_arrow`, applied to the
+    grouped path). The shape every custom per-entity reducer takes —
+    sketch builders, per-group model fits — when the kernel is
+    already columnar-native. The group-level results are replayed by
+    a plain SQL aggregate, proving the Arrow path computes what it
+    claims.
+
+    Scale: identical shuffle to a hash aggregate (exchange on the
+    group key, then per-group batches); skew rules are the same as
+    any groupBy — salt heavy keys before the apply."""
+    import pyarrow as pa
+
+    def reduce_group(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(table.column("n_chars")).as_py()],
+                "min_doc": [pc.min(table.column("doc_id")).as_py()],
+                "max_doc": [pc.max(table.column("doc_id")).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_chars", pa.int64()),
+                    ("min_doc", pa.int64()),
+                    ("max_doc", pa.int64()),
+                ]
+            ),
+        )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select("lang", "doc_id", "n_chars")
+        .groupBy("lang")
+        .applyInArrow(
+            reduce_group,
+            "lang string, n_docs bigint, total_chars bigint, "
+            "min_doc bigint, max_doc bigint",
+        )
+    )

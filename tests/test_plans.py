@@ -133,6 +133,10 @@ BNLJ_OK = {
                           # broadcast into the vocabulary rewrite
     "rel_data_skew_report",  # 1-row (n_keys, n_rows) stats broadcast
                           # into the per-key share projection
+    "rel_theta_sketch_setops",  # 1-row theta relation broadcast onto the
+                          # two <=64-row bottom-k samples; final row is
+                          # five 1-row aggregates cross-joined
+                          # (dataset_audit class)
     "llm_hard_negatives",  # corpus scan x 5 broadcast anchor vectors
                           # (label-mismatch predicate fused in-scan)
     "llm_cooccurrence_pmi",  # 1-row bigram total broadcast into PMI
@@ -248,6 +252,10 @@ UNPART_WINDOW_OK = {
     "llm_quality_calibration",  # ECE whole-frame sum over the <=10 bins
     "rel_ab_sequential_msprt",  # ordinal/prefix-sum/running-min over the
                                 # |days| series (the CUSUM class)
+    "rel_match_recognize_vshape",  # lag/lead + run windows over the
+                                # |days| aggregated series (CUSUM class);
+                                # at scale the pattern partitions per
+                                # series key
 }
 
 
