@@ -515,3 +515,84 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(quoted, 1).otherwise(0)).alias("n_quoted"),
         )
     )
+
+
+# ------------------------------------------------- r10: parquet footer audit
+
+
+@register(
+    "src_footer_stats_audit",
+    oracle="""
+    SELECT o_orderkey // 512 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_rowgroups,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def src_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER statistics audit — the lake-maintenance job that
+    answers 'can the zone maps be trusted?' by reading ONLY metadata:
+    write the table as one file per key bucket, then fan the FILE
+    LIST out to executors where each task opens its files' parquet
+    footers (pyarrow.parquet.ParquetFile — row-group count, row
+    count, column min/max statistics) without touching a single data
+    page. The emitted relation is built purely from footer bytes; the
+    oracle recomputes the same numbers from the DATA — equality
+    proves the writer's stats are sound, which is the precondition
+    for every file-skipping plan (`rel_zone_map_audit`,
+    `rel_zorder_apply`) to be CORRECT and not just fast. This is how
+    Iceberg/Delta manifest audits actually run: metadata-only,
+    distributed over the file census.
+
+    Scale: the audited unit of work is a FILE, so the mapInPandas
+    fan-out scales with |files| (thousands of footers per task-
+    second, zero data IO); the write half is the standard bucketed
+    export. Stats column is exact scaled cents — footer min/max on
+    INT64 are lossless, so the compare is bit-exact."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="hkc_footer_"), "data")
+    t.orders.select(
+        F.expr("o_orderkey div 512").alias("bucket"),
+        mlong("o_totalprice").alias("cents"),
+    ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    files = (
+        spark.read.parquet(out)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.input_file_name().alias("path"),
+        )
+        .distinct()
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for bucket, path in zip(pdf["bucket"], pdf["path"]):
+                local = path[len("file://"):] if path.startswith("file://") else path
+                md = pq.ParquetFile(local).metadata
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)  # 'cents'
+                    st = col.statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                rows.append((bucket, md.num_rows, md.num_row_groups, mn, mx))
+            yield pd.DataFrame(
+                rows,
+                columns=["bucket", "n_rows", "n_rowgroups", "min_cents", "max_cents"],
+            )
+
+    return files.mapInPandas(
+        read_footers,
+        "bucket bigint, n_rows bigint, n_rowgroups bigint, "
+        "min_cents bigint, max_cents bigint",
+    )

@@ -180,3 +180,97 @@ def test_cold_floor_gate_logic():
 
     committed = json.load(open(os.path.join(os.path.dirname(__file__), "..", "BENCH_COLD_FLOORS.json")))
     assert set(MEMO_FAMILIES) <= set(committed)
+
+
+# ---------------------------------------------------------------- properties
+
+
+def _chunk_hashes(b: bytes, modulus: int) -> list:
+    """Driver-side replay of cdc_chunk_blob's cut rule; returns the
+    chunk-content list (as bytes) in order."""
+    import numpy as np
+
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    n = a.size
+    if n == 0:
+        return []
+    if n >= 4:
+        hv = ((a[:-3] * 31 + a[1:-2]) * 31 + a[2:-1]) * 31 + a[3:]
+        cuts = np.nonzero(hv % modulus == 0)[0] + 4
+    else:
+        cuts = np.empty(0, dtype=np.int64)
+    bounds = np.unique(np.concatenate(([0], cuts, [n])))
+    return [b[s:e] for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def test_cdc_chunking_is_content_local():
+    """THE content-defined-chunking property (why CDC beats fixed-grid
+    chunking for dedup): inserting one byte must perturb only the
+    chunk(s) around the insertion point — every chunk more than one
+    window away on each side keeps its exact content, so a blob store
+    re-uploads O(1) chunks, not O(n). Checked as: the multiset of
+    chunk contents before/after a random single-byte insertion
+    differs by at most 3 chunks on each side."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=64, max_size=2048),
+        pos=st.integers(min_value=0, max_value=10**9),
+        byte=st.integers(min_value=0, max_value=255),
+    )
+    def check(data, pos, byte):
+        p = pos % (len(data) + 1)
+        mutated = data[:p] + bytes([byte]) + data[p:]
+        a = Counter(_chunk_hashes(data, 64))
+        b = Counter(_chunk_hashes(mutated, 64))
+        changed = sum((a - b).values())  # chunks lost from original
+        added = sum((b - a).values())
+        assert changed <= 3 and added <= 4, (
+            f"insertion at {p} rewrote {changed}/{added} chunks "
+            f"of {sum(a.values())}"
+        )
+        # totals always partition the buffer
+        assert sum(len(c) for c in b.elements()) == len(mutated)
+
+    check()
+
+
+def test_kmv_exact_below_k_and_bounded_above():
+    """KMV contract the oracle relies on: for ndv < k the estimate is
+    EXACT (the sketch kept every hash); for ndv >= k the estimate is
+    (k-1)*2^48 // h_(k) — replayed here driver-side from md5, and
+    sanity-bounded (positive, within 3x of truth for k=64 on any
+    input hypothesis finds)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K, FULL = 64, 281474976710656
+
+    def kmv(values):
+        hs = sorted(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+            for v in set(values)
+        )
+        if len(hs) < K:
+            return len(hs)
+        return (K - 1) * FULL // hs[K - 1]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sets(st.integers(min_value=0, max_value=10**12), max_size=40))
+    def below_k(vals):
+        assert kmv(vals) == len(vals)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=200, max_value=5000))
+    def above_k(n):
+        est = kmv(range(n))
+        assert 0 < est and n / 3 <= est <= n * 3
+
+    below_k()
+    above_k()
