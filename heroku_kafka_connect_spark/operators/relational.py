@@ -6807,3 +6807,53 @@ def rel_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(us, 0.9)") / 1000000, 4).alias("p90_s"),
         F.expr("max(us) div 1000000").cast("long").alias("max_s"),
     )
+
+
+# ------------------------------------------------- r10: equi-depth histogram
+
+
+@register(
+    "rel_analyze_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    b AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+      FROM v
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+           CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv_in_bucket
+    FROM b GROUP BY bucket
+    """,
+)
+def rel_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equi-height) histogram — the histogram flavor cost
+    optimizers actually store (Spark's own ANALYZE ... FOR COLUMNS
+    builds equi-height buckets; Postgres/ORCA likewise), because equal
+    row mass per bucket bounds the selectivity estimation error where
+    equi-width buckets degenerate on skew (`rel_numeric_histogram` is
+    the equi-width twin). NTILE(10) over the exact scaled-cents order
+    with a key tiebreak makes bucket membership engine-deterministic;
+    per bucket: row count (|rows|/10 ±1 by construction), value
+    bounds, and the per-bucket NDV the optimizer divides by for
+    equality predicates.
+
+    Scale: one global sort for the ntile — at 100 TB this is the same
+    sample-then-range-partition pass every ANALYZE runs (or swaps for
+    approx_percentile bounds); the per-bucket agg is map-side
+    combinable."""
+    t = load_tables(spark, sf_dir)
+    v = t.orders.select(mlong("o_totalprice").alias("cents"), "o_orderkey")
+    w = Window.orderBy("cents", "o_orderkey")
+    b = v.withColumn("bucket", F.ntile(10).over(w))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.count_distinct("cents").alias("ndv_in_bucket"),
+    )

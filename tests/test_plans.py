@@ -256,6 +256,11 @@ UNPART_WINDOW_OK = {
                                 # |days| aggregated series (CUSUM class);
                                 # at scale the pattern partitions per
                                 # series key
+    "rel_analyze_histogram",    # NTILE global sort IS the exact
+                                # equi-depth operator (the ANALYZE
+                                # pass); the docstring pins the
+                                # at-scale swap (sampled/approx
+                                # boundaries -> range partition)
 }
 
 

@@ -274,3 +274,21 @@ def test_kmv_exact_below_k_and_bounded_above():
 
     below_k()
     above_k()
+
+
+def test_merge_into_scales_and_balances(spark, sf_dir):
+    """MERGE resolution invariants at any scale: output row count =
+    |target| - |deletes| + |inserts|; no key appears twice; every
+    origin class is present."""
+    from heroku_kafka_connect_spark.operators.relational import rel_merge_into
+    from heroku_kafka_connect_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    n_tgt = t.customer.count()
+    n_del = t.customer.filter(F.col("c_custkey") % 10 == 0).count()
+    n_ins = t.customer.filter(F.col("c_custkey") % 7 == 0).count()
+    out = rel_merge_into(spark, sf_dir)
+    assert out.count() == n_tgt - n_del + n_ins
+    assert out.select("c_custkey").distinct().count() == out.count()
+    origins = {r["origin"] for r in out.select("origin").distinct().collect()}
+    assert origins == {"kept", "updated", "inserted"}
