@@ -6857,3 +6857,48 @@ def rel_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("hi_cents"),
         F.count_distinct("cents").alias("ndv_in_bucket"),
     )
+
+
+# ------------------------------------------------- r10: in-flight observed metrics
+
+
+@register(
+    "rel_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) > 0 AS gate_passed
+    FROM orders
+    """,
+)
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via the Observation API
+    (`df.observe`) — the mechanism that lets a production pipeline
+    assert row counts and control totals WITHOUT a second scan: the
+    observed aggregates are computed as accumulator-style metrics
+    DURING the main action (here a noop-sink execution of the orders
+    scan), then read back on the driver as one bounded row — the
+    write-audit-publish gate every warehouse load runs, for free
+    instead of via a duplicate COUNT query. The oracle recomputes the
+    same totals from the table, proving the in-flight metrics equal
+    the ground truth; the returned relation is the audit row a gate
+    would log (control totals + verdict).
+
+    Scale: metric collection is accumulator merging inside the one
+    pass the job already makes — zero extra scans, zero shuffles; the
+    driver hop is a single row (the bounded_collect class)."""
+    from pyspark.sql import Observation
+
+    t = load_tables(spark, sf_dir)
+    obs = Observation()
+    observed = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(mlong("o_totalprice")).alias("total_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_rows"]) > 0)],
+        "n_rows bigint, total_cents bigint, gate_passed boolean",
+    )

@@ -596,3 +596,70 @@ def src_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket bigint, n_rows bigint, n_rowgroups bigint, "
         "min_cents bigint, max_cents bigint",
     )
+
+
+# ------------------------------------------------- r10: dynamic partition pruning
+
+
+@register(
+    "src_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of A9's static
+    PartitionFilters, and the optimization that makes star joins
+    viable on partitioned 100 TB facts: the fact side is the
+    priority-partitioned dataset, the filter lives on a DIMENSION
+    relation (priority → urgency class, filtered to 'hot'), and the
+    fact's partition filter is only discoverable at RUNTIME from the
+    broadcast dim — Catalyst injects a DynamicPruningExpression
+    (partition-dir subquery) so only the matching directories are
+    ever listed. tests/test_round10_ops.py pins the
+    `dynamicpruning` subquery in the physical plan; a static filter
+    could not express this because the pruning values come from the
+    other side of the join.
+
+    Oracle: the dim rule is deterministic (priorities starting '1'/'2'
+    are hot), so DuckDB replays the end result as a plain IN filter —
+    same rows, provably — while the Spark plan earns them with a
+    runtime-pruned scan."""
+    t = load_tables(spark, sf_dir)
+
+    def _write(loc: str) -> None:
+        (
+            t.orders.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(loc)
+        )
+
+    loc = _derived_fixture(spark, sf_dir, "part_orders", _write)
+    fact = spark.read.parquet(loc)
+    dim = (
+        t.orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.when(
+                F.substring("o_orderpriority", 1, 1).isin("1", "2"), "hot"
+            ).otherwise("cold"),
+        )
+    )
+    hot = dim.filter(F.col("urgency") == "hot")
+    return (
+        fact.join(F.broadcast(hot), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(mlong("o_totalprice")).alias("total_cents"),
+        )
+    )

@@ -442,3 +442,51 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_doc bigint, max_doc bigint",
         )
     )
+
+
+# ------------------------------------------------- r10: SCALAR_ITER pandas UDF
+
+
+@register(
+    "udf_scalar_iter_pandas",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 25) // 1000 < 50
+                THEN 50
+                WHEN (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 25) // 1000 > 10000
+                THEN 10000
+                ELSE (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 25) // 1000
+           END AS fee_cents
+    FROM orders
+    """,
+)
+def udf_scalar_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-surface: ITERATOR-form scalar pandas_udf (SCALAR_ITER) — the
+    tier for UDFs with EXPENSIVE one-time setup (model weights, fee
+    schedules, compiled regexes): the function receives the whole
+    iterator of Arrow batches, so initialization runs ONCE per worker
+    per task instead of once per batch — at 100 TB the difference
+    between loading a tokenizer 10^6 times and 10^3 times. The body
+    here loads a fee schedule (2.5% clipped to [50, 10000] cents)
+    before the loop and applies it vectorized per batch; all-integer
+    pandas arithmetic, so the SQL replay is exact.
+
+    Completes the pandas-UDF tier table: SCALAR (udf_scalar_pandas),
+    SCALAR_ITER (this), GROUPED_AGG (udf_grouped_agg), grouped map
+    (udf_grouped_map_zscore), mapInPandas/mapInArrow/applyInArrow."""
+    @pandas_udf("long")
+    def fee(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-worker init (the point of SCALAR_ITER): the
+        # "model" here is a fee schedule; a real pipeline loads
+        # weights/vocab once here instead of per batch
+        rate_bp, floor, cap = 25, 50, 10000
+        for cents in batches:
+            f = (cents * rate_bp) // 1000
+            yield f.clip(lower=floor, upper=cap)
+
+    t = load_tables(spark, sf_dir)
+    from .common import mlong
+
+    return t.orders.select(
+        "o_orderkey", fee(mlong("o_totalprice")).alias("fee_cents")
+    )

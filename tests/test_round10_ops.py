@@ -292,3 +292,18 @@ def test_merge_into_scales_and_balances(spark, sf_dir):
     assert out.select("c_custkey").distinct().count() == out.count()
     origins = {r["origin"] for r in out.select("origin").distinct().collect()}
     assert origins == {"kept", "updated", "inserted"}
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """src_dynamic_partition_pruning must earn its rows through a
+    runtime-pruned scan: the physical plan carries a
+    DynamicPruningExpression on the fact's partition column (the
+    static PartitionFilters form cannot express a filter whose values
+    come from the dim side of the join)."""
+    from heroku_kafka_connect_spark.operators.sources_queries import (
+        src_dynamic_partition_pruning,
+    )
+
+    df = src_dynamic_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
