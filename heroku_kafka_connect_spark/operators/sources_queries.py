@@ -523,7 +523,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_footer_stats_audit",
     oracle="""
-    SELECT o_orderkey // 512 AS bucket,
+    SELECT o_orderkey % 16 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(1 AS BIGINT) AS n_rowgroups,
            CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
@@ -534,7 +534,10 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet FOOTER statistics audit — the lake-maintenance job that
     answers 'can the zone maps be trusted?' by reading ONLY metadata:
-    write the table as one file per key bucket, then fan the FILE
+    write the table as one file per key bucket (modulo buckets — a
+    FIXED file count at every scale, where a range divisor on the
+    sparse TPC-H orderkey exploded to ~1200 directories at sf0.1 and
+    quintupled the wall in dynamic-partition commit), then fan the FILE
     LIST out to executors where each task opens its files' parquet
     footers (pyarrow.parquet.ParquetFile — row-group count, row
     count, column min/max statistics) without touching a single data
@@ -557,7 +560,7 @@ def src_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = os.path.join(tempfile.mkdtemp(prefix="hkc_footer_"), "data")
     t.orders.select(
-        F.expr("o_orderkey div 512").alias("bucket"),
+        F.expr("o_orderkey % 16").alias("bucket"),
         mlong("o_totalprice").alias("cents"),
     ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(out)
 

@@ -185,7 +185,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of that result (|vocab| rows); the corpus count N joins as a
     broadcast single row, so the only big exchanges are the two
     token-keyed aggs. Rank on the ROUNDED score with a token
-    tie-break — deterministic across engines."""
+    tie-break — deterministic across engines.
+
+    Bench watch-list adjudication (r9 item 2, closed r10): the
+    0.50 → 1.0-1.2 s drift r8→r9/r10 is a MEASUREMENT artifact, not
+    a plan change — fresh-session A/B of this exact plan vs a
+    window-based df variant shows the warm wall unchanged at ~0.67 s
+    (window variant 0.86 s — kept the join); the bench's min-of-2
+    passes run ~300 other plans between this query's two samples, so
+    its generated-code cache entries are evicted and both samples pay
+    JIT recompilation — a cost that grows with CORPUS SIZE, not with
+    this query. Same mechanism fits udf_explode_tokens (Python-worker
+    reacquisition); llm_text_wordcount's trivial codegen stays flat,
+    which is the discriminating evidence."""
     t = load_tables(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     toks = (
