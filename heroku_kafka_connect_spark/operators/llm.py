@@ -5978,3 +5978,87 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep_rate_milli"),
     )
+
+
+# ------------------------------------------------- r10: LSH parameter planner
+
+
+@register(
+    "llm_lsh_param_plan",
+    oracle="""
+    WITH grid AS (
+      SELECT b.b, r.r,
+             CAST(ROUND(1000000 * pow(1.0 / b.b, 1.0 / r.r)) AS BIGINT) AS thresh_micro
+      FROM (SELECT unnest(generate_series(1, 64)) AS b) b,
+           (SELECT unnest(generate_series(1, 16)) AS r) r
+      WHERE b.b * r.r <= 64
+    ),
+    targets AS (SELECT unnest([200000, 300000, 400000, 500000, 600000, 700000, 800000]) AS tgt),
+    ranked AS (
+      SELECT t.tgt, g.b, g.r, g.thresh_micro,
+             abs(g.thresh_micro - t.tgt) AS err,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.tgt
+               ORDER BY abs(g.thresh_micro - t.tgt), g.b * g.r, g.b, g.r) AS rn
+      FROM targets t CROSS JOIN grid g
+    )
+    SELECT CAST(tgt AS BIGINT) AS target_micro,
+           CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+           CAST(b * r AS BIGINT) AS n_hashes,
+           thresh_micro, CAST(err AS BIGINT) AS err_micro
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter PLANNER — the closed-form designer that
+    precedes `llm_lsh_band_sweep`'s measurement: for each target
+    Jaccard threshold, pick (bands, rows) from the b·r ≤ 64 grid
+    whose S-curve midpoint (1/b)^(1/r) lands closest, tie-broken by
+    fewer total hashes then fewer bands — the sizing decision every
+    dedup deployment makes before touching data (Leskovec/Rajaraman/
+    Ullman MMDS ch.3). Midpoints quantized to micro-ints before the
+    argmin and all tie-breaks integer, so the pick is deterministic;
+    the ≤1024-cell grid is generated, not scanned (data-independent
+    by design — the planner's output depends only on the target,
+    which is why it can run before the corpus exists).
+
+    Scale: a literal-grid cross join (7 targets × ~200 cells) and one
+    tiny window — driver-free, corpus-free; the measured counterpart
+    (band sweep, recall monitor) then validates the chosen point on
+    real data."""
+    b = spark.range(1, 65).select(F.col("id").alias("b"))
+    r = spark.range(1, 17).select(F.col("id").alias("r"))
+    grid = (
+        b.crossJoin(r)
+        .filter(F.col("b") * F.col("r") <= 64)
+        .select(
+            "b",
+            "r",
+            F.round(
+                1000000 * F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))
+            ).cast("long").alias("thresh_micro"),
+        )
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in (200000, 300000, 400000, 500000, 600000, 700000, 800000)],
+        "tgt long",
+    )
+    w = Window.partitionBy("tgt").orderBy(
+        F.abs(F.col("thresh_micro") - F.col("tgt")),
+        F.col("b") * F.col("r"),
+        F.col("b"),
+        F.col("r"),
+    )
+    ranked = (
+        targets.crossJoin(F.broadcast(grid))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.select(
+        F.col("tgt").alias("target_micro"),
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        (F.col("b") * F.col("r")).cast("long").alias("n_hashes"),
+        "thresh_micro",
+        F.abs(F.col("thresh_micro") - F.col("tgt")).cast("long").alias("err_micro"),
+    )

@@ -1689,3 +1689,69 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pscore_micro") / 1000000.0).alias("rake_score"),
         )
     )
+
+
+# ------------------------------------------------- r10: classifier eval harness
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_SQL_STOP_EN}))) > 0
+                  THEN 'en' ELSE 'unknown' END AS lang_guess
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_guess
+    )
+    SELECT lang, lang_guess, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+           CAST(SUM(n) OVER (PARTITION BY lang_guess) AS BIGINT) AS guess_total,
+           CAST((1000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS recall_milli,
+           CAST((1000 * n) // SUM(n) OVER (PARTITION BY lang_guess) AS BIGINT) AS precision_milli
+    FROM cells
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVAL harness — the confusion matrix + per-cell
+    precision/recall that turns `text_langid` from a scorer into a
+    measured model: predictions join their ground-truth label (the
+    fixture's lang column) in the same row, cells aggregate per
+    (label, guess), and the marginals ride two partitioned windows
+    over the ≤|langs|² cell relation. On the English-word-soup
+    fixture the heuristic predicts 'en' for nearly everything, and
+    the matrix SHOWS that failure mode quantitatively — which is the
+    point of shipping the eval beside the model (every quality/langid
+    filter at 100 TB gets audited exactly this way before it gates
+    data). Integer-milli rates, no float decisions.
+
+    Scale: one scan → one tiny cell aggregate; the windows run on
+    |langs|² rows. The same harness shape evaluates any row-level
+    classifier in the engine (quality LR, NB langid) against any
+    labeled column."""
+    t = load_tables(spark, sf_dir)
+    en_hits = F.size(
+        F.filter(T.ws_tokens("text"), lambda tk: tk.isin(*T.STOPWORDS["en"]))
+    )
+    pred = t.documents.select(
+        "lang",
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+    cells = pred.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("lang")
+    wg = Window.partitionBy("lang_guess")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.sum("n").over(wl).cast("long").alias("label_total"),
+        F.sum("n").over(wg).cast("long").alias("guess_total"),
+        F.expr("(1000 * n) div sum(n) over (partition by lang)").alias("recall_milli"),
+        F.expr("(1000 * n) div sum(n) over (partition by lang_guess)").alias(
+            "precision_milli"
+        ),
+    )

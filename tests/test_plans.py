@@ -153,6 +153,9 @@ BNLJ_OK = {
                           # x 40 broadcast query vectors; the 5-row
                           # n_probe grid theta-joins (probe_rank <= np)
                           # onto the scored relation — all tiny sides
+    "llm_lsh_param_plan",  # declared cross join of the 7-row target
+                          # grid x the <=1024-cell literal (b, r) grid
+                          # — corpus-free by design
     "llm_quality_threshold_sweep",  # 19-row grid x <=21-row bin
                           # histogram x 1-row total — all tiny sides
     "rel_numeric_histogram",  # 1-row bucket total broadcast into the
