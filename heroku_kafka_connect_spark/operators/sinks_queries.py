@@ -553,3 +553,120 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OCF_WRITTEN: set = set()
+
+
+# ------------------------------------------------- r10: SCD2 MERGE INTO
+
+
+@register(
+    "cdc_merge_scd2",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ),
+    src AS (
+      SELECT c_custkey, 'D' AS op, CAST(NULL AS BIGINT) AS new_bal,
+             CAST(NULL AS VARCHAR) AS new_seg
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', bal + 100 * c_custkey, 'UPDATED'
+      FROM tgt WHERE c_custkey % 3 = 0 AND c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 100 * c_custkey, 'NEW'
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+      -- layer 1: every pre-existing version; U/D changes CLOSE it
+      SELECT t.c_custkey, 1 AS version, t.c_mktsegment AS mktsegment,
+             t.bal AS acctbal_cents,
+             CAST(0 AS BIGINT) AS valid_from,
+             CASE WHEN s.op IN ('U', 'D') THEN CAST(1000 AS BIGINT) END AS valid_to,
+             CASE WHEN s.op IN ('U', 'D') THEN 0 ELSE 1 END AS is_current
+      FROM tgt t LEFT JOIN src s USING (c_custkey)
+      UNION ALL
+      -- layer 2: new OPEN versions from updates and inserts
+      SELECT s.c_custkey,
+             CASE WHEN s.op = 'U' THEN 2 ELSE 1 END AS version,
+             s.new_seg, s.new_bal,
+             CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), 1
+      FROM src s WHERE s.op IN ('U', 'I')
+    )
+    SELECT c_custkey, CAST(version AS BIGINT) AS version, mktsegment,
+           acctbal_cents, valid_from, valid_to,
+           CAST(is_current AS INTEGER) AS is_current
+    FROM hist
+    """,
+)
+def cdc_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 MERGE — the history-preserving flavor of
+    `rel_merge_into` (Kimball's slowly-changing-dimension type 2, the
+    default for warehouse dims): instead of overwriting, an UPDATE
+    CLOSES the current version (valid_to = batch time, is_current=0)
+    AND inserts a new open version; a DELETE only closes; an INSERT
+    opens version 1 under the new key. Expressed as the two-layer
+    union every SCD2 MERGE compiles to — (target LEFT JOIN changes)
+    for the close pass, plus the change rows for the open pass — so
+    ONE shuffle on the merge key serves both layers. Deterministic
+    change source shared with rel_merge_into; `cdc_scd2_history` is
+    the event-sourced builder of the same shape, this is the
+    batch-MERGE builder.
+
+    All-integer validity bounds (logical batch time 1000) and
+    scaled-long money, so the whole versioned dimension value-hashes.
+    Scale: the standard Delta/Iceberg SCD2 MERGE plan — change set
+    broadcasts when small, history table never rewrites closed rows."""
+    t = load_tables(spark, sf_dir)
+    from .common import mlong as _mlong
+
+    tgt = t.customer.select(
+        "c_custkey", "c_mktsegment", _mlong("c_acctbal").alias("bal")
+    )
+    src = (
+        t.customer.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("long").alias("new_bal"),
+            F.lit(None).cast("string").alias("new_seg"),
+        )
+        .unionAll(
+            tgt.filter(
+                (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 10 != 0)
+            ).select(
+                "c_custkey",
+                F.lit("U").alias("op"),
+                (F.col("bal") + 100 * F.col("c_custkey")).alias("new_bal"),
+                F.lit("UPDATED").alias("new_seg"),
+            )
+        )
+        .unionAll(
+            t.customer.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                (100 * F.col("c_custkey")).cast("long").alias("new_bal"),
+                F.lit("NEW").alias("new_seg"),
+            )
+        )
+    )
+    closing = F.col("op").isin("U", "D")
+    hist = tgt.join(src, "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).cast("long").alias("version"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("bal").alias("acctbal_cents"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.when(closing, F.lit(1000)).cast("long").alias("valid_to"),
+        F.when(closing, 0).otherwise(1).cast("int").alias("is_current"),
+    )
+    opened = src.filter(F.col("op").isin("U", "I")).select(
+        "c_custkey",
+        F.when(F.col("op") == "U", 2).otherwise(1).cast("long").alias("version"),
+        F.col("new_seg").alias("mktsegment"),
+        F.col("new_bal").alias("acctbal_cents"),
+        F.lit(1000).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    return hist.unionAll(opened)

@@ -666,3 +666,71 @@ def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(mlong("o_totalprice")).alias("total_cents"),
         )
     )
+
+
+# ------------------------------------------------- r10: incremental snapshot chunks
+
+
+@register(
+    "src_snapshot_chunks",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderkey) // 8192 AS lo, MAX(o_orderkey) // 8192 AS hi
+      FROM orders
+    ),
+    plan AS (
+      SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS chunk_id FROM bounds
+    ),
+    counts AS (
+      SELECT o_orderkey // 8192 AS chunk_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT p.chunk_id,
+           CAST(p.chunk_id * 8192 AS BIGINT) AS low_key,
+           CAST(p.chunk_id * 8192 + 8191 AS BIGINT) AS high_key,
+           COALESCE(c.n, 0) AS n_rows,
+           COALESCE(c.n, 0) = 0 AS is_empty,
+           CAST(SUM(COALESCE(c.n, 0)) OVER (ORDER BY p.chunk_id) AS BIGINT) AS rows_through
+    FROM plan p LEFT JOIN counts c USING (chunk_id)
+    """,
+)
+def src_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot CHUNK PLAN — how Debezium (DDD-3, the
+    watermark-based incremental snapshot the reference's CDC sink
+    consumes) and every JDBC bulk reader split a keyed table into
+    resumable units: fixed key-range chunks over [min, max], each
+    chunk's ACTUAL row count measured (TPC-H orderkeys are sparse, so
+    empty chunks exist and the plan must carry them — skipping gaps
+    is the difference between key-range and row-offset chunking), and
+    a running rows_through watermark that tells a resuming snapshot
+    exactly where it stopped. Complements A11 (offset-gap audit finds
+    the holes; this plans around them) and A2's incrementing poll
+    (which consumes the chunks).
+
+    Scale: one agg for bounds (1-row broadcast), one agg for counts,
+    a generated chunk spine (|key-space/8192| rows), and a prefix
+    window over that bounded spine — the plan relation stays manifest-
+    sized regardless of table size."""
+    t = load_tables(spark, sf_dir)
+    b = t.orders.agg(
+        F.expr("min(o_orderkey) div 8192").alias("lo"),
+        F.expr("max(o_orderkey) div 8192").alias("hi"),
+    )
+    plan = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("chunk_id")
+    )
+    counts = t.orders.groupBy(
+        F.expr("o_orderkey div 8192").alias("chunk_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("chunk_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        plan.join(counts, "chunk_id", "left")
+        .select(
+            "chunk_id",
+            (F.col("chunk_id") * 8192).cast("long").alias("low_key"),
+            (F.col("chunk_id") * 8192 + 8191).cast("long").alias("high_key"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_rows"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_empty"),
+        )
+        .withColumn("rows_through", F.sum("n_rows").over(w).cast("long"))
+    )

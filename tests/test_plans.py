@@ -241,6 +241,8 @@ UNPART_WINDOW_OK = {
     "llm_vocab_encode",       # ranks the top-16 vocabulary relation
     "rel_numeric_histogram",  # cumulative sum over <=20 histogram buckets
     "src_offset_gap_audit",   # prefix scan over the |key-space/bucket| relation
+    "src_snapshot_chunks",    # rows_through watermark = prefix sum over the
+                              # |key-space/8192| chunk spine (manifest-sized)
     "rel_cusum_changepoint",  # prefix sum + global max over the |days| series
     "rel_seasonal_naive_eval",  # lag-1/lag-7 windows over the |days| series
     "rel_survival_km",        # KM risk-set/product over the |durations| relation
