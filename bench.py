@@ -212,7 +212,7 @@ def main() -> None:
         for r in cold_regressions:
             print(
                 f"COLD-REGRESSION: {r['query']} first-build {r['cold_sec']}s "
-                f"> 2x floor {r['floor_sec']}s",
+                f"> limit {r['limit_sec']}s (floor {r['floor_sec']}s)",
                 file=sys.stderr,
             )
 

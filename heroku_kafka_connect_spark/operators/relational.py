@@ -5267,34 +5267,37 @@ def rel_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the planner's 4 KB fixture target would re-fragment it); the
     packing rule is character-identical, production swaps 128 MB in."""
     import os
-    import tempfile
+
+    from .common import derived_fixture
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="hkc_compact_")
-    small = os.path.join(base, "small")
-    t.documents.select("doc_id", "lang", "n_chars", "text").repartition(
-        64, "doc_id"
-    ).write.mode("overwrite").parquet(small)
 
-    back = spark.read.parquet(small)
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    planned = back.select(
-        "lang",
-        "doc_id",
-        "n_chars",
-        "text",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
-    ).withColumn("file_group", F.expr("before div 65536"))
+    def _write(loc: str) -> None:
+        small = os.path.join(loc, "small")
+        t.documents.select("doc_id", "lang", "n_chars", "text").repartition(
+            64, "doc_id"
+        ).write.mode("overwrite").parquet(small)
 
+        back = spark.read.parquet(small)
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        planned = back.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            "text",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+        ).withColumn("file_group", F.expr("before div 65536"))
+
+        planned.drop("before").repartition("lang", "file_group").write.mode(
+            "overwrite"
+        ).partitionBy("lang", "file_group").parquet(os.path.join(loc, "compacted"))
+
+    base = derived_fixture(spark, sf_dir, "compact", _write)
     out = os.path.join(base, "compacted")
-    planned.drop("before").repartition("lang", "file_group").write.mode(
-        "overwrite"
-    ).partitionBy("lang", "file_group").parquet(out)
-
     rb = (
         spark.read.parquet(out)
         .withColumn("file_group", F.col("file_group").cast("long"))
@@ -6214,24 +6217,27 @@ def rel_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )
     specs = [
-        ("o_orderstatus", F.col("o_orderstatus")),
-        ("o_orderpriority", F.col("o_orderpriority")),
-        ("o_custkey", F.col("o_custkey")),
-        ("o_totalprice_cents", F.col("price_cents")),
-        ("o_orderdate", F.col("odate")),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_custkey", "o_custkey"),
+        ("o_totalprice_cents", "price_cents"),
+        ("o_orderdate", "odate"),
     ]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, c in specs:
-        s = c.cast("string")
+    for name, col in specs:
+        c = F.col(col)
         aggs += [
             F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"{name}__nulls"),
             F.count_distinct(c).alias(f"{name}__ndv"),
             F.min(c).cast("string").alias(f"{name}__min"),
             F.max(c).cast("string").alias(f"{name}__max"),
-            (
-                (F.lit(1000) * F.sum(F.length(s)))
-                / F.count(s)
-            ).cast("long").alias(f"{name}__w"),
+            # integer FLOOR division, matching the oracle's `//` exactly
+            # (double-divide-then-truncate agrees at fixture scale but is
+            # not the repo's no-float-decisions convention)
+            F.expr(
+                f"(1000 * sum(length(cast({col} AS string))))"
+                f" div count(cast({col} AS string))"
+            ).alias(f"{name}__w"),
         ]
     one = base.agg(*aggs)
     rows = F.array(
@@ -6402,18 +6408,14 @@ def rel_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg per layout over the read-back scan. Production swaps the
     8-bit dims for range-bucketized columns and 128 MB targets."""
     import os
-    import tempfile
+
+    from .common import derived_fixture
 
     t = load_tables(spark, sf_dir)
+    # the Morton key has ONE definition: the _ZAPPLY_Z SQL fragment,
+    # shared verbatim by the Spark plan and the DuckDB oracle
     x = (F.col("o_custkey") % 256).cast("long")
     y = (F.floor("o_totalprice").cast("long") % 256).cast("long")
-
-    def interleave(xc, yc, bits=8):
-        z = F.lit(0).cast("long")
-        for i in range(bits):
-            z = z + F.shiftright(xc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-            z = z + F.shiftright(yc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        return z
 
     keyed = t.orders.select(
         "o_orderkey",
@@ -6422,13 +6424,19 @@ def rel_zorder_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_ZAPPLY_Z}) div 4096").alias("zbucket"),
         F.expr("(o_custkey % 256) div 16").alias("lbucket"),
     )
-    base = tempfile.mkdtemp(prefix="hkc_zorder_")
+
+    def _write(loc: str) -> None:
+        for layout, key in (("zorder", "zbucket"), ("linear", "lbucket")):
+            keyed.select(
+                "o_orderkey", "x", "y", F.col(key).alias("bucket")
+            ).repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(os.path.join(loc, layout))
+
+    base = derived_fixture(spark, sf_dir, "zorder", _write)
     censuses = []
-    for layout, key in (("zorder", "zbucket"), ("linear", "lbucket")):
+    for layout in ("zorder", "linear"):
         out = os.path.join(base, layout)
-        keyed.select("o_orderkey", "x", "y", F.col(key).alias("bucket")).repartition(
-            "bucket"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(out)
         rb = (
             spark.read.parquet(out)
             .withColumn("bucket", F.col("bucket").cast("long"))

@@ -18,32 +18,15 @@ _INC_OFFSET = jdbc.Offset(incrementing=800)
 _TS_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00")
 _TSINC_OFFSET = jdbc.Offset(timestamp="1999-06-01 00:00:00", incrementing=800)
 
-#: (applicationId, location) pairs already written this session.
-#: The derived fixtures below (partitioned orders, two-generation
-#: docs) are deterministic functions of the immutable sf_dir parquet,
-#: so one write per session suffices — repeat invocations (bench runs
-#: time these as READS) must not silently pay a full rewrite, and the
-#: application-unique path means two concurrent runs on the same
-#: sf_dir never race a reader against an in-progress overwrite.
-_WRITE_MEMO: set[tuple[str, str]] = set()
-
-
-def _derived_fixture(spark: SparkSession, sf_dir: str, kind: str, write) -> str:
-    """Write-once per session: build the derived fixture at a path
-    unique to (application, sf_dir, kind) and memoize, so the
-    registered query only pays the scan on re-invocation."""
-    import hashlib
-
-    app = spark.sparkContext.applicationId
-    tag = hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:10]
-    loc = f"/tmp/hkcs_{kind}_{tag}"
-    key = (app, loc)
-    if key not in _WRITE_MEMO:
-        for k in [k for k in _WRITE_MEMO if k[0] != app]:
-            _WRITE_MEMO.discard(k)
-        write(loc)
-        _WRITE_MEMO.add(key)
-    return loc
+# The derived fixtures below (partitioned orders, two-generation
+# docs) are deterministic functions of the immutable sf_dir parquet,
+# so one write per session suffices — repeat invocations (bench runs
+# time these as READS) must not silently pay a full rewrite, and the
+# application-unique path means two concurrent runs on the same
+# sf_dir never race a reader against an in-progress overwrite. The
+# memo itself lives in operators/common.py (r10 ADVICE: shared by the
+# compaction/zorder/footer/foreachBatch APPLY operators too).
+from .common import derived_fixture as _derived_fixture  # noqa: E402
 
 
 @register(
@@ -554,15 +537,17 @@ def src_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     second, zero data IO); the write half is the standard bucketed
     export. Stats column is exact scaled cents — footer min/max on
     INT64 are lossless, so the compare is bit-exact."""
-    import os
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="hkc_footer_"), "data")
-    t.orders.select(
-        F.expr("o_orderkey % 16").alias("bucket"),
-        mlong("o_totalprice").alias("cents"),
-    ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    def _write(loc: str) -> None:
+        t.orders.select(
+            F.expr("o_orderkey % 16").alias("bucket"),
+            mlong("o_totalprice").alias("cents"),
+        ).repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(loc)
+
+    out = _derived_fixture(spark, sf_dir, "footer16", _write)
 
     files = (
         spark.read.parquet(out)

@@ -390,6 +390,52 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- r10: foreachBatch idempotent MERGE
 
 
+def _latest_version_below(target: str, epoch_id: int | None) -> str | None:
+    """Highest committed version dir strictly below ``v{epoch_id}``
+    (or the overall highest when ``epoch_id`` is None — the read
+    path). Temp dirs from in-flight/failed writes are excluded: only
+    atomically-renamed ``v*`` names count as committed."""
+    import os
+
+    cut = None if epoch_id is None else f"v{epoch_id:06d}"
+    vs = sorted(
+        v
+        for v in os.listdir(target)
+        if v.startswith("v") and ".tmp" not in v and (cut is None or v < cut)
+    )
+    return os.path.join(target, vs[-1]) if vs else None
+
+
+def merge_into_versioned(target: str, batch_df: DataFrame, epoch_id: int, keyw) -> None:
+    """The foreachBatch MERGE body, retry-idempotent (r10 ADVICE):
+
+    - prior state = highest version STRICTLY BELOW v{epoch_id}, so a
+      retried epoch replays from the pre-batch state instead of
+      reading (and overwriting) its own possibly-partial output;
+    - the merged result is written to a ``.tmp`` staging dir first,
+      then renamed over v{epoch_id} — readers never observe a
+      half-written version, and a retry discards the poisoned dir.
+    """
+    import os
+    import shutil
+
+    s = batch_df.sparkSession
+    cur = _latest_version_below(target, epoch_id)
+    merged = batch_df if cur is None else s.read.parquet(cur).unionByName(batch_df)
+    resolved = (
+        merged.withColumn("__rn", F.row_number().over(keyw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    final = os.path.join(target, f"v{epoch_id:06d}")
+    tmp = final + ".tmp"
+    # mode=overwrite clears a tmp dir left by an earlier failed attempt
+    resolved.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)  # poisoned/partial dir from the failed try
+    os.rename(tmp, final)  # POSIX-atomic commit
+
+
 @register(
     "stream_foreachbatch_merge",
     oracle="""
@@ -410,9 +456,15 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow) whose every batch merges keep-latest-per-
     (user, event_type) into a versioned parquet target — read current
     state, union the batch, resolve by (ts, event_id) DESC, write
-    version[epoch]. Idempotence falls out of the versioning: a
-    RETRIED epoch rewrites its own version dir from the same inputs
-    (the exactly-once-for-idempotent-sinks contract, F2); batch-order
+    version[epoch]. Idempotence falls out of the versioning: the
+    prior state a batch merges against is the highest version dir
+    STRICTLY BELOW v{epoch_id}, and the write goes to a temp dir that
+    is atomically renamed in — so a RETRIED epoch replays from the
+    pre-batch state (never reads-and-overwrites its own output, which
+    Spark rejects, and a partial dir from a mid-write failure is
+    simply replaced, r10 ADVICE; the exactly-once-for-idempotent-
+    sinks contract, F2; merge_into_versioned below, regression-tested
+    in tests/test_round11_ops.py). Batch-order
     independence falls out of keep-latest being a semilattice join
     (any merge order converges — the property the oracle's global
     keep-latest pins). This is the streaming twin of rel_merge_into's
@@ -423,61 +475,48 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is bounded by distinct keys exactly like a real MERGE sink;
     a Delta/Iceberg writer drops into the same foreachBatch body."""
     import os
-    import tempfile
 
     from ..session import configure
 
     configure(spark)
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="hkc_febm_")
-    staged = os.path.join(base, "staged")
-    # stage the fixture as 4 hash-scattered files => 4 micro-batches
-    t.events.select("event_id", "ts", "user_id", "event_type").repartition(
-        4, "event_id"
-    ).write.mode("overwrite").parquet(staged)
-
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .format("parquet")
-        .load(staged)
-    )
-
-    target = os.path.join(base, "target")
-    os.makedirs(target, exist_ok=True)
     keyw = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
 
-    def latest_version() -> str | None:
-        vs = sorted(v for v in os.listdir(target) if v.startswith("v"))
-        return os.path.join(target, vs[-1]) if vs else None
+    def _write(loc: str) -> None:
+        staged = os.path.join(loc, "staged")
+        # stage the fixture as 4 hash-scattered files => 4 micro-batches
+        t.events.select("event_id", "ts", "user_id", "event_type").repartition(
+            4, "event_id"
+        ).write.mode("overwrite").parquet(staged)
 
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        s = batch_df.sparkSession
-        cur = latest_version()
-        merged = batch_df if cur is None else s.read.parquet(cur).unionByName(batch_df)
-        resolved = (
-            merged.withColumn("__rn", F.row_number().over(keyw))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # one dir per epoch: a retried epoch regenerates ITS version
-        # from the same (prior version, batch) pair — idempotent
-        resolved.write.mode("overwrite").parquet(
-            os.path.join(target, f"v{epoch_id:06d}")
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(staged)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        target = os.path.join(loc, "target")
+        os.makedirs(target, exist_ok=True)
 
-    final = latest_version()
+        def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            merge_into_versioned(target, batch_df, epoch_id, keyw)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(loc, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from .common import derived_fixture
+
+    base = derived_fixture(spark, sf_dir, "febm", _write)
+    final = _latest_version_below(os.path.join(base, "target"), None)
     return spark.read.parquet(final).select(
         "user_id",
         "event_type",
