@@ -112,3 +112,26 @@ def test_analyze_stats_width_is_integer_division(spark, sf_dir):
     # double '/' followed by cast-truncation
     plan = df._jdf.queryExecution().analyzed().toString()
     assert " div " in plan or "integral_divide" in plan.lower()
+
+
+def test_bench_history_ledger_min_merge(tmp_path):
+    """update_history folds repeat runs into the per-(round, sf, query)
+    MIN and keeps every contributing run's loadavg stamp (r10 verdict
+    item 5 — the cross-round watch-list ledger gates nothing)."""
+    import bench
+
+    p = str(tmp_path / "hist.json")
+    bench.update_history({"q1": 2.0, "q2": 5.0}, {"c1": 9.0}, 0.1,
+                         [1.0, 1.2], path=p, round_no=11)
+    bench.update_history({"q1": 1.5, "q2": 6.0}, {"c1": 8.0}, 0.1,
+                         [0.5, 0.6], path=p, round_no=11)
+    bench.update_history({"q1": 9.9}, None, 0.01, [0.1, 0.1],
+                         path=p, round_no=11)
+    import json
+
+    hist = json.load(open(p))
+    assert len(hist) == 2  # (11, 0.1) and (11, 0.01)
+    rec = next(r for r in hist if r["sf"] == 0.1)
+    assert rec["queries"] == {"q1": 1.5, "q2": 5.0}
+    assert rec["cold_build"] == {"c1": 8.0}
+    assert rec["loadavgs"] == [[1.0, 1.2], [0.5, 0.6]]
