@@ -582,6 +582,20 @@ def cdc_chunk_blob(
     Reference anchor: the byte-stream semantics of the Camel file sink
     the reference ships (Dockerfile:46-59) — payload paths must
     survive real files, not text stand-ins."""
+
+    def chunk(batches):
+        yield from cdc_chunk_batches(batches, modulus, payload_col)
+
+    return df.mapInArrow(chunk, CDC_CHUNK_SCHEMA)
+
+
+def cdc_chunk_batches(batches, modulus: int = 64, payload_col: str = "payload"):
+    """The mapInArrow generator behind `cdc_chunk_blob`, module-level
+    so the O(batch)-memory contract is directly unit-testable
+    (tests/test_round11_ops.py streams N× the payload through it and
+    asserts the traced peak does NOT grow with N — the guard against
+    someone reintroducing a whole-column materialization, r10 verdict
+    item 4). Streams strictly one Arrow batch at a time."""
     import binascii
     import hashlib
 
@@ -597,34 +611,31 @@ def cdc_chunk_blob(
         ]
     )
 
-    def chunk(batches):
-        for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
-            payloads = batch.column(payload_col).to_pylist()
-            out_id, out_start, out_len, out_h = [], [], [], []
-            for doc_id, b in zip(ids, payloads):
-                if b is None or len(b) == 0:
-                    continue
-                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                n = a.size
-                if n >= 4:
-                    hv = ((a[:-3] * 31 + a[1:-2]) * 31 + a[2:-1]) * 31 + a[3:]
-                    cuts = np.nonzero(hv % modulus == 0)[0] + 4
-                else:
-                    cuts = np.empty(0, dtype=np.int64)
-                bounds = np.unique(np.concatenate(([0], cuts, [n])))
-                for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
-                    out_id.append(doc_id)
-                    out_start.append(s)
-                    out_len.append(e - s)
-                    out_h.append(
-                        hashlib.md5(binascii.hexlify(b[s:e]).upper()).hexdigest()
-                    )
-            yield pa.record_batch(
-                [out_id, out_start, out_len, out_h], schema=out_schema
-            )
-
-    return df.mapInArrow(chunk, CDC_CHUNK_SCHEMA)
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        out_id, out_start, out_len, out_h = [], [], [], []
+        for doc_id, b in zip(ids, payloads):
+            if b is None or len(b) == 0:
+                continue
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            n = a.size
+            if n >= 4:
+                hv = ((a[:-3] * 31 + a[1:-2]) * 31 + a[2:-1]) * 31 + a[3:]
+                cuts = np.nonzero(hv % modulus == 0)[0] + 4
+            else:
+                cuts = np.empty(0, dtype=np.int64)
+            bounds = np.unique(np.concatenate(([0], cuts, [n])))
+            for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                out_id.append(doc_id)
+                out_start.append(s)
+                out_len.append(e - s)
+                out_h.append(
+                    hashlib.md5(binascii.hexlify(b[s:e]).upper()).hexdigest()
+                )
+        yield pa.record_batch(
+            [out_id, out_start, out_len, out_h], schema=out_schema
+        )
 
 
 def frame_energy_rows(df: DataFrame, frame: int = 80) -> DataFrame:
@@ -634,28 +645,38 @@ def frame_energy_rows(df: DataFrame, frame: int = 80) -> DataFrame:
     Arrow batch at a time. Feeds frame-level operators (VAD
     segmentation, silence trimming) that need the energy SEQUENCE,
     not its summary. Exact integers throughout."""
-    import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list = []
-            frames: list = []
-            fes: list = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = np.frombuffer(_wav_data_bytes(bytes(payload)), dtype="<i2").astype(
-                    np.int64
-                )
-                n = len(s)
-                if n == 0:
-                    continue
-                n_frames = -(-n // frame)
-                pad = np.zeros(n_frames * frame - n, dtype=np.int64)
-                fe = np.concatenate([s * s, pad]).reshape(n_frames, frame).sum(axis=1)
-                ids.extend([doc_id] * n_frames)
-                frames.extend(range(n_frames))
-                fes.extend(fe.tolist())
-            yield pd.DataFrame({"doc_id": ids, "frame": frames, "fe": fes})
+        yield from frame_energy_batches(batches, frame)
 
     return df.select("doc_id", "payload").mapInPandas(
         extract, "doc_id bigint, frame bigint, fe bigint"
     )
+
+
+def frame_energy_batches(
+    batches: Iterator[pd.DataFrame], frame: int = 80
+) -> Iterator[pd.DataFrame]:
+    """The mapInPandas generator behind `frame_energy_rows` (the VAD
+    primitive), module-level for the O(batch)-memory unit test — see
+    `cdc_chunk_batches`. Streams one pandas batch at a time."""
+    import numpy as np
+
+    for pdf in batches:
+        ids: list = []
+        frames: list = []
+        fes: list = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = np.frombuffer(_wav_data_bytes(bytes(payload)), dtype="<i2").astype(
+                np.int64
+            )
+            n = len(s)
+            if n == 0:
+                continue
+            n_frames = -(-n // frame)
+            pad = np.zeros(n_frames * frame - n, dtype=np.int64)
+            fe = np.concatenate([s * s, pad]).reshape(n_frames, frame).sum(axis=1)
+            ids.extend([doc_id] * n_frames)
+            frames.extend(range(n_frames))
+            fes.extend(fe.tolist())
+        yield pd.DataFrame({"doc_id": ids, "frame": frames, "fe": fes})

@@ -592,7 +592,27 @@ _EMB_LSH_SEED = 42
 _EMB_DIM = 64
 
 
-def _embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
+    """P tuned to corpus size — the promise `_embedding_cosine_pairs`'s
+    docstring carried since r8, made code by the r11 measured scaling
+    sweep (SCALING_CURVES.json): with P fixed at 5, in-block pair mass
+    n²·L/2^P grows QUADRATICALLY in the corpus (measured: the cascade's
+    shuffle write went 2.2 MB -> 851 MB from 1x to 16x, alpha = 2.14).
+    P = max(5, ceil(log2(n/target_block))) keeps expected block size ~
+    target_block, so pair mass — and the verify join's shuffle — grows
+    ~linearly. Deterministic (exact count), and floors at 5: every
+    oracle-gate scale (<= 500 vectors at sf0.001/sf0.01) derives P = 5,
+    bit-identical to the static oracle literals."""
+    import math
+
+    if n_vecs <= target_block:
+        return _EMB_LSH_PLANES
+    return max(_EMB_LSH_PLANES, math.ceil(math.log2(n_vecs / target_block)))
+
+
+def _embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, planes: int | None = None
+) -> DataFrame:
     """(label, hyperplane-LSH bucket)-blocked exact cosine pairs
     (a < b, cos_sim >= threshold) — THE shared pair generator for the
     semantic dedup family (`llm_dedup_embedding` emits the pairs,
@@ -610,9 +630,16 @@ def _embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.35) -> D
     second signature pass), are deduped across tables, then verified
     by exact cosine on a vector join. In-block pair mass is
     n²·L/2^P per label instead of the label-block n² — the quadratic
-    the round-8 verdict flagged is gone; P tunes to corpus size."""
+    the round-8 verdict flagged is gone; P tunes to corpus size via
+    `_emb_lsh_planes_for` (r11: the measured 1x/4x/16x sweep caught
+    the fixed-P quadratic — SCALING_CURVES.json — so ``planes`` now
+    defaults to max(5, ceil(log2(n/16))), keeping the verify shuffle
+    ~linear; at oracle-gate sizes the formula yields exactly 5)."""
     from ..functions.vectors import dot, norm
     from ..llmops import hyperplane_component, ordered_pairs
+
+    if planes is None:
+        planes = _emb_lsh_planes_for(embeddings.count())
 
     v = F.col("embedding").cast("array<double>")
 
@@ -631,18 +658,18 @@ def _embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.35) -> D
         # is the same left-to-right elementwise fold as
         # lsh_bucket_expr / the oracle's list_dot_product, so buckets
         # stay bit-identical across the three definitions.
-        planes = ", ".join(
+        plane_arrays = ", ".join(
             "array("
             + ", ".join(
                 _dlit(hyperplane_component(_EMB_LSH_SEED + t, p, d))
                 for d in range(_EMB_DIM)
             )
             + ")"
-            for p in range(_EMB_LSH_PLANES)
+            for p in range(planes)
         )
-        weights = ", ".join(str(1 << p) for p in range(_EMB_LSH_PLANES))
+        weights = ", ".join(str(1 << p) for p in range(planes))
         return (
-            f"aggregate(zip_with(array({planes}), array({weights}), (pl, w) -> "
+            f"aggregate(zip_with(array({plane_arrays}), array({weights}), (pl, w) -> "
             "IF(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), pl, (x, y) -> x * y), "
             "0E0, (a, x) -> a + x) >= 0E0, w, 0)), 0, (a, x) -> a + x)"
         )

@@ -357,6 +357,31 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- r8: perceptual-hash dedup
 
 
+def _ahash_batches(batches):
+    """mm_image_ahash's synth→PNG-roundtrip→aHash generator,
+    module-level for the O(batch)-memory unit test (see
+    functions.multimodal.cdc_chunk_batches). Streams one pandas batch
+    at a time; codepoints mod 256, NOT utf-8 bytes — the oracle
+    indexes CHARACTERS, so multi-byte text must not skew the grid."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            codes = [ord(c) % 256 for c in text]
+            px = bytes(codes[i % len(codes)] for i in range(256))
+            png = mm.encode_png_gray(16, 16, px)
+            w, h, back = mm.decode_png_pixels(png)
+            a = np.frombuffer(back, dtype=np.uint8).astype(np.int64).reshape(16, 16)
+            bsum = a.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # 8x8 block sums
+            bits = (bsum * 64 > a.sum()).astype(np.int64).ravel()
+            w0 = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+            w1 = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+            out.append((doc_id, w0, w1))
+        yield pd.DataFrame(out, columns=["doc_id", "w0", "w1"])
+
+
 @register(
     "mm_image_ahash",
     oracle="""
@@ -407,31 +432,12 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a hash groupBy on the 8-byte signature — the standard
     exact-dedup shape, corpus-partitionable. All-integer arithmetic
     (bit = bsum·64 > total), no float anywhere."""
-    import numpy as np
-    import pandas as pd
-
     t = load_tables(spark, sf_dir)
     docs = t.documents.filter(F.length("text") > 0).select("doc_id", "text")
 
-    def synth_decode_hash(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                # codepoints mod 256, NOT utf-8 bytes: the oracle indexes
-                # CHARACTERS, so multi-byte text must not skew the grid
-                codes = [ord(c) % 256 for c in text]
-                px = bytes(codes[i % len(codes)] for i in range(256))
-                png = mm.encode_png_gray(16, 16, px)
-                w, h, back = mm.decode_png_pixels(png)
-                a = np.frombuffer(back, dtype=np.uint8).astype(np.int64).reshape(16, 16)
-                bsum = a.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # 8x8 block sums
-                bits = (bsum * 64 > a.sum()).astype(np.int64).ravel()
-                w0 = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
-                w1 = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
-                out.append((doc_id, w0, w1))
-            yield pd.DataFrame(out, columns=["doc_id", "w0", "w1"])
-
-    words = docs.mapInPandas(synth_decode_hash, "doc_id bigint, w0 bigint, w1 bigint")
+    words = docs.mapInPandas(
+        _ahash_batches, "doc_id bigint, w0 bigint, w1 bigint"
+    )
     from pyspark.sql import Window
 
     grp = Window.partitionBy("w0", "w1")

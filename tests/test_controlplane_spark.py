@@ -795,3 +795,165 @@ def test_metrics_sidecar_replay_collapses(spark, tmp_path):
         for r in read_metrics_exactly_once(spark, path).collect()
     )
     assert got == [(0, 8, 4), (1, 5, 0)]
+
+
+def test_controlplane_soak(spark, tmp_path):
+    """r10 verdict item 3 — the COMPOSED control plane: one boot()
+    managing three concurrent live streaming queries (file micro-batch
+    sources, maxFilesPerTrigger=1) driven through the full production
+    sequence — spec mutation via REST PUT (tasks.max rebalance), a
+    mid-flight kill with pending input, and a prune — asserting the
+    F1/F5 no-loss/no-dup invariants JOINTLY at the end. The reference's
+    main.sh:146-196 reconcile loop IS this composition, run forever;
+    E1-E10/J126 test each piece in isolation, this is the soak.
+
+    No-dup rigor: the parquet sinks are FileStreamSinks, so batch
+    read-back goes through _spark_metadata (exactly-once even across
+    the kill/restart); the dlq-split sink is two at-least-once appends
+    restored to exactly-once by read_dlq_exactly_once."""
+    import urllib.request
+
+    from heroku_kafka_connect_spark.controlplane import (
+        boot,
+        read_dlq_exactly_once,
+    )
+
+    def feed(src: str, lo: int, hi: int, files: int = 4) -> None:
+        spark.createDataFrame(
+            [(i, float(i), '{"k": %d}' % i) for i in range(lo, hi)],
+            "id int, amount double, payload string",
+        ).repartition(files).write.mode("append").parquet(src)
+
+    def drain(name: str, timeout_s: float = 90.0) -> None:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            q = next((q for q in spark.streams.active if q.name == name), None)
+            if q is not None:
+                q.processAllAvailable()
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"{name} never became active")
+
+    d = {n: str(tmp_path / n) for n in
+         ("src_a", "src_b", "src_c", "out_a", "out_b", "good_c", "dlq_c")}
+    for n in ("src_a", "src_b", "src_c"):
+        feed(d[n], 0, 20)
+
+    schema = "id int, amount double, payload string"
+
+    def plain_cfg(tasks: int) -> dict:
+        return {
+            "source.format": "parquet",
+            "source.path": d["src_a"],
+            "source.schema": schema,
+            "source.option.maxFilesPerTrigger": "1",
+            "tasks.max": str(tasks),
+            "sink.format": "parquet",
+            "sink.path": d["out_a"],
+        }
+
+    smt_cfg = {
+        "source.format": "parquet",
+        "source.path": d["src_b"],
+        "source.schema": schema,
+        "source.option.maxFilesPerTrigger": "1",
+        "transforms": "big",
+        "transforms.big.type": "filter",
+        "transforms.big.predicate": "amount >= 10.0",
+        "sink.format": "parquet",
+        "sink.path": d["out_b"],
+    }
+    dlq_cfg = {
+        "source.format": "parquet",
+        "source.path": d["src_c"],
+        "source.schema": schema,
+        "source.option.maxFilesPerTrigger": "1",
+        "sink.format": "dlq-split",
+        "sink.path": d["good_c"],
+        "sink.dlqPath": d["dlq_c"],
+        "sink.option.jsonColumn": "payload",
+        "sink.option.schema": "k int",
+    }
+    env = {
+        "CONNECTOR_NAMES": "soak_a soak_b soak_c",
+        "CONNECTOR_SOAK_A": json.dumps(plain_cfg(2)),
+        "CONNECTOR_SOAK_B": json.dumps(smt_cfg),
+        "CONNECTOR_SOAK_C": json.dumps(dlq_cfg),
+    }
+    runtime, server, thread = boot(
+        spark, checkpoint_root=str(tmp_path / "cp"), env=env,
+        require_kafka_env=False,
+    )
+    try:
+        thread.join(timeout=90)
+        assert not thread.is_alive()
+        for n in ("soak_a", "soak_b", "soak_c"):
+            drain(n)
+        base = f"http://127.0.0.1:{server.port}"
+        assert json.loads(urllib.request.urlopen(base).read())["ready"]
+        listed = json.loads(urllib.request.urlopen(f"{base}/connectors").read())
+        assert listed == ["soak_a", "soak_b", "soak_c"]
+
+        # --- REST PUT rebalance: tasks.max 2 -> 4 restarts soak_a from
+        # its checkpoint; data fed across the restart arrives once
+        feed(d["src_a"], 20, 40)
+        drain("soak_a")
+        req = urllib.request.Request(
+            f"{base}/connectors/soak_a/config",
+            data=json.dumps(plain_cfg(4)).encode(),
+            method="PUT",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["outcome"] == "restarted"
+        feed(d["src_a"], 40, 60)
+        drain("soak_a")
+
+        # --- mid-flight kill: new input lands, the query dies OUTSIDE
+        # the reconciler (worker death), reconcile restarts it from the
+        # checkpoint and the pending input arrives exactly once
+        feed(d["src_b"], 20, 40)
+        victim = next(q for q in spark.streams.active if q.name == "soak_b")
+        victim.stop()  # no drain first: input is pending at kill time
+        specs_now = [
+            PipelineSpec("soak_a", plain_cfg(4)),
+            PipelineSpec("soak_b", smt_cfg),
+            PipelineSpec("soak_c", dlq_cfg),
+        ]
+        rec = Reconciler(runtime, sleep=lambda _s: None)
+        rep = rec.reconcile_once(specs_now)
+        assert "soak_b" in rep.started and not rep.failed
+        drain("soak_b")
+
+        # --- more traffic to the dlq pipeline, including corrupt rows
+        spark.createDataFrame(
+            [(100, 1.0, "{broken"), (101, 1.0, None), (102, 1.0, '{"k":102}')],
+            schema,
+        ).write.mode("append").parquet(d["src_c"])
+        drain("soak_c")
+
+        # --- prune, both ways: REST DELETE soak_c, declarative
+        # reconcile drops soak_b; only soak_a survives
+        req = urllib.request.Request(
+            f"{base}/connectors/soak_c", method="DELETE"
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        rep2 = rec.reconcile_once([PipelineSpec("soak_a", plain_cfg(4))])
+        assert rep2.pruned == ["soak_b"]
+        active = {q.name for q in spark.streams.active}
+        assert "soak_b" not in active and "soak_c" not in active
+        assert "soak_a" in active
+
+        # --- joint no-loss/no-dup audit over everything that happened
+        got_a = [r.id for r in spark.read.parquet(d["out_a"]).collect()]
+        assert sorted(got_a) == list(range(60))  # across PUT-rebalance
+        got_b = [r.id for r in spark.read.parquet(d["out_b"]).collect()]
+        assert sorted(got_b) == list(range(10, 40))  # across the kill
+        good = read_dlq_exactly_once(spark, d["good_c"], ["id"])
+        bad = read_dlq_exactly_once(spark, d["dlq_c"], ["id"])
+        assert sorted(r.id for r in good.collect()) == list(range(20)) + [102]
+        assert sorted(r.id for r in bad.collect()) == [100, 101]
+    finally:
+        server.shutdown()
+        Reconciler(runtime, sleep=lambda _s: None).reconcile_once([])

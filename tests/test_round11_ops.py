@@ -135,3 +135,184 @@ def test_bench_history_ledger_min_merge(tmp_path):
     assert rec["queries"] == {"q1": 1.5, "q2": 5.0}
     assert rec["cold_build"] == {"c1": 8.0}
     assert rec["loadavgs"] == [[1.0, 1.2], [0.5, 0.6]]
+
+
+def test_aqe_skew_join_fires(spark):
+    """AQE's skew-join split actually FIRES on a Zipf-skewed shuffle
+    join (r10 verdict item 2): one hot key owning 40% of the fact rows
+    must surface as an 'skewed' AQEShuffleRead in the executed
+    adaptive plan, and the split must not change results. Byte
+    thresholds are lowered to test scale (defaults are cluster-sized
+    256 MB); the 5x-median factor test is the one firing."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+
+        fact = spark.range(0, 300_000, 1, 32).select(
+            F.when(F.col("id") % 10 < 4, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("dp"),
+        )
+        joined = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        rows = {r["k"]: r["n"] for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, "AQE skew-join split did not fire on the hot key"
+        # the split is a physical rewrite only: 40% of 300k on key 0
+        # (ids with last digit 0-3), the rest on keys whose k%10 >= 4
+        assert rows[0] == 120_000
+        assert sum(rows.values()) == 300_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+class _Spy:
+    """Wrap an input-batch iterator, counting how many inputs the
+    generator under test has pulled — a whole-column materialization
+    (pd.concat(list(batches))) consumes EVERYTHING before the first
+    output and fails the lookahead assertion."""
+
+    def __init__(self, it):
+        self.it = iter(it)
+        self.consumed = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = next(self.it)
+        self.consumed += 1
+        return x
+
+
+def _traced_peak(consume) -> int:
+    import gc
+    import tracemalloc
+
+    gc.collect()
+    tracemalloc.start()
+    consume()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    return peak
+
+
+def test_codec_generators_are_o_batch_memory():
+    """r10 verdict item 4: the mapInArrow/mapInPandas codec generators
+    (blob CDC, VAD frame energy, PNG-pixel aHash) must hold O(one
+    Arrow batch), not O(column): (a) lookahead stays at one input
+    batch per output batch; (b) the tracemalloc peak while streaming
+    10x the payload stays ~flat vs 2x (numpy allocations are traced
+    via PyDataMem). Fails if anyone reintroduces a whole-column
+    materialization inside a codec."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from heroku_kafka_connect_spark.functions.multimodal import (
+        cdc_chunk_batches,
+        encode_wav_tone,
+        frame_energy_batches,
+    )
+    from heroku_kafka_connect_spark.operators.multimodal_queries import (
+        _ahash_batches,
+    )
+
+    payload = bytes(range(256)) * 4096  # 1 MiB per row
+
+    def cdc_inputs(n):
+        for i in range(n):
+            yield pa.record_batch(
+                [pa.array([i], pa.int64()), pa.array([payload], pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    # (a) one-in-one-out lookahead
+    spy = _Spy(cdc_inputs(6))
+    for k, _out in enumerate(cdc_chunk_batches(spy)):
+        assert spy.consumed == k + 1, "codec read ahead of its output"
+    assert spy.consumed == 6
+
+    # (b) peak footprint independent of total volume (10x vs 2x)
+    def run_cdc(n):
+        return lambda: [None for _ in cdc_chunk_batches(cdc_inputs(n))]
+
+    p2, p10 = _traced_peak(run_cdc(2)), _traced_peak(run_cdc(10))
+    assert p10 < 1.5 * p2 + (1 << 20), f"CDC peak grew with volume: {p2} -> {p10}"
+
+    wav = encode_wav_tone(7, 200_000)  # ~400 KB PCM per row
+
+    def wav_inputs(n):
+        for i in range(n):
+            yield pd.DataFrame({"doc_id": [i], "payload": [wav]})
+
+    spy = _Spy(wav_inputs(5))
+    for k, _out in enumerate(frame_energy_batches(spy)):
+        assert spy.consumed == k + 1
+    p2, p10 = (
+        _traced_peak(lambda: [None for _ in frame_energy_batches(wav_inputs(2))]),
+        _traced_peak(lambda: [None for _ in frame_energy_batches(wav_inputs(10))]),
+    )
+    assert p10 < 1.5 * p2 + (1 << 20), f"VAD peak grew with volume: {p2} -> {p10}"
+
+    def text_inputs(n):
+        for i in range(n):
+            yield pd.DataFrame(
+                {"doc_id": list(range(500)), "text": ["spark row data"] * 500}
+            )
+
+    spy = _Spy(text_inputs(4))
+    for k, _out in enumerate(_ahash_batches(spy)):
+        assert spy.consumed == k + 1
+    p2, p10 = (
+        _traced_peak(lambda: [None for _ in _ahash_batches(text_inputs(2))]),
+        _traced_peak(lambda: [None for _ in _ahash_batches(text_inputs(10))]),
+    )
+    assert p10 < 1.5 * p2 + (1 << 20), f"aHash peak grew with volume: {p2} -> {p10}"
+
+
+def test_emb_lsh_planes_scale_with_corpus():
+    """The semantic rung's LSH plane count follows
+    max(5, ceil(log2(n/16))) — the r11 fix for the measured fixed-P
+    quadratic (SCALING_CURVES.json: cascade shuffle write alpha 2.14
+    before, ~linear after). Floors at 5 so every oracle-gate scale
+    (500 vectors) derives the exact plane set the static SQL oracles
+    embed."""
+    from heroku_kafka_connect_spark.operators.llm import _emb_lsh_planes_for
+
+    assert _emb_lsh_planes_for(0) == 5
+    assert _emb_lsh_planes_for(16) == 5
+    assert _emb_lsh_planes_for(500) == 5   # sf0.001 / sf0.01 fixtures
+    assert _emb_lsh_planes_for(512) == 5
+    assert _emb_lsh_planes_for(513) == 6
+    assert _emb_lsh_planes_for(2000) == 7  # sf0.1 fixture
+    assert _emb_lsh_planes_for(32000) == 11  # the 16x sweep corpus
+    # monotone: more corpus never means fewer planes
+    last = 0
+    for n in (1, 10, 100, 1000, 10_000, 100_000, 1_000_000):
+        p = _emb_lsh_planes_for(n)
+        assert p >= last
+        last = p

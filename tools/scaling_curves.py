@@ -1,0 +1,319 @@
+"""Measured scaling curves for the flagship LLM-pipeline families
+(r10 verdict item 1): the 100 TB claims rested on plan SHAPES (pinned
+in tests/test_plans.py) — this harness makes them EMPIRICAL.
+
+It builds 1x/4x/16x (optionally 64x) synthetic corpora at sf0.1 volume
+with the deterministic hkc_synthdocs DataSource (sources/synthetic.py,
+SURVEY A8) plus a matching md5-derived embedding table, then runs each
+flagship family COLD at every size and records, per run:
+
+- wall seconds (min over --repeats passes, loadavg-stamped),
+- shuffle read/write bytes, input/output bytes, executor run time and
+  the max per-stage peakExecutionMemory — diffed from the Spark UI
+  REST stage store (/api/v1/applications/<id>/stages), the same
+  TaskMetrics the History Server shows on a real cluster.
+
+Families (the verdict's list):
+- dedup_cascade     llm_dedup_apply_full — the three-rung manifest
+                    (exact -> shingle-Jaccard CC -> semantic CC)
+- curation_pipeline llm_curation_pipeline — cascade + Gopher +
+                    two-way decontamination + packing, end to end
+- near_dup          llm_dedup_near — banded MinHash LSH + verify
+- ivf_write         functions.vectors.ivf_write_index (16 centroids)
+- ivf_probe         ivf_probe_topk against the materialized index —
+                    the flat-vs-corpus-size claim, measured
+
+Every family's session memos are released before every measured run,
+so the walls are first-build (cold) costs — the number that scales
+with the corpus, not the memo-read marginal.
+
+Output: SCALING_CURVES.json (per family x scale metrics + fitted
+log-log exponent alpha where wall ~ rows^alpha) and a stdout summary.
+SCALE.md's "Measured scaling" section is written from this artifact.
+
+Usage:
+    python tools/scaling_curves.py [--scales 1,4,16] [--repeats 2]
+        [--base-docs 5000] [--base-vecs 2000] [--out SCALING_CURVES.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def get_ui_session() -> SparkSession:
+    """bench-identical config except the UI stays ON: the REST stage
+    store is the metrics source (statusTracker has no byte counters)."""
+    from heroku_kafka_connect_spark.session import configure, default_parallelism
+
+    cpus = default_parallelism()
+    spark = (
+        SparkSession.builder.appName("hkc-scaling-curves")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "5000")
+        .getOrCreate()
+    )
+    return configure(spark)
+
+
+# ----------------------------------------------------------- corpus builders
+
+
+def build_scale_dir(spark: SparkSession, scale: int, base_docs: int, base_vecs: int) -> str:
+    """A fixture-shaped directory at ``scale``x sf0.1 volume: synthetic
+    documents + embeddings (both pure functions of their id — same
+    dup/lang/length distribution at every size, so growth in the
+    measured walls is VOLUME, not a data-shape artifact), remaining
+    tables symlinked from sf0.1 (the families here never read them).
+    File count scales with the volume (8 files per 1x) so the scan's
+    input-split count grows like a real lake's, not one giant file."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}|{scale}|{base_docs}|{base_vecs}".encode()).hexdigest()[:8]
+    d = f"/tmp/hkcs_scalecurve_{scale}x_{tag}"
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    n_files = 8 * scale
+    docs = (
+        spark.read.format("hkc_synthdocs")
+        .option("rows", base_docs * scale)
+        .option("partitions", n_files)
+        .load()
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    # embeddings: 64 deterministic md5-derived dims in [-0.5, 0.5) —
+    # one JVM-side SQL expression (no per-element py4j marshalling)
+    dim = 64
+    emb = spark.range(0, base_vecs * scale, 1, n_files).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, %d), j -> cast("
+            "  cast(conv(substr(md5(concat(cast(id as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+            "  / 4294967296.0E0 - 0.5E0 as float))" % (dim - 1)
+        ).alias("embedding"),
+        F.expr(
+            "cast(conv(substr(md5(concat('l:', cast(id as string))), 1, 4), 16, 10) % 10 as int)"
+        ).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    sf01 = "/root/testdata/sf0.1"
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events"):
+        link = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf01, f"{name}.parquet"), link)
+    open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+# ----------------------------------------------------------- metrics capture
+
+
+def _stages(spark: SparkSession) -> dict[int, dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
+
+
+def measured_run(spark: SparkSession, fn) -> dict:
+    """Run ``fn`` (an action) and return wall + TaskMetrics diffed from
+    the REST stage store: only stages that completed during this run
+    count."""
+    before = _stages(spark)
+    t0 = time.time()
+    fn()
+    wall = time.time() - t0
+    # the status store is async-updated; give it a beat to settle
+    for _ in range(20):
+        after = _stages(spark)
+        if len(after) > len(before):
+            break
+        time.sleep(0.1)
+    new = [s for k, s in after.items() if k not in before]
+    return {
+        "wall_sec": round(wall, 3),
+        "n_stages": len(new),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in new),
+        "output_bytes": sum(s.get("outputBytes", 0) for s in new),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+        "executor_run_time_ms": sum(s.get("executorRunTime", 0) for s in new),
+        "peak_execution_memory": max(
+            (s.get("peakExecutionMemory", 0) for s in new), default=0
+        ),
+    }
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def release_all_memos() -> None:
+    from bench import MEMO_FAMILIES
+    from heroku_kafka_connect_spark.operators import llm
+
+    for attr in MEMO_FAMILIES.values():
+        llm.release_memo(getattr(llm, attr))
+
+
+# ----------------------------------------------------------- family runners
+
+
+def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
+    """name -> zero-arg action executing the family cold at sf_dir."""
+    from heroku_kafka_connect_spark.functions.vectors import (
+        ivf_probe_topk,
+        ivf_write_index,
+    )
+    from heroku_kafka_connect_spark.registry import all_queries
+    from heroku_kafka_connect_spark.session import load_tables
+
+    qs = all_queries()
+    ivf_path = os.path.join(sf_dir, "ivf_index")
+
+    def dedup_cascade():
+        release_all_memos()
+        _noop(qs["llm_dedup_apply_full"].fn(spark, sf_dir))
+
+    def curation_pipeline():
+        release_all_memos()
+        _noop(qs["llm_curation_pipeline"].fn(spark, sf_dir))
+
+    def near_dup():
+        _noop(qs["llm_dedup_near"].fn(spark, sf_dir))
+
+    def ivf_write():
+        t = load_tables(spark, sf_dir)
+        ivf_write_index(t.embeddings, ivf_path, n_centroids=16)
+
+    def ivf_probe():
+        t = load_tables(spark, sf_dir)
+        q = t.embeddings.filter(F.col("vec_id") < 5)
+        _noop(ivf_probe_topk(spark, ivf_path, q, 3, n_probe=4))
+
+    # ivf_write must precede ivf_probe (dict order is execution order)
+    return {
+        "dedup_cascade": dedup_cascade,
+        "curation_pipeline": curation_pipeline,
+        "near_dup": near_dup,
+        "ivf_write": ivf_write,
+        "ivf_probe": ivf_probe,
+    }
+
+
+def fit_alpha(points: list[tuple[int, float]]) -> float | None:
+    """Least-squares slope of log(wall) vs log(scale) — wall ~ N^alpha.
+    alpha ~ 1 is linear scaling; ivf_probe should sit near 0."""
+    pts = [(math.log(s), math.log(w)) for s, w in points if w > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    denom = sum((x - mx) ** 2 for x, _ in pts)
+    if denom == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in pts) / denom, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--base-docs", type=int, default=5000)
+    ap.add_argument("--base-vecs", type=int, default=2000)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_CURVES.json"))
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = get_ui_session()
+    from heroku_kafka_connect_spark.sources.synthetic import register_synthetic_sources
+
+    assert register_synthetic_sources(spark), "Spark 4 DataSource API required"
+
+    # warmup: JVM/codegen/Arrow worker pool, same as bench
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    qs = all_queries()
+    sf01 = "/root/testdata/sf0.1"
+    _noop(qs["rel_agg_pricing_summary"].fn(spark, sf01))
+    _noop(qs["udf_scalar_pandas"].fn(spark, sf01))
+
+    results: dict[str, dict] = {}
+    for scale in scales:
+        load_start = round(os.getloadavg()[0], 2)
+        d = build_scale_dir(spark, scale, args.base_docs, args.base_vecs)
+        runs = family_runs(spark, d)
+        for fam, action in runs.items():
+            best: dict | None = None
+            for rep in range(args.repeats):
+                if fam == "ivf_write":  # fresh build each repeat
+                    import shutil
+
+                    shutil.rmtree(os.path.join(d, "ivf_index"), ignore_errors=True)
+                m = measured_run(spark, action)
+                best = m if best is None or m["wall_sec"] < best["wall_sec"] else best
+            best["scale"] = scale
+            best["rows_docs"] = args.base_docs * scale
+            best["rows_vecs"] = args.base_vecs * scale
+            best["loadavg_start"] = load_start
+            results.setdefault(fam, {"points": []})["points"].append(best)
+            print(
+                f"[{scale:>3}x] {fam:<18} wall {best['wall_sec']:>8.3f}s  "
+                f"shuf R/W {best['shuffle_read_bytes']:>12,}/"
+                f"{best['shuffle_write_bytes']:>12,} B  "
+                f"peakmem {best['peak_execution_memory']:>12,} B  "
+                f"stages {best['n_stages']}",
+                flush=True,
+            )
+
+    for fam, rec in results.items():
+        rec["alpha_wall"] = fit_alpha([(p["scale"], p["wall_sec"]) for p in rec["points"]])
+        rec["alpha_shuffle_write"] = fit_alpha(
+            [(p["scale"], p["shuffle_write_bytes"]) for p in rec["points"]]
+        )
+
+    out = {
+        "base_docs": args.base_docs,
+        "base_vecs": args.base_vecs,
+        "scales": scales,
+        "repeats": args.repeats,
+        "method": "cold per run (session memos released), min-of-repeats, "
+        "TaskMetrics via UI REST stage diff",
+        "families": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({f: r["alpha_wall"] for f, r in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
