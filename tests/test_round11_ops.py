@@ -140,10 +140,15 @@ def test_bench_history_ledger_min_merge(tmp_path):
 def test_aqe_skew_join_fires(spark):
     """AQE's skew-join split actually FIRES on a Zipf-skewed shuffle
     join (r10 verdict item 2): one hot key owning 40% of the fact rows
-    must surface as an 'skewed' AQEShuffleRead in the executed
-    adaptive plan, and the split must not change results. Byte
-    thresholds are lowered to test scale (defaults are cluster-sized
-    256 MB); the 5x-median factor test is the one firing."""
+    must surface as SortMergeJoin(skew=true) / an 'skewed'
+    AQEShuffleRead in the executed adaptive plan, and the split must
+    not change results. Byte thresholds are lowered to test scale
+    (defaults are cluster-sized 256 MB); the 5x-median factor test is
+    the one firing. NB the join is measured ALONE: a groupBy on the
+    join key fuses with the join into one exchange-free stage and
+    suppresses the split even under forceOptimizeSkewedJoin — measured
+    in tools/skew_ab.py / SKEW_AB.json, where the salted rewrite is
+    the mitigation for that shape."""
     conf = spark.conf
     saved = {
         k: conf.get(k, None)
@@ -153,9 +158,15 @@ def test_aqe_skew_join_fires(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.enabled",
             "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
+        # the shared test session runs 4 shuffle partitions (local[4]);
+        # with 4, the hot partition is only ~2x the median and the 5x
+        # factor test (deliberately left at its default) cannot pass —
+        # 32 partitions puts the hot key at ~22x median, as at scale
+        conf.set("spark.sql.shuffle.partitions", "32")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.enabled", "true")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -174,14 +185,22 @@ def test_aqe_skew_join_fires(spark):
             F.col("id").alias("k"),
             F.md5(F.col("id").cast("string")).alias("dp"),
         )
-        joined = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-        rows = {r["k"]: r["n"] for r in joined.collect()}
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's queryExecution, so its
+        # adaptive plan is final afterwards (a .write would run a
+        # separate execution and leave this one isFinalPlan=false)
+        ks = [r["k"] for r in joined.collect()]
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "skewed" in plan, "AQE skew-join split did not fire on the hot key"
+        assert (
+            "skew=true" in plan or "skewed" in plan
+        ), "AQE skew-join split did not fire on the hot key"
         # the split is a physical rewrite only: 40% of 300k on key 0
         # (ids with last digit 0-3), the rest on keys whose k%10 >= 4
-        assert rows[0] == 120_000
-        assert sum(rows.values()) == 300_000
+        from collections import Counter
+
+        c = Counter(ks)
+        assert c[0] == 120_000
+        assert sum(c.values()) == 300_000
     finally:
         for k, v in saved.items():
             if v is None:
