@@ -348,3 +348,38 @@ def test_prefix_setjoin_and_cdc_at_100k_synthetic(spark):
     wall = time.time() - t0
     assert n_chunks > 100_000  # every doc chunked
     assert wall < 120, f"CDC cut-point pass at 100k took {wall:.0f}s"
+
+
+@pytest.mark.slow
+def test_semantic_pair_mass_scales_linearly(spark):
+    """r11: the adaptive-P regression pin, MEASURED not prose. With P
+    fixed at 5, candidate-pair mass in the semantic LSH blocking grew
+    quadratically (SCALING_CURVES.json first sweep: alpha 2.14, 17 GB
+    peak task memory at 16x). _emb_lsh_planes_for now derives P from
+    the corpus count; this smoke counts the DETERMINISTIC candidate
+    output at n and 4n synthetic vectors and asserts sub-quadratic
+    growth — a revert to fixed-P fails the ratio immediately (fixed-P
+    measured ratio here is ~16x; adaptive-P keeps it near ~4x)."""
+    from heroku_kafka_connect_spark.operators.llm import _embedding_cosine_pairs
+
+    def vecs(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 10).cast("int").alias("label"),
+            F.expr(
+                "transform(sequence(0, 63), d -> "
+                "(xxhash64(concat(cast(id AS STRING), ':', cast(d AS STRING))) % 1000)"
+                " / 1000.0E0 + 0.0005E0)"
+            ).alias("embedding"),
+        )
+
+    # threshold 0 counts the full candidate set (post-verify filter
+    # would hide the mass on uniform-random vectors)
+    n1 = _embedding_cosine_pairs(vecs(2_000), threshold=-1.0).count()
+    n4 = _embedding_cosine_pairs(vecs(8_000), threshold=-1.0).count()
+    assert n1 > 0
+    ratio = n4 / n1
+    assert ratio < 8, (
+        f"semantic candidate mass grew {ratio:.1f}x for 4x vectors — "
+        "the fixed-P quadratic is back (expect ~4x with adaptive P)"
+    )
