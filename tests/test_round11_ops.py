@@ -81,20 +81,20 @@ def test_apply_staged_writes_are_memoized(spark, sf_dir):
     shared derived_fixture memo: a second invocation reuses the same
     /tmp location instead of mkdtemp-ing a fresh copy (r10 ADVICE)."""
     from heroku_kafka_connect_spark.operators import common
-
-    before = set(common._WRITE_MEMO)
     from heroku_kafka_connect_spark.registry import all_queries
 
     qs = all_queries()
-    for name in ("rel_compaction_apply", "rel_zorder_apply",
-                 "src_footer_stats_audit", "stream_foreachbatch_merge"):
+    names = ("rel_compaction_apply", "rel_zorder_apply",
+             "src_footer_stats_audit", "stream_foreachbatch_merge")
+    for name in names:
         qs[name].fn(spark, sf_dir).count()
     after1 = set(common._WRITE_MEMO)
-    new_keys = after1 - before
-    assert len(new_keys) >= 4  # one memo entry per operator family
+    # one memo entry per operator family exists (earlier suites may
+    # already have populated some — the set is order-independent)
+    for kind in ("compact", "zorder", "footer16", "febm"):
+        assert any(f"hkcs_{kind}_" in loc for _, loc in after1), kind
 
-    for name in ("rel_compaction_apply", "rel_zorder_apply",
-                 "src_footer_stats_audit", "stream_foreachbatch_merge"):
+    for name in names:
         qs[name].fn(spark, sf_dir).count()
     assert set(common._WRITE_MEMO) == after1  # no second write, no new dirs
 
