@@ -4,7 +4,11 @@ AQE's skew-join handling splits oversized shuffle partitions at
 runtime and is the first line of defense (enabled in session.py).
 Salting is the explicit fallback for the pathological case AQE can't
 fix: ONE join key so hot that a single key's rows exceed an executor
-(a null-key convention, a default user id, an empty-document hash).
+(a null-key convention, a default user id, an empty-document hash) —
+and, measured in r11 (tools/skew_ab.py, SKEW_AB.json, Spark 4.1.2),
+for the join + same-key-aggregation shape, where the fused
+exchange-free stage makes the AQE split structurally impossible even
+under forceOptimizeSkewedJoin.
 
 `salted_join` spreads each hot key over `salts` shuffle partitions by
 appending a random salt to the big side's key and replicating the

@@ -397,7 +397,15 @@ def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be identical to the plain join, which is exactly what the
     oracle checks. Locally the dims would broadcast anyway; the salted
     path exists for the cluster case where the build side exceeds the
-    broadcast threshold AND one probe key dominates (SCALE.md)."""
+    broadcast threshold AND one probe key dominates (SCALE.md).
+
+    r11 measured when this operator is REQUIRED rather than optional
+    (tools/skew_ab.py, SKEW_AB.json): AQE's skew split handles the
+    plain skewed join, but never fires when a same-key aggregation
+    fuses with the join into one exchange-free stage — even under
+    forceOptimizeSkewedJoin (Spark 4.1.2) — and the salted rewrite was
+    the fastest agg variant measured (1.41 s vs 2.09 s on the
+    40%-hot-key fixture)."""
     from ..functions.skew import salted_join
 
     t = load_tables(spark, sf_dir)
