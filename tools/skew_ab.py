@@ -165,6 +165,23 @@ def main() -> None:
     measure("salted_agg", lambda: agg(salted_join(fact, dim, ["k"], salts=SALTS)))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    # 6. CLUSTER-DEFAULT thresholds (256 MB byte floor, 64 MB advisory
+    # — nothing lowered): a cluster-sized fact (24M rows, hot partition
+    # ~550 MB) must trip the split with the stock config, proving the
+    # lowered knobs above are a test-scale convenience, not a crutch.
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    big = spark.range(0, 24_000_000, 1, 64).select(
+        F.when(F.col("id") % 10 < 4, F.lit(0))
+        .otherwise(F.col("id") % N_KEYS)
+        .alias("k"),
+        F.col("id").alias("fact_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    measure("aqe_skew_join_default_thresholds", lambda: big.join(dim, "k"), repeats=1)
+
     out = {
         "n_fact": N_FACT,
         "n_keys": N_KEYS,
