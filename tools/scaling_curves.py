@@ -157,6 +157,16 @@ def measured_run(spark: SparkSession, fn) -> dict:
             break
         time.sleep(0.1)
     new = [s for k, s in after.items() if k not in before]
+    # per-stage detail (r10 verdict asked per STAGE, not just totals):
+    # the heaviest stages by moved bytes, with their own peak memory —
+    # enough to localize a regression to the stage that grew
+    top = sorted(
+        new,
+        key=lambda s: s.get("shuffleWriteBytes", 0)
+        + s.get("shuffleReadBytes", 0)
+        + s.get("inputBytes", 0),
+        reverse=True,
+    )[:5]
     return {
         "wall_sec": round(wall, 3),
         "n_stages": len(new),
@@ -168,6 +178,19 @@ def measured_run(spark: SparkSession, fn) -> dict:
         "peak_execution_memory": max(
             (s.get("peakExecutionMemory", 0) for s in new), default=0
         ),
+        "stages_top": [
+            {
+                "stage_id": s.get("stageId"),
+                "name": (s.get("name") or "")[:80],
+                "tasks": s.get("numCompleteTasks", s.get("numTasks", 0)),
+                "input_bytes": s.get("inputBytes", 0),
+                "shuffle_read_bytes": s.get("shuffleReadBytes", 0),
+                "shuffle_write_bytes": s.get("shuffleWriteBytes", 0),
+                "peak_execution_memory": s.get("peakExecutionMemory", 0),
+                "executor_run_time_ms": s.get("executorRunTime", 0),
+            }
+            for s in top
+        ],
     }
 
 
