@@ -209,13 +209,35 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(running_totals(stream), output_mode="update")
 
 
-@register("stream_resume", oracle=None)
+@register(
+    "stream_resume",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    mx AS (SELECT MAX(us) AS m FROM e)
+    SELECT CAST((us // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+           CAST((us // 3600000000) * 3600000000 + 3600000000 AS BIGINT) AS window_end_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e, mx
+    GROUP BY 1, 2, 3, m
+    HAVING window_end_us <= m - 86400000000
+    """,
+)
 def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: REAL Structured Streaming run — file source over the events
     fixture, watermarked tumbling count, checkpointed memory sink,
     Trigger.AvailableNow. Resume-without-loss is asserted in
-    tests/test_streaming.py; here the driver smoke-checks the
-    streaming path end-to-end (rows-only)."""
+    tests/test_streaming.py (the multi-run checkpoint leg, which no
+    single-invocation oracle can observe); what a single run emits IS
+    deterministic, and since r11 the oracle replays it in SQL: APPEND
+    mode finalizes exactly the windows the final watermark has passed,
+    so the emitted set is the hourly counts whose window_end <=
+    max(ts) - 1 day (the watermark delay). The fixture file arrives as
+    one micro-batch with watermark 0, so nothing emits mid-stream; the
+    AvailableNow no-data flush batch advances the watermark to
+    max - 1d and evicts the closed windows — StateStoreSave(append)
+    evicts on window_end <= watermark, replayed by the HAVING. This
+    retired the corpus's last rows-only query: 314/314 oracled."""
     stream = read_events_stream(spark, sf_dir)
     agg = (
         windows.tumbling(stream, "ts", "1 hour", "event_type", watermark="1 day")
