@@ -591,6 +591,13 @@ _EMB_LSH_TABLES = 10
 _EMB_LSH_SEED = 42
 _EMB_DIM = 64
 
+#: Measured per-table true-pair collision rate on the fixture at the
+#: (P=5, L=10) anchor: recall 19/26 solves 1-(1-p^5)^10 = 19/26 →
+#: p ≈ 0.658. `_emb_lsh_tables_for` holds L·p^P (the expected number
+#: of colliding tables per true pair, hence recall ≈ 1-exp(-L·p^P))
+#: constant as P grows with the corpus.
+_EMB_LSH_MATCH_P = 0.658
+
 
 def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
     """P tuned to corpus size — the promise `_embedding_cosine_pairs`'s
@@ -600,9 +607,9 @@ def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
     shuffle write went 2.2 MB -> 851 MB from 1x to 16x, alpha = 2.14).
     P = max(5, ceil(log2(n/target_block))) keeps expected block size ~
     target_block, so pair mass — and the verify join's shuffle — grows
-    ~linearly. Deterministic (exact count), and floors at 5: every
-    oracle-gate scale (<= 500 vectors at sf0.001/sf0.01) derives P = 5,
-    bit-identical to the static oracle literals."""
+    ~linearly at fixed L. Deterministic (exact count), and floors at 5:
+    every oracle-gate scale (<= 500 vectors at sf0.001/sf0.01) derives
+    P = 5, bit-identical to the static oracle literals."""
     import math
 
     if n_vecs <= target_block:
@@ -610,8 +617,68 @@ def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
     return max(_EMB_LSH_PLANES, math.ceil(math.log2(n_vecs / target_block)))
 
 
+def _emb_lsh_tables_for(planes: int) -> int:
+    """L scaled alongside P to HOLD RECALL (r11 ADVICE item 2): with L
+    fixed at 10 while P grows, per-pair collision probability
+    L·p^P decays geometrically and semantic dedup silently misses an
+    increasing fraction of true near-dup pairs (estimated recall at
+    sf0.1's P=7 had already sagged 0.73 → ~0.45). Keeping L·p^P
+    constant (p = `_EMB_LSH_MATCH_P`, measured at the P=5/L=10 anchor)
+    restores it: L(P) = ceil(10 · p^(5-P)).
+
+    The honest cost: recall-holding hyperplane LSH is n^(1+ρ) with
+    ρ = log2(1/p)/1 ≈ 0.6 here — candidate mass grows ~n·L ∝ n^1.6,
+    the classical LSH exponent, NOT the n² the fixed-P r10 code had
+    and NOT the silent-recall-decay linear cost of r11. (Centroid
+    blocking — SemDeDup proper — trades this for an O(n·k) assignment
+    cost and non-replayable recall; the LSH rung stays the
+    oracle-checked default because its candidate DEFINITION is
+    replayable in SQL at any corpus size — see SCALE.md.) Floors at
+    L=10 for P<=5, so every oracle-gate scale is bit-identical to the
+    pre-r12 static literals."""
+    import math
+
+    if planes <= _EMB_LSH_PLANES:
+        return _EMB_LSH_TABLES
+    return math.ceil(
+        _EMB_LSH_TABLES * _EMB_LSH_MATCH_P ** (_EMB_LSH_PLANES - planes)
+    )
+
+
+#: realpath(sf_dir) -> embeddings row count, read from the parquet
+#: FOOTER (no Spark job): fixtures are immutable, and the count only
+#: parameterizes blocking geometry.
+_EMB_COUNT_MEMO: dict[str, int] = {}
+
+
+def _n_embeddings(sf_dir: str) -> int:
+    key = os.path.realpath(sf_dir)
+    if key not in _EMB_COUNT_MEMO:
+        import pyarrow.dataset as ds
+
+        _EMB_COUNT_MEMO[key] = ds.dataset(
+            os.path.join(key, "embeddings.parquet")
+        ).count_rows()
+    return _EMB_COUNT_MEMO[key]
+
+
+def _emb_lsh_geometry_for(sf_dir: str) -> tuple[int, int]:
+    """(planes, tables) for a fixture dir — THE single derivation used
+    by BOTH the Spark pair generator (`_sem_pairs_for`) and the lazy
+    oracle builders, so engine and oracle can never disagree on the
+    blocking geometry at any sf (r11 ADVICE item 1: the oracle used to
+    hardcode P=5 and false-failed above 512 vectors). Footer-count
+    based — also removes the extra embeddings.count() Spark job per
+    cold build."""
+    planes = _emb_lsh_planes_for(_n_embeddings(sf_dir))
+    return planes, _emb_lsh_tables_for(planes)
+
+
 def _embedding_cosine_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, planes: int | None = None
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    planes: int | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
     """(label, hyperplane-LSH bucket)-blocked exact cosine pairs
     (a < b, cos_sim >= threshold) — THE shared pair generator for the
@@ -640,6 +707,8 @@ def _embedding_cosine_pairs(
 
     if planes is None:
         planes = _emb_lsh_planes_for(embeddings.count())
+    if tables is None:
+        tables = _emb_lsh_tables_for(planes)
 
     v = F.col("embedding").cast("array<double>")
 
@@ -674,16 +743,15 @@ def _embedding_cosine_pairs(
             "0E0, (a, x) -> a + x) >= 0E0, w, 0)), 0, (a, x) -> a + x)"
         )
 
-    tables = F.expr(
+    table_structs = F.expr(
         "array("
         + ", ".join(
-            f"struct({t} AS t, {_bucket_sql(t)} AS bucket)"
-            for t in range(_EMB_LSH_TABLES)
+            f"struct({t} AS t, {_bucket_sql(t)} AS bucket)" for t in range(tables)
         )
         + ")"
     )
     cand = (
-        embeddings.select("vec_id", "label", F.explode(tables).alias("tb"))
+        embeddings.select("vec_id", "label", F.explode(table_structs).alias("tb"))
         .groupBy("label", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
         .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
@@ -703,17 +771,24 @@ def _embedding_cosine_pairs(
     )
 
 
-def _emb_pairs_ctes(threshold: str = "0.35") -> str:
+def _emb_pairs_ctes(
+    threshold: str = "0.35",
+    planes: int = _EMB_LSH_PLANES,
+    tables: int = _EMB_LSH_TABLES,
+) -> str:
     """DuckDB CTE chain ending in ``sem_pairs(a, b, cos_sim)`` — the SQL
     replica of `_embedding_cosine_pairs`: identical hyperplane literals
     (dyadic rationals whose decimal repr round-trips into the same
     doubles), identical (label, bucket)-per-table candidate union, and
     the same dot/(sqrt·sqrt) + ROUND verify. Shared by the
     `llm_dedup_embedding`, `llm_dedup_semantic`, and
-    `llm_dedup_apply_full` oracles."""
+    `llm_dedup_apply_full` oracles — each built LAZILY per sf_dir with
+    the (planes, tables) `_emb_lsh_geometry_for` derives for that
+    fixture, so the replica holds at every scale, not just the P=5
+    gates (r11 ADVICE item 1)."""
     table_ctes = []
     unions = []
-    for t in range(_EMB_LSH_TABLES):
+    for t in range(tables):
         bucket = "\n             + ".join(
             "(CASE WHEN list_dot_product(v, ["
             + ", ".join(
@@ -721,7 +796,7 @@ def _emb_pairs_ctes(threshold: str = "0.35") -> str:
                 for d in range(_EMB_DIM)
             )
             + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(_EMB_LSH_PLANES)
+            for p in range(planes)
         )
         table_ctes.append(
             f"semb{t} AS (SELECT vec_id, label, {bucket} AS bucket FROM seme)"
@@ -761,17 +836,23 @@ def _sem_pairs_for(spark: SparkSession, sf_dir: str, embeddings: DataFrame) -> D
     key = _memo_key(spark, sf_dir)
     if key not in _SEM_PAIRS_MEMO:
         _evict_stale(_SEM_PAIRS_MEMO, key)
-        _SEM_PAIRS_MEMO[key] = _embedding_cosine_pairs(embeddings).localCheckpoint(
-            eager=True
-        )
+        planes, tables = _emb_lsh_geometry_for(sf_dir)
+        _SEM_PAIRS_MEMO[key] = _embedding_cosine_pairs(
+            embeddings, planes=planes, tables=tables
+        ).localCheckpoint(eager=True)
     return _SEM_PAIRS_MEMO[key]
 
 
-def _dedup_embedding_oracle() -> str:
-    return "WITH " + _emb_pairs_ctes() + "\n    SELECT a, b, cos_sim FROM sem_pairs"
+def _dedup_embedding_oracle(sf_dir: str) -> str:
+    planes, tables = _emb_lsh_geometry_for(sf_dir)
+    return (
+        "WITH "
+        + _emb_pairs_ctes(planes=planes, tables=tables)
+        + "\n    SELECT a, b, cos_sim FROM sem_pairs"
+    )
 
 
-@register("llm_dedup_embedding", oracle=_dedup_embedding_oracle())
+@register("llm_dedup_embedding", oracle=_dedup_embedding_oracle)
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-embedding near-dup: exact cosine pairs >= threshold within a
     (label, hyperplane-LSH bucket) block — the semantic-dedup step of
@@ -1587,7 +1668,12 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_CLUSTERS_ORACLE = "WITH RECURSIVE " + _emb_pairs_ctes() + """,
+def _semantic_clusters_oracle(sf_dir: str) -> str:
+    planes, tables = _emb_lsh_geometry_for(sf_dir)
+    return (
+        "WITH RECURSIVE "
+        + _emb_pairs_ctes(planes=planes, tables=tables)
+        + """,
     pairs AS (SELECT a, b FROM sem_pairs),
     sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
     reach(u, v) AS (
@@ -1600,9 +1686,10 @@ _SEMANTIC_CLUSTERS_ORACLE = "WITH RECURSIVE " + _emb_pairs_ctes() + """,
            CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
     FROM reach GROUP BY u
     """
+    )
 
 
-@register("llm_dedup_semantic", oracle=_SEMANTIC_CLUSTERS_ORACLE)
+@register("llm_dedup_semantic", oracle=_semantic_clusters_oracle)
 def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup manifest: embedding-cosine
     near-dup pairs (same blocked definition as
@@ -1627,11 +1714,13 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CTE chain ending in ``full_manifest(doc_id, canonical_id, keep,
 #: reason)`` — the three-rung manifest, composable by downstream
 #: oracles (llm_dedup_apply_full, llm_curation_pipeline).
-_APPLY_FULL_CTES = (
-    _MANIFEST_CTES.rstrip()
-    + ",\n    mfull AS MATERIALIZED (SELECT * FROM manifest),\n    "
-    + _emb_pairs_ctes().strip()
-    + """,
+def _apply_full_ctes(sf_dir: str) -> str:
+    planes, tables = _emb_lsh_geometry_for(sf_dir)
+    return (
+        _MANIFEST_CTES.rstrip()
+        + ",\n    mfull AS MATERIALIZED (SELECT * FROM manifest),\n    "
+        + _emb_pairs_ctes(planes=planes, tables=tables).strip()
+        + """,
     sem_edges AS (
       SELECT p.a, p.b FROM sem_pairs p
       JOIN mfull ma ON ma.doc_id = p.a AND ma.keep = 1
@@ -1655,11 +1744,16 @@ _APPLY_FULL_CTES = (
       FROM mfull m LEFT JOIN comp2 c2 ON c2.node = m.canonical_id
     )
     """
-)
+    )
 
-_APPLY_FULL_ORACLE = _APPLY_FULL_CTES + """
+
+def _apply_full_oracle(sf_dir: str) -> str:
+    return (
+        _apply_full_ctes(sf_dir)
+        + """
     SELECT doc_id, canonical_id, keep, reason FROM full_manifest
     """
+    )
 
 
 def _near_contam_ctes(bands: int = 8, rows: int = 4, max_bucket: int = 256) -> str:
@@ -1723,7 +1817,7 @@ def _near_contam_ctes(bands: int = 8, rows: int = 4, max_bucket: int = 256) -> s
 
 
 
-@register("llm_dedup_apply_full", oracle=_APPLY_FULL_ORACLE)
+@register("llm_dedup_apply_full", oracle=_apply_full_oracle)
 def llm_dedup_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE three-rung dedup manifest — exact (hash) ->
     lexical near-dup (shingle-Jaccard CC) -> SEMANTIC (embedding
@@ -4008,12 +4102,8 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- r6: E2E curation
 
 
-@register(
-    "llm_curation_pipeline",
-    oracle=(_CURATION_ORACLE := _APPLY_FULL_CTES.rstrip().rstrip(",")
-    + ",\n    "
-    + _near_contam_ctes().strip().rstrip(",")
-    + f""",
+_CURATION_TAIL = (
+    f""",
     train AS (
       SELECT doc_id, source, lang, text FROM documents WHERE source <> 'src1'
     ),
@@ -4060,8 +4150,20 @@ def llm_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 2048.0) AS BIGINT)
            END AS pack_id
     FROM flags
-    """),
+    """
 )
+
+
+def _curation_oracle(sf_dir: str) -> str:
+    return (
+        _apply_full_ctes(sf_dir).rstrip().rstrip(",")
+        + ",\n    "
+        + _near_contam_ctes().strip().rstrip(",")
+        + _CURATION_TAIL
+    )
+
+
+@register("llm_curation_pipeline", oracle=_curation_oracle)
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation run — every stage a real 100 TB
     pipeline executes, composed into ONE dataflow and emitted as a
@@ -5946,9 +6048,8 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- r10: per-(source, lang) dataset card
 
 
-@register(
-    "llm_dataset_card",
-    oracle=f"""
+def _dataset_card_oracle(sf_dir: str) -> str:
+    return f"""
     SELECT source, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -5961,10 +6062,12 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN NOT near_contam_keep THEN 1 ELSE 0 END) AS BIGINT) AS near_contaminated,
            CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
            (1000 * CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS keep_rate_milli
-    FROM ({_CURATION_ORACLE})
+    FROM ({_curation_oracle(sf_dir)})
     GROUP BY source, lang
-    """,
-)
+    """
+
+
+@register("llm_dataset_card", oracle=_dataset_card_oracle)
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DATASET CARD — the per-(source, lang) summary a data lead
     actually reads before signing off a training mix: corpus size in

@@ -8,6 +8,7 @@ The driver hash-compares the two at sf0.01 (CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -15,19 +16,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: A DuckDB oracle is either a static SQL string or, when the SQL must
+#: replay scale-adaptive engine parameters (e.g. the semantic family's
+#: LSH plane/table counts derived from the embeddings row count), a
+#: callable ``sf_dir -> SQL`` resolved against the fixture it will run
+#: on. The driver contract (`oracle_sql()`) stays ``dict[str, str]`` by
+#: resolving callables at the driver's own gate fixture.
+OracleSpec = "str | Callable[[str], str] | None"
+
+#: The fixture the driver runs `oracle_sql()` output against (sf0.01).
+DRIVER_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def resolve_oracle(oracle, sf_dir: str) -> str | None:
+    """Materialize an oracle spec for a concrete fixture dir."""
+    if oracle is None:
+        return None
+    return oracle(sf_dir) if callable(oracle) else oracle
+
 
 @dataclass
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    oracle: object | None  # OracleSpec; None -> rows-only check
     doc: str = ""
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle=None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def wrap(fn: QueryFn) -> QueryFn:
@@ -56,7 +77,11 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle}
+    return {
+        name: resolve_oracle(q.oracle, DRIVER_ORACLE_SF_DIR)
+        for name, q in all_queries().items()
+        if q.oracle
+    }
 
 
 _LOADED = False

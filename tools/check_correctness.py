@@ -23,7 +23,7 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from heroku_kafka_connect_spark.registry import all_queries  # noqa: E402
+from heroku_kafka_connect_spark.registry import all_queries, resolve_oracle  # noqa: E402
 from heroku_kafka_connect_spark.session import TABLES, get_spark  # noqa: E402
 
 
@@ -113,14 +113,15 @@ def run_corpus(sf_dir: str, names: list[str] | None = None, spark=None, results:
             if results is not None:
                 results[name] = {"status": "fail", "err": "spark raised"}
             continue
-        if not q.oracle:
+        oracle = resolve_oracle(q.oracle, sf_dir)
+        if not oracle:
             n_rows_only += 1
             print(f"rows {name}: {len(spark_pdf)} rows ({time.time() - t0:.1f}s)")
             if results is not None:
                 results[name] = {"status": "rows_only", "rows": len(spark_pdf), "sec": round(time.time() - t0, 2)}
             continue
         try:
-            duck_pdf = con.execute(q.oracle).df()
+            duck_pdf = con.execute(oracle).df()
         except Exception:
             n_fail += 1
             failures.append(name)
