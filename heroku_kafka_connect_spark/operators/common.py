@@ -18,6 +18,8 @@ every aggregate must be bit-identical across engines. Conventions:
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -161,6 +163,21 @@ def bounded_collect(df, cap: int, what: str) -> list:
 _WRITE_MEMO: set[tuple[str, str]] = set()
 
 
+def _cleanup_derived_fixtures() -> None:
+    """atexit: remove THIS process's derived-fixture trees. In-process
+    eviction (below) only fires when a second application starts in
+    the same interpreter; the common accumulation mode is
+    one-app-per-process, which only an exit hook can see."""
+    import shutil
+
+    for _, loc in _WRITE_MEMO:
+        shutil.rmtree(loc, ignore_errors=True)
+    _WRITE_MEMO.clear()
+
+
+atexit.register(_cleanup_derived_fixtures)
+
+
 def derived_fixture(spark, sf_dir: str, kind: str, write) -> str:
     """Write-once per session: build the derived fixture at a path
     unique to (application, sf_dir, kind) and memoize, so the
@@ -168,8 +185,13 @@ def derived_fixture(spark, sf_dir: str, kind: str, write) -> str:
     min-of-2 warm pass then times the read/census path, and /tmp does
     not accumulate a fresh copy per call — r10 ADVICE). Keyed on the
     applicationId so a new session never trusts another app's leftover
-    files; entries from dead apps are evicted as a side effect."""
+    files; entries from dead apps are evicted as a side effect — and
+    their /tmp trees removed (r11 ADVICE: the path is app-unique, so
+    no live reader can hold an evicted dir; without the rmtree every
+    new Spark application left one full copy of every derived fixture
+    behind indefinitely)."""
     import hashlib
+    import shutil
 
     app = spark.sparkContext.applicationId
     tag = hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:10]
@@ -178,6 +200,7 @@ def derived_fixture(spark, sf_dir: str, kind: str, write) -> str:
     if key not in _WRITE_MEMO:
         for k in [k for k in _WRITE_MEMO if k[0] != app]:
             _WRITE_MEMO.discard(k)
+            shutil.rmtree(k[1], ignore_errors=True)  # dead app's copy
         write(loc)
         _WRITE_MEMO.add(key)
     return loc

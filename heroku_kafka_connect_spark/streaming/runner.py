@@ -29,6 +29,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file streaming source requires a directory; expose the single
     # fixture file through a symlinked temp dir (no data copy)
     src = os.path.join(sf_dir, "events.parquet")
+    # stream_resume's SQL oracle (and the one-micro-batch arrival the
+    # watermark-append queries document) assumes the fixture is ONE
+    # file: a single AvailableNow batch at watermark 0, then the
+    # no-data flush. A multi-file fixture would let windows finalize
+    # mid-stream and genuinely-late rows be dropped — Spark would then
+    # diverge from the oracle confusingly. Fail loudly instead.
+    if not os.path.isfile(src):
+        raise ValueError(
+            f"events fixture at {src} is not a single parquet file — "
+            "the watermark-append oracles (stream_resume) assume "
+            "one-file/one-micro-batch arrival; re-derive them for a "
+            "multi-file fixture before streaming it"
+        )
     # Stable digest, not hash(): Python string hashing is salted per
     # process, which would mint a fresh tmp dir every run (and could
     # collide across different sf_dirs within one).
