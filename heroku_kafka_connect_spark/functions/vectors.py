@@ -89,9 +89,17 @@ def ivf_assign(
             train_iters=train_iters,
         )
     # bounded driver hop: exactly n_centroids rows (k<=16 here; k·d
-    # doubles total) — same class as ivf_write_index's sidecar.
+    # doubles total) — same class as ivf_write_index's sidecar. Routed
+    # through bounded_collect so a fixture/param change that unbounds
+    # the relation raises instead of silently materializing (r11
+    # verdict item 7).
+    from ..operators.common import bounded_collect
+
     rows = sorted(
-        cents.select("centroid_id", "cv").collect(), key=lambda r: r["centroid_id"]
+        bounded_collect(
+            cents.select("centroid_id", "cv"), n_centroids, "ivf_assign centroids"
+        ),
+        key=lambda r: r["centroid_id"],
     )
     if not rows:
         raise ValueError("ivf_assign: empty centroid relation")
@@ -264,8 +272,13 @@ def ivf_write_index(
     # writes below would otherwise re-execute it (the assignment
     # write evaluates it inside the broadcast, the sidecar write
     # again) — k rows by construction, trivially driver-sized
+    from ..operators.common import bounded_collect
+
     spark = vectors.sparkSession
-    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    cents = spark.createDataFrame(
+        bounded_collect(cents, n_centroids, "ivf_write_index centroid sidecar"),
+        cents.schema,
+    )
     assigned = ivf_assign(
         vectors, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, cents=cents
     ).select(id_col, F.col("__v").alias(vec_col), "centroid_id")
@@ -296,6 +309,7 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     n_probe: int = 4,
     score_round: int = 4,
+    max_query_batch: int = 16_384,
 ) -> DataFrame:
     """Serve approximate top-k from a MATERIALIZED IVF index
     (ivf_write_index layout) — the 100 TB serving path: build once,
@@ -331,8 +345,16 @@ def ivf_probe_topk(
     # O(n_queries · n_probe) rows by construction — collect ONCE and
     # rebuild a local-relation DataFrame for the join, instead of
     # cache() (a long-lived serving session calling this per query
-    # batch would accumulate never-unpersisted cache entries)
-    probe_rows = probes.collect()
+    # batch would accumulate never-unpersisted cache entries). The
+    # bound is the SERVING-BATCH contract, not the corpus: callers
+    # probing more than max_query_batch·n_probe rows should split the
+    # query batch, and bounded_collect makes that contract raise
+    # instead of flooding the driver (r11 verdict item 7).
+    from ..operators.common import bounded_collect
+
+    probe_rows = bounded_collect(
+        probes, max_query_batch * n_probe, "ivf_probe_topk probe set"
+    )
     probe_ids = sorted({r.centroid_id for r in probe_rows})
     probes_local = spark.createDataFrame(probe_rows, probes.schema)
     cand = ivf_read_probes(spark, path, probe_ids).join(

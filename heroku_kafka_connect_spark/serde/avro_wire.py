@@ -89,10 +89,14 @@ def jvm_avro_available(spark) -> bool:
         try:
             from pyspark.sql.avro.functions import from_avro
 
+            from ..operators.common import bounded_collect
+
             empty = '{"type":"record","name":"probe","fields":[]}'
-            spark.range(1).select(
-                from_avro(F.lit(b"").cast("binary"), empty)
-            ).collect()
+            bounded_collect(
+                spark.range(1).select(from_avro(F.lit(b"").cast("binary"), empty)),
+                1,
+                "avro JVM-path probe",
+            )
             _JVM_AVRO_PROBE[key] = True
         except Exception:  # noqa: BLE001 — jar missing ⇒ any of several JVM errors
             _JVM_AVRO_PROBE[key] = False

@@ -130,3 +130,31 @@ def test_semantic_recall_holds_on_fixture(spark):
     assert truth, "fixture lost its near-dup pairs"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.7, f"semantic blocking recall {recall:.2f} < 0.7 at the anchor"
+
+
+def test_bounded_collect_guards_ivf_driver_hops(spark):
+    """r11 verdict item 7: the k-bounded driver hops in the IVF path
+    now go through bounded_collect — a centroid relation larger than
+    its declared bound raises instead of silently materializing on
+    the driver."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from heroku_kafka_connect_spark.functions.vectors import ivf_assign
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), d -> cast(id + d AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    # a centroid relation that VIOLATES the declared n_centroids bound
+    bad_cents = spark.range(9).select(
+        F.col("id").cast("int").alias("centroid_id"),
+        F.expr("transform(sequence(0, 7), d -> cast(id * d AS DOUBLE))").alias("cv"),
+    )
+    with _pytest.raises(ValueError, match="bounded-collect"):
+        ivf_assign(vecs, n_centroids=4, cents=bad_cents).collect()
+    # and the legal path still works
+    ok = ivf_assign(vecs, n_centroids=4)
+    assert ok.select("centroid_id").distinct().count() <= 4

@@ -142,13 +142,23 @@ def _stages(spark: SparkSession) -> dict[int, dict]:
         return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
 
 
-def measured_run(spark: SparkSession, fn) -> dict:
+def measured_run(spark: SparkSession, fn, label: str | None = None) -> dict:
     """Run ``fn`` (an action) and return wall + TaskMetrics diffed from
     the REST stage store: only stages that completed during this run
-    count."""
+    count. ``label`` becomes the job description so stage rows carry
+    the FAMILY name instead of the useless
+    `withThreadLocalCaptured at CompletableFuture.java` callsite (r11
+    verdict item 6 — a future alpha regression should localize to an
+    operator without re-running)."""
     before = _stages(spark)
+    if label:
+        spark.sparkContext.setJobDescription(f"scaling:{label}")
     t0 = time.time()
-    fn()
+    try:
+        fn()
+    finally:
+        if label:
+            spark.sparkContext.setJobDescription(None)
     wall = time.time() - t0
     # the status store is async-updated; give it a beat to settle
     for _ in range(20):
@@ -182,6 +192,24 @@ def measured_run(spark: SparkSession, fn) -> dict:
             {
                 "stage_id": s.get("stageId"),
                 "name": (s.get("name") or "")[:80],
+                "description": (s.get("description") or "")[:80],
+                # first engine-meaningful frame of the submission stack
+                # (the REST `details` field) — names the operator when
+                # the callsite name is an executor-pool anonfun
+                "details_head": next(
+                    (
+                        ln.strip()[:120]
+                        for ln in (s.get("details") or "").splitlines()
+                        if (
+                            "org.apache.spark.sql" in ln
+                            and "anonfun" not in ln
+                            and "SQLExecution" not in ln
+                        )
+                    ),
+                    (s.get("details") or "").strip().splitlines()[0][:120]
+                    if (s.get("details") or "").strip()
+                    else "",
+                ),
                 "tasks": s.get("numCompleteTasks", s.get("numTasks", 0)),
                 "input_bytes": s.get("inputBytes", 0),
                 "shuffle_read_bytes": s.get("shuffleReadBytes", 0),
@@ -301,7 +329,7 @@ def main() -> None:
                     import shutil
 
                     shutil.rmtree(os.path.join(d, "ivf_index"), ignore_errors=True)
-                m = measured_run(spark, action)
+                m = measured_run(spark, action, label=fam)
                 best = m if best is None or m["wall_sec"] < best["wall_sec"] else best
             best["scale"] = scale
             best["rows_docs"] = args.base_docs * scale
