@@ -42,12 +42,70 @@ def h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def doc_row(doc_id: int) -> tuple[int, str, str, str, int]:
-    """(doc_id, text, lang, source, n_chars) — pure function of id."""
+#: Open-vocabulary mode: ~1e5 word types, Zipf(s≈1)-weighted. The
+#: 24-word fixture vocab makes every 2/3-shingle a birthday collision
+#: at scale — LSH band buckets fill with FALSE candidate mass that
+#: grows ~quadratically in the corpus even though the real dup rate is
+#: constant (r11 SCALE.md adjudicated the cascade's residual
+#: alpha_shufW 1.3-1.55 as exactly this). A realistic corpus has
+#: heavy-tailed open vocabulary: shingle types grow with the corpus,
+#: bucket collisions stay ~dup-driven, and candidate mass stays
+#: ~linear. `vocab=realistic` generates that — while PLANTING a
+#: constant dup rate (10% exact clones + 10% near-clones at ~90%
+#: token overlap) so the dedup rungs still have work to find.
+V_OPEN = 100_000
+
+
+def _open_word(key: str) -> str:
+    """Zipf(s≈1)-weighted word id over V_OPEN types: with u uniform in
+    [0,1), rank = floor(V^u) inverts the ~ln CDF of 1/r weights —
+    rank 1 appears ~ln(V)/V · n times more often than rank V. Pure
+    function of the key (md5), like every other generator field."""
+    u = h32(key) / 4294967296.0
+    return f"w{int(V_OPEN ** u)}"
+
+
+def _base_words(doc_id: int) -> list[str]:
+    """The open-vocab word list a NON-clone doc would carry — clones
+    copy a donor's base words, so any row stays a pure function of its
+    own id (no recursion through clone chains)."""
     n_words = 5 + h32(f"n:{doc_id}") % 28
-    text = " ".join(
-        VOCAB[h32(f"w:{doc_id}:{i}") % len(VOCAB)] for i in range(n_words)
-    )
+    return [_open_word(f"w:{doc_id}:{i}") for i in range(n_words)]
+
+
+def doc_row(doc_id: int, vocab: str = "fixture") -> tuple[int, str, str, str, int]:
+    """(doc_id, text, lang, source, n_chars) — pure function of id.
+
+    ``vocab="fixture"`` (default) replays the original 24-word soup —
+    byte-identical to every pre-r12 corpus, and what the
+    src_python_datasource oracle replays in SQL. ``vocab="realistic"``
+    switches to the open-vocabulary generator above."""
+    if vocab == "realistic":
+        r = h32(f"c:{doc_id}") % 10
+        if r == 0 and doc_id > 0:
+            # exact clone: copy a nearby earlier doc's BASE words —
+            # all clones of one donor share identical text (an exact
+            # dup cluster), at a constant ~10% rate at every scale
+            donor = max(0, doc_id - 1 - h32(f"d:{doc_id}") % 50)
+            words = _base_words(donor)
+        elif r == 1 and doc_id > 0:
+            # near-clone: donor's words with ~10% of positions
+            # rewritten — constant near-dup (MinHash-rung) mass
+            donor = max(0, doc_id - 1 - h32(f"d:{doc_id}") % 50)
+            words = [
+                _open_word(f"p:{doc_id}:{i}")
+                if h32(f"m:{doc_id}:{i}") % 10 == 0
+                else w
+                for i, w in enumerate(_base_words(donor))
+            ]
+        else:
+            words = _base_words(doc_id)
+        text = " ".join(words)
+    else:
+        n_words = 5 + h32(f"n:{doc_id}") % 28
+        text = " ".join(
+            VOCAB[h32(f"w:{doc_id}:{i}") % len(VOCAB)] for i in range(n_words)
+        )
     lang = LANGS[h32(f"l:{doc_id}") % len(LANGS)]
     source = f"src{h32(f's:{doc_id}') % 10}"
     return (doc_id, text, lang, source, len(text))
@@ -96,6 +154,9 @@ class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.num_partitions = int(options.get("partitions", 8))
+        self.vocab = options.get("vocab", "fixture")
+        if self.vocab not in ("fixture", "realistic"):
+            raise ValueError(f"unknown vocab mode: {self.vocab!r}")
 
     def partitions(self):
         per = max(1, -(-self.rows // self.num_partitions))  # ceil div
@@ -106,7 +167,7 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
-            yield doc_row(doc_id)
+            yield doc_row(doc_id, self.vocab)
 
 
 class SyntheticDocsDataSource(DataSource):

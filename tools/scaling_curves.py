@@ -31,9 +31,29 @@ Output: SCALING_CURVES.json (per family x scale metrics + fitted
 log-log exponent alpha where wall ~ rows^alpha) and a stdout summary.
 SCALE.md's "Measured scaling" section is written from this artifact.
 
+r12 additions (r11 verdict item 1 + ADVICE item 2):
+
+- ``--entropy realistic`` re-runs the sweep on the OPEN-VOCABULARY
+  corpus (synthetic.py vocab=realistic: ~1e5 Zipf-weighted word types,
+  constant planted 10% exact-clone + 10% near-clone dup mass). The
+  24-word fixture vocab makes shingle buckets birthday-collide with
+  ~n^2 mass, which r11 adjudicated as the cascade's residual
+  alpha_shufW 1.3-1.55 — the realistic sweep measures whether that
+  residual is really vocabulary mass (expected: lexical-rung alpha
+  drops to ~1) instead of arguing it.
+- a SEMANTIC RECALL curve: at every swept n, planted near-dup vector
+  pairs (cos spanning ~0.4-0.99) are tested for capture by the
+  production LSH blocking geometry — both the recall-holding default
+  (L scales with P) and the old fixed L=10, so the recall-vs-cost
+  tradeoff is a measured curve, not a formula in a docstring.
+- SCALING_CURVES.json is now keyed by sweep: {"sweeps": {entropy:
+  {families, semantic_recall, ...}}}; running one entropy preserves
+  the other's committed points.
+
 Usage:
     python tools/scaling_curves.py [--scales 1,4,16] [--repeats 2]
         [--base-docs 5000] [--base-vecs 2000] [--out SCALING_CURVES.json]
+        [--entropy fixture|realistic] [--no-recall]
 """
 
 from __future__ import annotations
@@ -79,7 +99,13 @@ def get_ui_session() -> SparkSession:
 # ----------------------------------------------------------- corpus builders
 
 
-def build_scale_dir(spark: SparkSession, scale: int, base_docs: int, base_vecs: int) -> str:
+def build_scale_dir(
+    spark: SparkSession,
+    scale: int,
+    base_docs: int,
+    base_vecs: int,
+    entropy: str = "fixture",
+) -> str:
     """A fixture-shaped directory at ``scale``x sf0.1 volume: synthetic
     documents + embeddings (both pure functions of their id — same
     dup/lang/length distribution at every size, so growth in the
@@ -90,8 +116,10 @@ def build_scale_dir(spark: SparkSession, scale: int, base_docs: int, base_vecs: 
     import hashlib
 
     app = spark.sparkContext.applicationId
-    tag = hashlib.md5(f"{app}|{scale}|{base_docs}|{base_vecs}".encode()).hexdigest()[:8]
-    d = f"/tmp/hkcs_scalecurve_{scale}x_{tag}"
+    tag = hashlib.md5(
+        f"{app}|{scale}|{base_docs}|{base_vecs}|{entropy}".encode()
+    ).hexdigest()[:8]
+    d = f"/tmp/hkcs_scalecurve_{entropy}_{scale}x_{tag}"
     if os.path.exists(os.path.join(d, "_READY")):
         return d
     os.makedirs(d, exist_ok=True)
@@ -101,6 +129,7 @@ def build_scale_dir(spark: SparkSession, scale: int, base_docs: int, base_vecs: 
         spark.read.format("hkc_synthdocs")
         .option("rows", base_docs * scale)
         .option("partitions", n_files)
+        .option("vocab", entropy)
         .load()
     )
     docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
@@ -279,6 +308,97 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
     }
 
 
+def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
+    """Measured blocking recall at corpus size ``n_vecs`` (r11 ADVICE
+    item 2's 'record the recall-vs-n curve'): plant near-dup vector
+    pairs with cosine spanning ~0.4-0.99 (embedding = a·donor +
+    (1-a)·fresh, a ∈ [0.3, 0.95) md5-drawn), verify them exactly at
+    the operator's 0.35 threshold, and measure what fraction the
+    production LSH blocking captures — under BOTH the recall-holding
+    default geometry (L = _emb_lsh_tables_for(P)) and the pre-r12
+    fixed L=10. Collision of a specific pair depends only on that
+    pair's buckets, so the capture test runs on the planted members
+    only — cheap at any n while P/L are the FULL-corpus values."""
+    from heroku_kafka_connect_spark.operators.llm import (
+        _emb_lsh_planes_for,
+        _emb_lsh_tables_for,
+        _embedding_cosine_pairs,
+    )
+
+    planes = _emb_lsh_planes_for(n_vecs)
+    tables_default = _emb_lsh_tables_for(planes)
+
+    stride = max(1, n_vecs // 600)  # ~600 planted clones per point
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    alpha = (
+        "(0.3E0 + 0.65E0 * (conv(substr(md5(concat('ra:', cast(vec_id as string))), 1, 8), 16, 10)"
+        " / 4294967296.0E0))"
+    )
+    # clone of a nearby donor, mixed with a fresh direction; donor
+    # label inherited so the (label, bucket) blocking applies
+    vecs = spark.range(0, n_vecs, stride).selectExpr(
+        "id AS vec_id",
+        "greatest(0L, id - 1 - conv(substr(md5(concat('rd:', cast(id as string))), 1, 4), 16, 10) % 50) AS donor_id",
+    )
+    members = (
+        vecs.selectExpr(
+            "vec_id",
+            "donor_id",
+            "zip_with(" + base.format(i="donor_id") + ", "
+            + base.format(i="vec_id")
+            + f", (d, f) -> {alpha} * d + (1.0E0 - {alpha}) * f) AS embedding",
+            "cast(donor_id % 10 AS int) AS label",
+        )
+        .union(
+            vecs.selectExpr(
+                "donor_id AS vec_id",
+                "donor_id",
+                base.format(i="donor_id") + " AS embedding",
+                "cast(donor_id % 10 AS int) AS label",
+            )
+        )
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+
+    # exact ground truth: planted (clone, donor) pairs that really
+    # clear the operator threshold (cosine computed exactly)
+    m = members.selectExpr("vec_id", "donor_id", "embedding",
+                           "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0E0, (a, x) -> a + x) AS sq")
+    pairs = (
+        m.alias("c")
+        .join(m.selectExpr("vec_id AS d_id", "embedding AS d_emb", "sq AS d_sq").alias("d"),
+              F.expr("c.donor_id = d.d_id AND c.vec_id != d.d_id"))
+        .selectExpr(
+            "least(c.vec_id, d.d_id) AS a",
+            "greatest(c.vec_id, d.d_id) AS b",
+            "aggregate(zip_with(c.embedding, d.d_emb, (x, y) -> x * y), 0E0, (p, x) -> p + x)"
+            " / (sqrt(c.sq) * sqrt(d.d_sq)) AS cos",
+        )
+        .filter("cos >= 0.35E0")
+    )
+    truth = {(r.a, r.b) for r in pairs.collect()}
+
+    emb_members = members.select("vec_id", "label", "embedding")
+    out = {"n_vecs": n_vecs, "planes": planes, "n_truth_pairs": len(truth)}
+    for key, tabs in (("default", tables_default), ("fixed_l10", 10)):
+        got = {
+            (r.a, r.b)
+            for r in _embedding_cosine_pairs(
+                emb_members, threshold=-1.0, planes=planes, tables=tabs
+            ).collect()
+        }
+        out[f"tables_{key}"] = tabs
+        out[f"recall_{key}"] = (
+            round(len(got & truth) / len(truth), 4) if truth else None
+        )
+    return out
+
+
 def fit_alpha(points: list[tuple[int, float]]) -> float | None:
     """Least-squares slope of log(wall) vs log(scale) — wall ~ N^alpha.
     alpha ~ 1 is linear scaling; ivf_probe should sit near 0."""
@@ -301,6 +421,18 @@ def main() -> None:
     ap.add_argument("--base-docs", type=int, default=5000)
     ap.add_argument("--base-vecs", type=int, default=2000)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_CURVES.json"))
+    ap.add_argument(
+        "--entropy",
+        choices=("fixture", "realistic"),
+        default="fixture",
+        help="corpus vocabulary mode (realistic = open Zipf vocab + planted dup mass)",
+    )
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma-separated subset of families to run (default: all)",
+    )
+    ap.add_argument("--no-recall", action="store_true", help="skip the semantic recall curve")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -318,10 +450,24 @@ def main() -> None:
     _noop(qs["udf_scalar_pandas"].fn(spark, sf01))
 
     results: dict[str, dict] = {}
+    recall_points: list[dict] = []
+    fam_subset = set(args.families.split(",")) if args.families else None
     for scale in scales:
         load_start = round(os.getloadavg()[0], 2)
-        d = build_scale_dir(spark, scale, args.base_docs, args.base_vecs)
+        d = build_scale_dir(spark, scale, args.base_docs, args.base_vecs, args.entropy)
         runs = family_runs(spark, d)
+        if fam_subset:
+            runs = {f: a for f, a in runs.items() if f in fam_subset}
+        if not args.no_recall:
+            rp = semantic_recall_point(spark, args.base_vecs * scale)
+            rp["scale"] = scale
+            recall_points.append(rp)
+            print(
+                f"[{scale:>3}x] semantic recall: default L={rp['tables_default']} "
+                f"-> {rp['recall_default']}, fixed L=10 -> {rp['recall_fixed_l10']} "
+                f"(P={rp['planes']}, {rp['n_truth_pairs']} planted pairs)",
+                flush=True,
+            )
         for fam, action in runs.items():
             best: dict | None = None
             for rep in range(args.repeats):
@@ -351,17 +497,41 @@ def main() -> None:
             [(p["scale"], p["shuffle_write_bytes"]) for p in rec["points"]]
         )
 
-    out = {
+    sweep = {
+        "entropy": args.entropy,
         "base_docs": args.base_docs,
         "base_vecs": args.base_vecs,
         "scales": scales,
         "repeats": args.repeats,
-        "method": "cold per run (session memos released), min-of-repeats, "
-        "TaskMetrics via UI REST stage diff",
         "families": results,
+        "semantic_recall": recall_points,
     }
+    # merge into the committed artifact: one sweep per entropy mode
+    # (running one mode preserves the other's points); a pre-r12
+    # flat-format file is migrated as its fixture sweep
+    existing: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    if "families" in existing and "sweeps" not in existing:
+        existing = {"sweeps": {"fixture": {**existing, "entropy": "fixture"}}}
+    existing.setdefault("sweeps", {})
+    if fam_subset and args.entropy in existing["sweeps"]:
+        # subset run: fold the re-measured families into the sweep
+        prev = existing["sweeps"][args.entropy]
+        prev.setdefault("families", {}).update(results)
+        if recall_points:
+            prev["semantic_recall"] = recall_points
+    else:
+        existing["sweeps"][args.entropy] = sweep
+    existing["method"] = (
+        "cold per run (session memos released), min-of-repeats, "
+        "TaskMetrics via UI REST stage diff; per-family job-description "
+        "stage attribution; semantic_recall = planted-pair capture under "
+        "the production blocking geometry (default vs fixed L=10)"
+    )
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        json.dump(existing, f, indent=1, sort_keys=True)
     print(json.dumps({f: r["alpha_wall"] for f, r in results.items()}))
     spark.stop()
 
