@@ -591,12 +591,17 @@ _EMB_LSH_TABLES = 10
 _EMB_LSH_SEED = 42
 _EMB_DIM = 64
 
-#: Measured per-table true-pair collision rate on the fixture at the
-#: (P=5, L=10) anchor: recall 19/26 solves 1-(1-p^5)^10 = 19/26 →
-#: p ≈ 0.658. `_emb_lsh_tables_for` holds L·p^P (the expected number
-#: of colliding tables per true pair, hence recall ≈ 1-exp(-L·p^P))
-#: constant as P grows with the corpus.
-_EMB_LSH_MATCH_P = 0.658
+#: Per-plane agreement at the DESIGN similarity: the L-growth formula
+#: holds recall for dedup-grade pairs, cos >= 0.7 — the SemDeDup
+#: operating band — giving q = 1 - acos(0.7)/π ≈ 0.7468 and the LSH
+#: exponent ρ = log2(1/q) ≈ 0.42. Anchoring instead at the VERIFY
+#: threshold's borderline pairs (cos ~0.35-0.5, q ≈ 0.66) would hold
+#: recall for everything but cost ρ ≈ 0.6 (measured: L=124 tables and
+#: 668 MB of shuffle at the 16x sweep point — 4x the design-anchored
+#: cost). The choice is a measured frontier, not a guess: the scaling
+#: sweep's semantic_recall curve records per-band recall (dedup-grade
+#: held ~0.9; borderline decay explicit) at every swept size.
+_EMB_LSH_DESIGN_Q = 0.7468
 
 
 def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
@@ -620,28 +625,34 @@ def _emb_lsh_planes_for(n_vecs: int, target_block: int = 16) -> int:
 def _emb_lsh_tables_for(planes: int) -> int:
     """L scaled alongside P to HOLD RECALL (r11 ADVICE item 2): with L
     fixed at 10 while P grows, per-pair collision probability
-    L·p^P decays geometrically and semantic dedup silently misses an
-    increasing fraction of true near-dup pairs (estimated recall at
-    sf0.1's P=7 had already sagged 0.73 → ~0.45). Keeping L·p^P
-    constant (p = `_EMB_LSH_MATCH_P`, measured at the P=5/L=10 anchor)
-    restores it: L(P) = ceil(10 · p^(5-P)).
+    L·q^P decays geometrically and semantic dedup silently misses an
+    increasing fraction of true near-dup pairs. Keeping L·q^P
+    constant at the design similarity (q = `_EMB_LSH_DESIGN_Q`,
+    dedup-grade cos >= 0.7) holds that band's recall ~0.9 at every
+    corpus size: L(P) = ceil(10 · q^(5-P)) — e.g. 18 tables at sf0.1
+    (P=7), 58 at the 16x sweep (P=11), ~380 at a 100M-vector corpus
+    (P=23).
 
     The honest cost: recall-holding hyperplane LSH is n^(1+ρ) with
-    ρ = log2(1/p)/1 ≈ 0.6 here — candidate mass grows ~n·L ∝ n^1.6,
-    the classical LSH exponent, NOT the n² the fixed-P r10 code had
-    and NOT the silent-recall-decay linear cost of r11. (Centroid
-    blocking — SemDeDup proper — trades this for an O(n·k) assignment
-    cost and non-replayable recall; the LSH rung stays the
-    oracle-checked default because its candidate DEFINITION is
-    replayable in SQL at any corpus size — see SCALE.md.) Floors at
-    L=10 for P<=5, so every oracle-gate scale is bit-identical to the
-    pre-r12 static literals."""
+    ρ = log2(1/q) ≈ 0.42 at this design point — the classical LSH
+    exponent. That is NOT the n² the fixed-P r10 code had, NOT the
+    silent-recall-decay ~linear cost of r11, and NOT the ρ ≈ 0.6 a
+    borderline-pair (verify-threshold) anchor would cost; pairs
+    between cos 0.35 and 0.7 decay in recall as n grows, and the
+    scaling sweep's semantic_recall curve MEASURES that decay per
+    band rather than hiding it. (Centroid blocking — SemDeDup proper
+    — trades the exponent for an O(n·k) assignment cost and
+    non-replayable recall; the LSH rung stays the oracle-checked
+    default because its candidate DEFINITION is replayable in SQL at
+    any corpus size — see SCALE.md.) Floors at L=10 for P<=5, so
+    every oracle-gate scale is bit-identical to the pre-r12 static
+    literals."""
     import math
 
     if planes <= _EMB_LSH_PLANES:
         return _EMB_LSH_TABLES
     return math.ceil(
-        _EMB_LSH_TABLES * _EMB_LSH_MATCH_P ** (_EMB_LSH_PLANES - planes)
+        _EMB_LSH_TABLES * _EMB_LSH_DESIGN_Q ** (_EMB_LSH_PLANES - planes)
     )
 
 

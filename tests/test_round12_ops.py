@@ -13,6 +13,7 @@ the Spark pair generator AND the lazily-built DuckDB oracles, and
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from heroku_kafka_connect_spark.operators.llm import (
     _emb_lsh_geometry_for,
@@ -27,21 +28,23 @@ SF1 = "/root/testdata/sf0.1"
 
 
 def test_emb_lsh_tables_hold_recall():
-    """L(P) = ceil(10 · p^(5-P)), p = 0.658 measured at the (P=5,
-    L=10) anchor — holds L·p^P (expected colliding tables per true
-    pair, recall ≈ 1-exp(-L·p^P)) constant as P grows. Floors at 10
-    for P <= 5 so oracle-gate geometry is bit-identical to pre-r12."""
+    """L(P) = ceil(10 · q^(5-P)) with q = 0.7468 — per-plane agreement
+    at the DESIGN similarity cos 0.7 — holds L·q^P (expected colliding
+    tables per dedup-grade pair, recall ≈ 1-exp(-L·q^P)) constant as P
+    grows; cost exponent ρ = log2(1/q) ≈ 0.42. Floors at 10 for
+    P <= 5 so oracle-gate geometry is bit-identical to pre-r12."""
     assert _emb_lsh_tables_for(4) == 10
     assert _emb_lsh_tables_for(5) == 10
-    assert _emb_lsh_tables_for(7) == 24   # sf0.1
-    # the invariant itself, not just point values: L·p^P within one
+    assert _emb_lsh_tables_for(7) == 18   # sf0.1
+    assert _emb_lsh_tables_for(11) == 58  # the 16x sweep corpus
+    # the invariant itself, not just point values: L·q^P within one
     # ceil-step of the anchor product for every P the sweeps reach
-    p = 0.658
-    anchor = 10 * p**5
-    for planes in range(5, 22):
+    q = 0.7468
+    anchor = 10 * q**5
+    for planes in range(5, 26):
         tables = _emb_lsh_tables_for(planes)
-        prod = tables * p**planes
-        assert anchor <= prod < anchor + p**planes, (planes, tables, prod)
+        prod = tables * q**planes
+        assert anchor <= prod < anchor + q**planes, (planes, tables, prod)
     # monotone in P
     last = 0
     for planes in range(1, 25):
@@ -55,7 +58,7 @@ def test_emb_geometry_from_parquet_footer():
     no Spark job — and matches the documented per-fixture values."""
     assert _emb_lsh_geometry_for(SF001) == (5, 10)
     assert _emb_lsh_geometry_for(SF01) == (5, 10)
-    assert _emb_lsh_geometry_for(SF1) == (7, 24)
+    assert _emb_lsh_geometry_for(SF1) == (7, 18)
 
 
 @pytest.mark.parametrize(
@@ -72,7 +75,7 @@ def test_semantic_oracles_track_fixture_geometry(name):
     """The five semantic-family oracles are callables resolved per
     sf_dir: at the oracle gates they embed exactly 10 tables × 5
     planes (bit-identical to the pre-r12 static strings); at sf0.1
-    they embed the (7, 24) geometry the engine derives — the r11
+    they embed the (7, 18) geometry the engine derives — the r11
     false-failure above 512 vectors is structurally gone."""
     import re
 
@@ -82,7 +85,7 @@ def test_semantic_oracles_track_fixture_geometry(name):
     big = resolve_oracle(q.oracle, SF1)
     n_tables = lambda s: len(set(re.findall(r"\bsemb(\d+)\b", s)))  # noqa: E731
     assert n_tables(gate) == 10
-    assert n_tables(big) == 24
+    assert n_tables(big) == 18
     # plane count shows as weight terms 1,2,4,8,16[,32,64] per table CTE
     assert "THEN 64 ELSE" not in gate and "THEN 16 ELSE" in gate
     assert "THEN 64 ELSE" in big
@@ -194,3 +197,31 @@ def test_realistic_vocab_generator_invariants():
     # vocabulary grows with the corpus (sublinearly, but strictly)
     small = {w for i in range(2_000) for w in doc_row(i, "realistic")[1].split()}
     assert len(small) < len(words)
+
+
+def test_hot_bucket_cap_routes_overflow_to_exact_path(spark):
+    """r11 verdict item 3 (fast twin of tools/hot_bucket_drill.py):
+    an adversarial 10%-boilerplate corpus concentrates one hot LSH
+    bucket; the cap must (a) emit NO pairs from it, (b) report it via
+    minhash_lsh_overflow, and (c) the exact route must recover every
+    excluded member as one dup cluster — capped ≠ lost."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from hot_bucket_drill import adversarial_corpus, overflow_exact_route
+
+    from heroku_kafka_connect_spark import llmops
+
+    docs = adversarial_corpus(spark, 2_000, 0.1).localCheckpoint(eager=True)
+    pairs = llmops.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=64)
+    hot_pairs = pairs.filter(
+        (F.col("a") >= 100_000_000) & (F.col("b") >= 100_000_000)
+    ).count()
+    assert hot_pairs == 0, "capped bucket leaked pairs"
+
+    over = llmops.minhash_lsh_overflow(docs, max_bucket=64)
+    assert over.count() > 0 and over.agg(F.max("n_ids")).first()[0] == 200
+
+    route = overflow_exact_route(docs, max_bucket=64)
+    assert route.count() == 200
+    assert route.select("canonical_id").distinct().count() == 1

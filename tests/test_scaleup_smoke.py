@@ -388,14 +388,15 @@ def test_semantic_pair_mass_scales_linearly(spark):
     )
 
     # (b) the r12 recall-holding DEFAULT (L scales with P to hold
-    # L·p^P): candidate mass follows the classical LSH envelope
-    # n^(1+rho), rho = log2(1/p) ~ 0.6 -> expect ~4^1.6 ~ 9.2x for 4x
-    # vectors. The bound still catches the n^2 revert (16x) while
-    # pinning that L-growth stays geometric-in-P, not worse.
+    # L·q^P at the cos-0.7 design point): candidate mass follows the
+    # classical LSH envelope n^(1+rho), rho = log2(1/q) ~ 0.42 ->
+    # expect ~4^1.42 ~ 7.2x for 4x vectors. The bound still catches
+    # the n^2 revert (16x) while pinning that L-growth stays
+    # geometric-in-P at the design q, not worse.
     d1 = _embedding_cosine_pairs(vecs(2_000), threshold=-1.0).count()
     d4 = _embedding_cosine_pairs(vecs(8_000), threshold=-1.0).count()
     dratio = d4 / d1
-    assert dratio < 12, (
+    assert dratio < 10, (
         f"default-geometry candidate mass grew {dratio:.1f}x for 4x vectors — "
-        "beyond the recall-holding n^1.6 envelope (expect ~9x; n^2 would be 16x)"
+        "beyond the recall-holding n^1.42 envelope (expect ~7x; n^2 would be 16x)"
     )

@@ -381,10 +381,23 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
         )
         .filter("cos >= 0.35E0")
     )
-    truth = {(r.a, r.b) for r in pairs.collect()}
+    truth = {(r.a, r.b): r.cos for r in pairs.collect()}
+    # per-band ground truth: the geometry HOLDS the dedup-grade band
+    # (cos >= 0.7, the design anchor); the borderline band (0.35-0.7)
+    # is allowed to decay — this curve is where that decay is visible
+    bands = {
+        "dedup_grade": {k for k, c in truth.items() if c >= 0.7},
+        "borderline": {k for k, c in truth.items() if c < 0.7},
+    }
 
     emb_members = members.select("vec_id", "label", "embedding")
-    out = {"n_vecs": n_vecs, "planes": planes, "n_truth_pairs": len(truth)}
+    out = {
+        "n_vecs": n_vecs,
+        "planes": planes,
+        "n_truth_pairs": len(truth),
+        "n_dedup_grade": len(bands["dedup_grade"]),
+        "n_borderline": len(bands["borderline"]),
+    }
     for key, tabs in (("default", tables_default), ("fixed_l10", 10)):
         got = {
             (r.a, r.b)
@@ -394,8 +407,12 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
         }
         out[f"tables_{key}"] = tabs
         out[f"recall_{key}"] = (
-            round(len(got & truth) / len(truth), 4) if truth else None
+            round(len(got & set(truth)) / len(truth), 4) if truth else None
         )
+        for band, keys in bands.items():
+            out[f"recall_{key}_{band}"] = (
+                round(len(got & keys) / len(keys), 4) if keys else None
+            )
     return out
 
 

@@ -1,0 +1,306 @@
+"""Measured streaming state-store growth under volume and watermark
+pressure (r11 verdict item 2).
+
+The F8-F10 / J26 / J50 100 TB posture — "state is O(active keys /
+open windows), watermark-bounded, NOT O(cumulative input)" — rested on
+prose and plan pins. This harness measures it: each watermarked
+operator runs as a REAL checkpointed stream over a file source with
+``maxFilesPerTrigger=1`` (20 micro-batches, event time advancing ~1
+event/second, 1000 recurring users), at 1x/4x/16x input volumes and
+two watermark widths, and every micro-batch's
+``StreamingQueryProgress.stateOperators`` is recorded:
+
+- numRowsTotal       rows held in the state store after the batch
+- numRowsUpdated / numRowsRemoved (watermark evictions)
+- numRowsDroppedByWatermark (late input discarded)
+- memoryUsedBytes
+
+The scalability claim is then a NUMBER: ``state_growth_ratio`` = final
+numRowsTotal at 16x / final at 1x. A watermark-bounded operator holds
+~constant live state as cumulative input grows 16x (ratio ≈ 1); an
+unbounded one tracks input (ratio ≈ 16). tests/test_state_growth.py
+pins the bounded behavior per operator; SCALE.md's "Measured streaming
+state" table is written from STATE_GROWTH.json.
+
+Operators (the verdict's list):
+- windowed_agg       10-min tumbling count per user  (F6/F7 class)
+- session_window     30-min-gap sessions per user    (F8, J64)
+- dedup              dropDuplicatesWithinWatermark   (F10)
+- interval_join      purchase x click within 1h      (J26)
+- left_outer_join    same, with null emission        (J50)
+- window_distinct    per-(10-min window, user) agg — the distinct
+                     layer of stream_window_distinct_users (J208)
+
+Reference anchor: main.sh:63's offset-topic durability is the
+reference's only state story; the engine's must be measured.
+
+Usage:
+    python tools/state_growth.py [--scales 1,4,16] [--base-rows 20000]
+        [--watermarks "10 minutes,2 hours"] [--out STATE_GROWTH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N_BATCHES = 20
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+
+
+def get_session() -> SparkSession:
+    from heroku_kafka_connect_spark.session import get_spark
+
+    return get_spark("hkc-state-growth")
+
+
+def build_stream_dir(spark: SparkSession, scale: int, base_rows: int) -> str:
+    """20 parquet files of synthetic events, event time advancing 1
+    second per event (so each file is a later slice of event time and
+    the watermark advances between micro-batches), 1000 recurring
+    users — every field md5-derived, volume the only thing that
+    changes across scales."""
+    app = spark.sparkContext.applicationId
+    d = f"/tmp/hkcs_stategrowth_{scale}x_{app[-8:]}"
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = base_rows * scale
+    per = rows // N_BATCHES
+    for b in range(N_BATCHES):
+        sl = spark.range(b * per, (b + 1) * per).selectExpr(
+            "id AS event_id",
+            "cast(conv(substr(md5(concat('u:', cast(id AS string))), 1, 8), 16, 10) % 1000 AS bigint) AS user_id",
+            "element_at(array('click','view','purchase','signup','error'), "
+            "cast(conv(substr(md5(concat('t:', cast(id AS string))), 1, 4), 16, 10) % 5 AS int) + 1) AS event_type",
+            "cast(conv(substr(md5(concat('v:', cast(id AS string))), 1, 8), 16, 10) % 100000 AS double) / 100.0E0 AS value",
+            f"timestamp_micros({EPOCH_US} + id * 1000000) AS ts",
+        ).coalesce(1)
+        stage = os.path.join(d, f"_stage{b}")
+        sl.write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(d, f"batch{b:02d}.parquet"))
+        shutil.rmtree(stage)
+    open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+def _read_stream(spark: SparkSession, d: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(d, "batch00.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+
+
+# ------------------------------------------------------------- operators
+
+
+def op_windowed_agg(spark, d, wm):
+    s = _read_stream(spark, d).withWatermark("ts", wm)
+    return s.groupBy(F.window("ts", "10 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def op_session_window(spark, d, wm):
+    s = _read_stream(spark, d).withWatermark("ts", wm)
+    return s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def op_dedup(spark, d, wm):
+    s = _read_stream(spark, d).withWatermark("ts", wm)
+    return s.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def op_interval_join(spark, d, wm, how: str = "inner"):
+    p = (
+        _read_stream(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", wm)
+    )
+    c = (
+        _read_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", wm)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    )
+
+
+def op_left_outer_join(spark, d, wm):
+    return op_interval_join(spark, d, wm, how="leftOuter")
+
+
+def op_window_distinct(spark, d, wm):
+    # the distinct layer of stream_window_distinct_users: state keys
+    # are (10-min window, user) pairs — bounded by watermark, not by
+    # cumulative events
+    s = _read_stream(spark, d).withWatermark("ts", wm)
+    return s.groupBy(F.window("ts", "10 minutes"), "user_id").agg(
+        F.first("event_id").alias("first_event")
+    )
+
+
+OPS = {
+    "windowed_agg": op_windowed_agg,
+    "session_window": op_session_window,
+    "dedup": op_dedup,
+    "interval_join": op_interval_join,
+    "left_outer_join": op_left_outer_join,
+    "window_distinct": op_window_distinct,
+}
+
+
+# ------------------------------------------------------------- harness
+
+
+def run_op(spark: SparkSession, op_name: str, d: str, wm: str) -> dict:
+    """One checkpointed AvailableNow run, one micro-batch per file;
+    returns the per-batch stateOperators series + summary."""
+    df = OPS[op_name](spark, d, wm)
+    name = f"sg_{op_name}_{uuid.uuid4().hex[:8]}"
+    cp = os.path.join(tempfile.mkdtemp(prefix="hkc-sg-"), "cp")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("noop")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(os.path.dirname(cp), ignore_errors=True)
+    batches = []
+    for p in progress:
+        for so in p.get("stateOperators", []):
+            batches.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "operator": so.get("operatorName"),
+                    "input_rows": p.get("numInputRows"),
+                    "rows_total": so.get("numRowsTotal"),
+                    "rows_updated": so.get("numRowsUpdated"),
+                    "rows_removed": so.get("numRowsRemoved"),
+                    "dropped_by_watermark": so.get("numRowsDroppedByWatermark"),
+                    "memory_used_bytes": so.get("memoryUsedBytes"),
+                }
+            )
+    totals = [b["rows_total"] for b in batches if b["rows_total"] is not None]
+    return {
+        "op": op_name,
+        "watermark": wm,
+        "n_batches": len(progress),
+        "cumulative_input_rows": sum(p.get("numInputRows") or 0 for p in progress),
+        "final_rows_total": totals[-1] if totals else None,
+        "max_rows_total": max(totals) if totals else None,
+        "total_rows_removed": sum(b["rows_removed"] or 0 for b in batches),
+        "max_memory_used_bytes": max(
+            (b["memory_used_bytes"] or 0 for b in batches), default=0
+        ),
+        "batches": batches,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--base-rows", type=int, default=20_000)
+    ap.add_argument("--watermarks", default="10 minutes,2 hours")
+    ap.add_argument("--ops", default=",".join(OPS))
+    ap.add_argument("--out", default=os.path.join(REPO, "STATE_GROWTH.json"))
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    wms = [w.strip() for w in args.watermarks.split(",")]
+    ops = [o for o in args.ops.split(",") if o in OPS]
+
+    spark = get_session()
+    runs: list[dict] = []
+    for scale in scales:
+        d = build_stream_dir(spark, scale, args.base_rows)
+        for wm in wms:
+            for op in ops:
+                r = run_op(spark, op, d, wm)
+                r["scale"] = scale
+                r["rows"] = args.base_rows * scale
+                runs.append(r)
+                print(
+                    f"[{scale:>3}x wm={wm:<10}] {op:<16} input {r['cumulative_input_rows']:>8,} "
+                    f"state final/max {r['final_rows_total']}/{r['max_rows_total']} "
+                    f"removed {r['total_rows_removed']:,} mem {r['max_memory_used_bytes']:,}B",
+                    flush=True,
+                )
+
+    # the headline number per (op, watermark): how did live state grow
+    # vs input across the largest/smallest scale pair?
+    summary: dict[str, dict] = {}
+    for wm in wms:
+        for op in ops:
+            pts = sorted(
+                (r for r in runs if r["op"] == op and r["watermark"] == wm),
+                key=lambda r: r["scale"],
+            )
+            if len(pts) >= 2 and pts[0]["max_rows_total"]:
+                summary[f"{op} @ {wm}"] = {
+                    "input_ratio": round(
+                        pts[-1]["cumulative_input_rows"]
+                        / max(1, pts[0]["cumulative_input_rows"]),
+                        2,
+                    ),
+                    "state_growth_ratio": round(
+                        (pts[-1]["max_rows_total"] or 0)
+                        / max(1, pts[0]["max_rows_total"]),
+                        3,
+                    ),
+                    "final_rows_total_by_scale": {
+                        str(p["scale"]): p["final_rows_total"] for p in pts
+                    },
+                }
+
+    out = {
+        "method": "file source, maxFilesPerTrigger=1 (20 micro-batches, event "
+        "time ~1 event/s, 1000 recurring users), AvailableNow, noop sink; "
+        "stateOperators from StreamingQueryProgress per batch",
+        "base_rows": args.base_rows,
+        "scales": scales,
+        "watermarks": wms,
+        "summary": summary,
+        "runs": runs,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
