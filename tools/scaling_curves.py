@@ -282,6 +282,15 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         release_all_memos()
         _noop(qs["llm_dedup_apply_full"].fn(spark, sf_dir))
 
+    def dedup_lexical():
+        # the cascade's first two rungs alone (exact + MinHash near):
+        # isolates the text-entropy claim (r11 verdict item 1) from
+        # the semantic rung's recall-priced L-growth — the lexical
+        # alpha is THE number the open-vocabulary sweep exists to
+        # measure
+        release_all_memos()
+        _noop(qs["llm_dedup_apply"].fn(spark, sf_dir))
+
     def curation_pipeline():
         release_all_memos()
         _noop(qs["llm_curation_pipeline"].fn(spark, sf_dir))
@@ -301,6 +310,7 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
     # ivf_write must precede ivf_probe (dict order is execution order)
     return {
         "dedup_cascade": dedup_cascade,
+        "dedup_lexical": dedup_lexical,
         "curation_pipeline": curation_pipeline,
         "near_dup": near_dup,
         "ivf_write": ivf_write,
