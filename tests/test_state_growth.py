@@ -32,14 +32,18 @@ def test_state_tracks_live_keys_not_input(spark, op):
     r1, r4 = pts
     # eviction fired: the store removed rows as the watermark advanced
     assert r4["total_rows_removed"] > 0, "no watermark eviction observed"
-    # the scalability claim: 4x the cumulative input, ~same live state.
+    # the scalability claim: 4x the cumulative input, ~same LIVE state.
     # Event rate is 1 event/s at every scale, so the watermark-live row
-    # set is scale-INDEPENDENT; allow 2.5x headroom for batch phasing.
-    ratio = (r4["max_rows_total"] or 0) / max(1, r1["max_rows_total"] or 0)
-    assert ratio < 2.5, (
-        f"{op}: max state rows grew {ratio:.2f}x for 4x input — "
+    # set at stream end is scale-INDEPENDENT (measured full sweep:
+    # ratios 0.03-1.02 at 16x — STATE_GROWTH.json). The in-flight max
+    # is excluded here: it tracks MICRO-BATCH size (rows per file ∝
+    # scale in this harness), a batch-granularity term, not corpus
+    # state growth.
+    ratio = (r4["final_rows_total"] or 0) / max(1, r1["final_rows_total"] or 0)
+    assert ratio < 2.0, (
+        f"{op}: live state rows grew {ratio:.2f}x for 4x input — "
         f"state is tracking cumulative input, not watermark-live keys "
-        f"(1x: {r1['max_rows_total']}, 4x: {r4['max_rows_total']})"
+        f"(1x: {r1['final_rows_total']}, 4x: {r4['final_rows_total']})"
     )
-    # and state is far below cumulative input at the larger scale
+    # and even the in-flight peak stays far below cumulative input
     assert (r4["max_rows_total"] or 0) < 0.5 * r4["cumulative_input_rows"]

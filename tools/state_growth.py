@@ -269,14 +269,25 @@ def main() -> None:
                 (r for r in runs if r["op"] == op and r["watermark"] == wm),
                 key=lambda r: r["scale"],
             )
-            if len(pts) >= 2 and pts[0]["max_rows_total"]:
+            if len(pts) >= 2 and pts[0]["final_rows_total"]:
                 summary[f"{op} @ {wm}"] = {
                     "input_ratio": round(
                         pts[-1]["cumulative_input_rows"]
                         / max(1, pts[0]["cumulative_input_rows"]),
                         2,
                     ),
+                    # LIVE state at stream end — the number that must
+                    # NOT track cumulative input
                     "state_growth_ratio": round(
+                        (pts[-1]["final_rows_total"] or 0)
+                        / max(1, pts[0]["final_rows_total"]),
+                        3,
+                    ),
+                    # in-flight peak — grows with MICRO-BATCH size (one
+                    # file per trigger here, so batch rows ∝ scale), not
+                    # with corpus size; on a cluster batches are
+                    # time-bounded and this term is rate-bounded too
+                    "peak_growth_ratio": round(
                         (pts[-1]["max_rows_total"] or 0)
                         / max(1, pts[0]["max_rows_total"]),
                         3,
