@@ -88,30 +88,23 @@ def overflow_exact_route(docs: DataFrame, max_bucket: int = 256) -> DataFrame:
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=80_000)
-    ap.add_argument("--hot-frac", type=float, default=0.1)
-    ap.add_argument("--out", default=os.path.join(REPO, "HOT_BUCKET_DRILL.json"))
-    args = ap.parse_args()
-
+def drill_at(n_docs: int, hot_frac: float) -> dict:
+    """One drill size: capped + route legs, then the uncapped leg LAST
+    (it may OOM the JVM — an OOM is the measurement, recorded as such,
+    and the session is rebuilt afterwards)."""
     from scaling_curves import get_ui_session, measured_run
 
     from heroku_kafka_connect_spark import llmops
 
     spark = get_ui_session()
-    docs = adversarial_corpus(spark, args.docs, args.hot_frac).localCheckpoint(
-        eager=True
-    )
-    n_hot = int(args.docs * args.hot_frac)
-
+    docs = adversarial_corpus(spark, n_docs, hot_frac).localCheckpoint(eager=True)
+    n_hot = int(n_docs * hot_frac)
     out: dict = {
-        "n_docs": args.docs,
-        "hot_frac": args.hot_frac,
+        "n_docs": n_docs,
+        "hot_frac": hot_frac,
         "n_hot_docs": n_hot,
         "theoretical_hot_pairs": n_hot * (n_hot - 1) // 2,
     }
-
     counts: dict[str, int] = {}
 
     def run_capped():
@@ -119,43 +112,84 @@ def main() -> None:
             docs, threshold=0.5, max_bucket=256
         ).count()
 
-    def run_uncapped():
-        counts["uncapped_pairs"] = llmops.minhash_lsh_pairs(
-            docs, threshold=0.5, max_bucket=1 << 31
-        ).count()
-
     def run_route():
         route = overflow_exact_route(docs, max_bucket=256)
         counts["route_members"] = route.count()
         counts["route_clusters"] = route.select("canonical_id").distinct().count()
 
-    for leg, fn in (("capped", run_capped), ("uncapped", run_uncapped), ("route", run_route)):
-        m = measured_run(spark, fn, label=f"hot_bucket:{leg}")
-        m.pop("stages_top", None)
+    def run_uncapped():
+        counts["uncapped_pairs"] = llmops.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=1 << 31
+        ).count()
+
+    for leg, fn in (("capped", run_capped), ("route", run_route), ("uncapped", run_uncapped)):
+        try:
+            m = measured_run(spark, fn, label=f"hot_bucket:{leg}")
+            m.pop("stages_top", None)
+        except Exception as e:  # noqa: BLE001 — the OOM IS the datapoint
+            msg = str(e)
+            m = {
+                "failed": "OutOfMemoryError" if "OutOfMemoryError" in msg else msg[:200],
+                "heap": "8g (SPARK_GRAFT_DRIVER_MEM default)",
+            }
+            # uncapped runs LAST by design: a heap death here ends the
+            # size; do not rebuild a session inside a dying JVM
         out[leg] = m
-        print(f"[{leg:<9}] wall {m['wall_sec']:>8.2f}s  shufW {m['shuffle_write_bytes']:>14,} B")
+        print(
+            f"[{n_docs:>6} {leg:<9}] "
+            + (
+                f"wall {m['wall_sec']:>8.2f}s  shufW {m['shuffle_write_bytes']:>14,} B"
+                if "wall_sec" in m
+                else f"FAILED: {m['failed']}"
+            ),
+            flush=True,
+        )
 
     out["counts"] = counts
-    # invariants the drill asserts (also pinned fast in pytest):
-    # the cap excluded exactly the hot mass, and the route got it back
-    assert counts["uncapped_pairs"] >= out["theoretical_hot_pairs"]
-    assert counts["capped_pairs"] < counts["uncapped_pairs"]
+    # invariants (also pinned fast in tests/test_round12_ops.py):
+    # the cap excluded the hot mass; the exact route got it ALL back
     assert counts["route_members"] == n_hot
     assert counts["route_clusters"] == 1
-    out["saved_pairs"] = counts["uncapped_pairs"] - counts["capped_pairs"]
-    out["wall_ratio_uncapped_over_capped"] = round(
-        out["uncapped"]["wall_sec"] / max(1e-9, out["capped"]["wall_sec"]), 2
-    )
-    out["shufw_ratio_uncapped_over_capped"] = round(
-        out["uncapped"]["shuffle_write_bytes"]
-        / max(1, out["capped"]["shuffle_write_bytes"]),
-        2,
-    )
+    if "uncapped_pairs" in counts:
+        assert counts["uncapped_pairs"] >= out["theoretical_hot_pairs"]
+        assert counts["capped_pairs"] < counts["uncapped_pairs"]
+        out["saved_pairs"] = counts["uncapped_pairs"] - counts["capped_pairs"]
+        out["wall_ratio_uncapped_over_capped"] = round(
+            out["uncapped"]["wall_sec"] / max(1e-9, out["capped"]["wall_sec"]), 2
+        )
+        out["shufw_ratio_uncapped_over_capped"] = round(
+            out["uncapped"]["shuffle_write_bytes"]
+            / max(1, out["capped"]["shuffle_write_bytes"]),
+            2,
+        )
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — JVM may already be dead post-OOM
+        pass
+    return out
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--docs",
+        default="20000,80000",
+        help="comma-separated drill sizes (the larger is expected to OOM uncapped)",
+    )
+    ap.add_argument("--hot-frac", type=float, default=0.1)
+    ap.add_argument("--out", default=os.path.join(REPO, "HOT_BUCKET_DRILL.json"))
+    args = ap.parse_args()
+
+    points = [drill_at(int(n), args.hot_frac) for n in args.docs.split(",")]
+    out = {
+        "method": "adversarial corpus: 90% unique md5-word docs + hot_frac "
+        "identical boilerplate; capped (max_bucket=256) vs uncapped LSH pair "
+        "walls via TaskMetrics REST diff; overflow routed to exact dedup",
+        "points": points,
+    }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps({k: v for k, v in out.items() if not isinstance(v, dict)}, indent=1))
-    spark.stop()
+    print(json.dumps([{k: v for k, v in p.items() if not isinstance(v, dict)} for p in points], indent=1))
 
 
 if __name__ == "__main__":
