@@ -642,9 +642,13 @@ def _emb_lsh_tables_for(planes: int) -> int:
     scaling sweep's semantic_recall curve MEASURES that decay per
     band rather than hiding it. (Centroid blocking — SemDeDup proper
     — trades the exponent for an O(n·k) assignment cost and
-    non-replayable recall; the LSH rung stays the oracle-checked
-    default because its candidate DEFINITION is replayable in SQL at
-    any corpus size — see SCALE.md.) Floors at L=10 for P<=5, so
+    empirical, data-dependent recall; since r12 it is ALSO an
+    oracle-checked operator (`llm_dedup_semantic_centroid`, unrolled-
+    Lloyd replica) with its recall measured next to this one in the
+    scaling sweep — the LSH rung stays the cascade default because
+    its capture probability is an analytic function of similarity
+    alone, not of where the corpus's density puts cluster boundaries
+    — see SCALE.md.) Floors at L=10 for P<=5, so
     every oracle-gate scale is bit-identical to the pre-r12 static
     literals."""
     import math
@@ -1601,15 +1605,18 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """SQL replica of ``llmops.kmeans_lloyd`` + the summary projection
-    of ``llm_kmeans_train``: the three Lloyd rounds unrolled as CTE
-    pairs (assign_i from centroids_{i-1}, centroids_i from assign_i).
-    Exactness rests on the kmeans_lloyd determinism contract —
-    left-fold double similarities (list_reduce == F.aggregate given a
-    0.0 seed: 0.0 + x == x), cid tiebreaks, decimal-sum centroid
-    updates rounded to 6. Metric = cosine argmax (DESC), matching
-    the IVF assignment/probe metric."""
+def _kmeans_assign_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB CTE chain ``e, c0, a1, c1, …, a{iters}, c{iters}`` — the
+    Lloyd rounds of ``llmops.kmeans_lloyd`` unrolled as CTE pairs
+    (assign_i from centroids_{i-1}, centroids_i from assign_i), shared
+    by the ``llm_kmeans_train`` oracle (which projects the centroid
+    summary) and the ``llm_dedup_semantic_centroid`` oracle (which
+    joins pairs within ``a{iters}``'s clusters). Exactness rests on
+    the kmeans_lloyd determinism contract — left-fold double
+    similarities (list_reduce == F.aggregate given a 0.0 seed:
+    0.0 + x == x), cid tiebreaks, decimal-sum centroid updates rounded
+    to 6. Metric = cosine argmax (DESC), matching the IVF
+    assignment/probe metric."""
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
@@ -1635,9 +1642,16 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
           SELECT unnest(generate_series(1, {dim})) AS dim) d
         GROUP BY a.cid, d.dim)
       GROUP BY cid)""")
+    return ",\n    ".join(cte)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """SQL replica of ``llmops.kmeans_lloyd`` + the summary projection
+    of ``llm_kmeans_train`` (see `_kmeans_assign_ctes` for the shared
+    unrolled Lloyd chain and its determinism contract)."""
     return (
         "WITH "
-        + ",\n    ".join(cte)
+        + _kmeans_assign_ctes(k=k, iters=iters, dim=dim)
         + f"""
     SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            (SELECT ROUND(sqrt(list_reduce(list_transform(c.cv, x -> x*x),
@@ -1714,6 +1728,131 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     component step is edge-source-agnostic by design."""
     t = load_tables(spark, sf_dir)
     pairs = _sem_pairs_for(spark, sf_dir, t.embeddings).select("a", "b")
+    comp = llmops.connected_components(pairs, "a", "b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
+
+
+def _centroid_k_for(n_vecs: int, target_cluster: int = 256) -> int:
+    """k tuned to corpus size for centroid blocking: k =
+    max(8, ceil(n/256)) keeps the EXPECTED cluster ~256 vectors, so
+    within-cluster verify mass Σ n_c·(n_c−1)/2 ≈ n·128 grows ~linearly
+    in n — the property SemDeDup buys over data-oblivious LSH (whose
+    recall-holding candidate mass is n^1.42 here, see
+    `_emb_lsh_tables_for`). The honest counter-cost is the ASSIGNMENT:
+    n·k cosine evaluations per Lloyd round is n²/256 once k scales —
+    at very large n production trains k-means on a sample and assigns
+    via a coarse quantizer instead of exact argmax. Floors at 8 so
+    every fixture scale (500 vectors at the sf0.001/sf0.01 oracle
+    gates, 2000 at sf0.1) derives k = 8 — the `llm_kmeans_train`
+    geometry, keeping the unrolled-Lloyd oracle identical across
+    gates. Deterministic in the footer row count, like
+    `_emb_lsh_geometry_for`."""
+    import math
+
+    return max(8, math.ceil(n_vecs / target_cluster))
+
+
+def _centroid_pairs(
+    embeddings: DataFrame, k: int, threshold: float = 0.35, iters: int = 3
+) -> DataFrame:
+    """Centroid-blocked exact cosine pairs (a < b, cos_sim >=
+    threshold): SemDeDup's blocking proper (Abbas et al. 2023,
+    arXiv:2303.09540 §2 — pairs are only considered within a k-means
+    cluster), with the repo's deterministic `llmops.kmeans_lloyd` as
+    the clustering so the candidate DEFINITION replays exactly in SQL
+    (same unrolled-Lloyd chain as the `llm_kmeans_train` oracle).
+    Verify is the same dot/(norm·norm) + ROUND(4) contract as
+    `_embedding_cosine_pairs`, so the two blockings differ ONLY in
+    which pairs they consider — recall deltas between them are pure
+    blocking effects (measured per corpus size in SCALING_CURVES.json
+    `semantic_recall`).
+
+    Scale shape: one broadcast of k centroids into the corpus scan per
+    Lloyd round (kmeans_lloyd), then ONE hash-shuffle self-join on cid
+    whose per-key mass is bounded by the cluster size (~256 by
+    `_centroid_k_for`). K-means does not guarantee balance the way the
+    LSH hot-bucket cap does — a degenerate corpus (one dominant mode)
+    concentrates a cluster exactly like a hot bucket, and the same
+    cap-and-route drill applies (SCALE.md round-12 overflow drill)."""
+    from ..functions.vectors import dot, norm
+
+    assign, _ = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
+    e = assign.select(
+        F.col("__id").alias("vec_id"), "cid", F.col("__v").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ea = e.select(
+        F.col("vec_id").alias("a"), "cid", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        ea.join(eb, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _centroid_dedup_oracle(sf_dir: str) -> str:
+    """Lazily-built SQL replica of `llm_dedup_semantic_centroid` for a
+    fixture dir: the shared unrolled-Lloyd chain (k derived from the
+    same footer count as the engine — `_centroid_k_for`), the
+    within-cluster pair join with the identical ROUND(4) cosine
+    verify, then the recursive-CTE connected components shared with
+    the `llm_dedup_semantic` oracle."""
+    k = _centroid_k_for(_n_embeddings(sf_dir))
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_assign_ctes(k=k)
+        + """,
+    cpairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE ROUND(list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                  4) >= 0.35
+    ),
+    csym AS (SELECT a AS u, b AS v FROM cpairs UNION ALL SELECT b AS u, a AS v FROM cpairs),
+    creach(u, v) AS (
+      SELECT u, v FROM csym
+      UNION
+      SELECT r.u, s.v FROM creach r JOIN csym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS vec_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
+    FROM creach GROUP BY u
+    """
+    )
+
+
+@register("llm_dedup_semantic_centroid", oracle=_centroid_dedup_oracle)
+def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with its ORIGINAL blocking (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster-blocked exact cosine pairs →
+    connected components → per-vector (cluster_id, keep) manifest —
+    the centroid-blocked twin of `llm_dedup_semantic` (hyperplane-LSH
+    blocking), same verify threshold, same survivor rule, same output
+    contract. This is the documented at-scale SWITCH for the semantic
+    rung (SCALE.md: beyond LSH's recall-holding n^1.42 candidate
+    envelope, centroid blocking trades the exponent for an O(n·k)
+    assignment); registering it makes the switch target itself
+    oracle-verified rather than hypothetical — `llmops.kmeans_lloyd`'s
+    determinism contract means even the data-dependent blocking
+    replays bit-identically in DuckDB (unrolled-Lloyd CTEs, shared
+    with the `llm_kmeans_train` oracle). k tracks corpus size via
+    `_centroid_k_for` (footer count, floor 8 at every fixture gate);
+    recall-vs-LSH is measured per corpus size in SCALING_CURVES.json
+    rather than argued."""
+    t = load_tables(spark, sf_dir)
+    k = _centroid_k_for(_n_embeddings(sf_dir))
+    pairs = _centroid_pairs(t.embeddings, k).select("a", "b")
     comp = llmops.connected_components(pairs, "a", "b")
     return comp.select(
         F.col("node").alias("vec_id"),

@@ -105,6 +105,8 @@ BNLJ_OK = {
     "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
     "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
     "llm_kmeans_train",   # Lloyd rounds: corpus scan x k broadcast centroids per round
+    "llm_dedup_semantic_centroid",  # same Lloyd rounds (centroid blocking);
+                                    # the pair join itself is hash on cid
     "llm_knn_ivf_indexed",  # probe scan (partition-pruned) x 5 broadcast query vectors
     "text_tfidf",         # corpus-count N = 1-row broadcast into the idf expression
     "text_unigram_logprob",  # corpus token total = 1-row broadcast into p(w)

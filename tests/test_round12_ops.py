@@ -225,3 +225,107 @@ def test_hot_bucket_cap_routes_overflow_to_exact_path(spark):
     route = overflow_exact_route(docs, max_bucket=64)
     assert route.count() == 200
     assert route.select("canonical_id").distinct().count() == 1
+
+
+def test_memory_cliff_artifact_brackets_budget():
+    """r11 verdict item 4: MEMORY_CLIFF.json must hold a measured
+    spill point AND a measured clean point, and the no-spill working
+    set must sit inside the unified-memory arithmetic the SCALE.md
+    sizing rule is built on — above every spilled heap's execution
+    budget (else it would not have spilled) and within the smallest
+    clean heap's budget. Budget = 0.6 x (heap - 300 MB reserved)."""
+    import json
+
+    with open("/root/repo/MEMORY_CLIFF.json") as f:
+        cliff = json.load(f)
+
+    def budget(heap: str) -> float:
+        gb = float(heap.rstrip("g"))
+        return 0.6 * (gb * 1024**3 - 300 * 1024**2)
+
+    pts = [p for p in cliff["points"] if not p.get("failed")]
+    spilled = [p for p in pts if p["disk_spilled_bytes"] or p["memory_spilled_bytes"]]
+    clean = [p for p in pts if not (p["disk_spilled_bytes"] or p["memory_spilled_bytes"])]
+    assert spilled and clean, "sweep must bracket the cliff from both sides"
+    assert cliff["first_spill_heap"] is not None
+
+    working_set = min(p["peak_execution_memory"] for p in clean)
+    for p in spilled:
+        assert working_set > budget(p["heap"]), (
+            f"{p['heap']} spilled but the measured working set fits its budget"
+        )
+    smallest_clean = min(clean, key=lambda p: budget(p["heap"]))
+    assert smallest_clean["peak_execution_memory"] <= budget(smallest_clean["heap"])
+    # the cliff is soft: even the most undersized heap completed
+    assert all(p["wall_sec"] > 0 for p in spilled)
+
+
+def test_centroid_k_tracks_corpus():
+    """`_centroid_k_for` floors at 8 for every fixture gate (500
+    vectors at sf0.001/sf0.01, 2000 at sf0.1 — identical unrolled-
+    Lloyd oracle geometry everywhere the driver checks), then scales
+    k = ceil(n/256) so expected cluster size — and with it the
+    within-cluster verify mass per vector — stays ~constant."""
+    from heroku_kafka_connect_spark.operators.llm import _centroid_k_for
+
+    assert _centroid_k_for(500) == 8
+    assert _centroid_k_for(2000) == 8
+    assert _centroid_k_for(2048) == 8
+    assert _centroid_k_for(2049) == 9
+    assert _centroid_k_for(32_000) == 125
+    assert _centroid_k_for(128_000) == 500
+    # linear-mass property: expected cluster size bounded by 256
+    for n in (10_000, 100_000, 1_000_000):
+        assert n / _centroid_k_for(n) <= 256
+
+
+def test_centroid_dedup_blocked_pairs_are_exact_within_blocks(spark):
+    """`_centroid_pairs` must equal brute-force threshold pairs
+    RESTRICTED to same-cluster (blocking loses recall, never
+    precision): every emitted pair clears the exact cosine threshold,
+    and every same-cid brute-force pair is emitted. Also pins the
+    manifest contract of `llm_dedup_semantic_centroid`: one keep=1
+    survivor per cluster and cluster_id = min member id."""
+    from heroku_kafka_connect_spark import llmops
+    from heroku_kafka_connect_spark.operators.llm import (
+        _centroid_k_for,
+        _centroid_pairs,
+        _n_embeddings,
+    )
+    from heroku_kafka_connect_spark.session import load_tables
+
+    t = load_tables(spark, SF001)
+    k = _centroid_k_for(_n_embeddings(SF001))
+    got = {
+        (r.a, r.b): r.cos_sim for r in _centroid_pairs(t.embeddings, k).collect()
+    }
+
+    assign, _ = llmops.kmeans_lloyd(t.embeddings, k=k, iters=3)
+    rows = assign.select("__id", "cid", "__v").collect()
+    import math
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return round(
+            d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))),
+            4,
+        )
+
+    brute = {}
+    for i, x in enumerate(rows):
+        for y in rows[i + 1 :]:
+            if x.cid == y.cid:
+                c = cos(x["__v"], y["__v"])
+                if c >= 0.35:
+                    a, b = sorted((x["__id"], y["__id"]))
+                    brute[(a, b)] = c
+    assert got == brute
+
+    manifest = all_queries()["llm_dedup_semantic_centroid"].fn(spark, SF001)
+    m = manifest.collect()
+    by_cluster: dict = {}
+    for r in m:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(r.keep for r in members) == 1
+        assert cid == min(r.vec_id for r in members)

@@ -426,6 +426,102 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     return out
 
 
+def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
+    """Centroid-blocking (SemDeDup proper, `llm_dedup_semantic_centroid`)
+    recall at corpus size ``n_vecs`` — the measured half of SCALE.md's
+    scale-out decision rule for the semantic rung. Unlike LSH capture
+    (a pure function of the pair's own buckets), same-cluster
+    membership depends on the WHOLE corpus — the centroids are trained
+    on it — so this point builds the full n-vector corpus: a
+    background base vector for every id plus the same planted clone
+    construction the LSH curve uses (cos 0.4–0.99 spread, ~600
+    clones). Records per-band recall, the realized candidate mass
+    Σ n_c·(n_c−1)/2 (the blocked verify cost the operator actually
+    pays), cluster balance, and the n·k·iters assignment cost — the
+    two sides of the SemDeDup trade, next to the LSH numbers."""
+    from heroku_kafka_connect_spark import llmops
+    from heroku_kafka_connect_spark.operators.llm import _centroid_k_for
+
+    stride = max(1, n_vecs // 600)
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    alpha = (
+        "(0.3E0 + 0.65E0 * (conv(substr(md5(concat('ra:', cast(id as string))), 1, 8), 16, 10)"
+        " / 4294967296.0E0))"
+    )
+    background = spark.range(0, n_vecs).selectExpr(
+        "id AS vec_id", base.format(i="id") + " AS embedding"
+    )
+    clones = spark.range(0, n_vecs, stride).selectExpr(
+        f"id + {n_vecs} AS vec_id",
+        "greatest(0L, id - 1 - conv(substr(md5(concat('rd:', cast(id as string))), 1, 4), 16, 10) % 50) AS donor_id",
+        "zip_with(" + base.format(i="donor_id") + ", "
+        + base.format(i="id")
+        + f", (d, f) -> {alpha} * d + (1.0E0 - {alpha}) * f) AS embedding",
+    )
+    corpus = (
+        background.select("vec_id", "embedding")
+        .union(clones.select("vec_id", "embedding"))
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = corpus.count()
+    k = _centroid_k_for(n_corpus)
+
+    # exact ground truth: planted (clone, donor) cosine, banded like
+    # the LSH leg (dedup_grade >= 0.7 is the design anchor)
+    sq = "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0E0, (a, x) -> a + x)"
+    c = clones.selectExpr("vec_id", "donor_id", "embedding", f"{sq} AS sq").alias("c")
+    d = background.selectExpr(
+        "vec_id AS d_id", "embedding AS d_emb", f"{sq} AS d_sq"
+    ).alias("d")
+    truth = {
+        (r.a, r.b): r.cos
+        for r in c.join(d, F.expr("c.donor_id = d.d_id"))
+        .selectExpr(
+            "least(c.vec_id, d.d_id) AS a",
+            "greatest(c.vec_id, d.d_id) AS b",
+            "aggregate(zip_with(c.embedding, d.d_emb, (x, y) -> x * y), 0E0, (p, x) -> p + x)"
+            " / (sqrt(c.sq) * sqrt(d.d_sq)) AS cos",
+        )
+        .filter("cos >= 0.35E0")
+        .collect()
+    }
+    bands = {
+        "dedup_grade": {p for p, cv in truth.items() if cv >= 0.7},
+        "borderline": {p for p, cv in truth.items() if cv < 0.7},
+    }
+
+    t0 = time.monotonic()
+    assign, _ = llmops.kmeans_lloyd(corpus, k=k, iters=3)
+    cid_of = {r[0]: r[1] for r in assign.select("__id", "cid").collect()}
+    train_wall = round(time.monotonic() - t0, 3)
+
+    from collections import Counter
+
+    sizes = sorted(Counter(cid_of.values()).values(), reverse=True)
+    captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
+    out = {
+        "n_vecs": n_vecs,
+        "n_corpus": n_corpus,
+        "k": k,
+        "iters": 3,
+        "assignment_rows_per_iter": n_corpus * k,
+        "candidate_mass": sum(s * (s - 1) // 2 for s in sizes),
+        "max_cluster": sizes[0] if sizes else 0,
+        "train_assign_wall_sec": train_wall,
+        "n_truth_pairs": len(truth),
+        "recall_centroid": round(len(captured) / len(truth), 4) if truth else None,
+    }
+    for band, keys in bands.items():
+        out[f"recall_centroid_{band}"] = (
+            round(len(captured & keys) / len(keys), 4) if keys else None
+        )
+    return out
+
+
 def fit_alpha(points: list[tuple[int, float]]) -> float | None:
     """Least-squares slope of log(wall) vs log(scale) — wall ~ N^alpha.
     alpha ~ 1 is linear scaling; ivf_probe should sit near 0."""
@@ -460,8 +556,38 @@ def main() -> None:
         help="comma-separated subset of families to run (default: all)",
     )
     ap.add_argument("--no-recall", action="store_true", help="skip the semantic recall curve")
+    ap.add_argument(
+        "--centroid-recall-only",
+        action="store_true",
+        help="measure ONLY the centroid-blocking recall points at the given "
+        "scales and fold them into the existing sweep as `centroid_recall` "
+        "(full-corpus k-means per point — heavier than the LSH capture test)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+
+    if args.centroid_recall_only:
+        spark = get_ui_session()
+        pts = []
+        for scale in scales:
+            cp = centroid_recall_point(spark, args.base_vecs * scale)
+            cp["scale"] = scale
+            pts.append(cp)
+            print(
+                f"[{scale:>3}x] centroid recall: k={cp['k']} -> "
+                f"{cp['recall_centroid']} (dedup_grade {cp['recall_centroid_dedup_grade']}, "
+                f"borderline {cp['recall_centroid_borderline']}); cand mass "
+                f"{cp['candidate_mass']:,}, max cluster {cp['max_cluster']}, "
+                f"train+assign {cp['train_assign_wall_sec']}s",
+                flush=True,
+            )
+        with open(args.out) as f:
+            existing = json.load(f)
+        existing["sweeps"][args.entropy]["centroid_recall"] = pts
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+        print(json.dumps({"centroid_recall_points": len(pts)}))
+        return
 
     spark = get_ui_session()
     from heroku_kafka_connect_spark.sources.synthetic import register_synthetic_sources
