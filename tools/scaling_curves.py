@@ -495,7 +495,7 @@ def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     }
 
     t0 = time.monotonic()
-    assign, _ = llmops.kmeans_lloyd(corpus, k=k, iters=3)
+    assign, cents = llmops.kmeans_lloyd(corpus, k=k, iters=3)
     cid_of = {r[0]: r[1] for r in assign.select("__id", "cid").collect()}
     train_wall = round(time.monotonic() - t0, 3)
 
@@ -503,6 +503,37 @@ def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
 
     sizes = sorted(Counter(cid_of.values()).values(), reverse=True)
     captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
+
+    # 2-probe leg: the standard recall mitigation (IVF multi-probe —
+    # a pair is a candidate if the two TOP-2 centroid sets intersect).
+    # One extra n x k pass against the FINAL centroids; measures what
+    # the mitigation recovers and what candidate mass it costs.
+    from pyspark.sql import Window
+
+    t1 = time.monotonic()
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    d2 = corpus.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__v")
+    ).crossJoin(F.broadcast(cents))
+    cos2 = fold(F.zip_with("__v", "cv", lambda x, y: x * y)) / (
+        F.sqrt(fold(F.transform("__v", lambda x: x * x)))
+        * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    top2 = (
+        d2.select("vec_id", "cid", cos2.alias("__cos"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= 2)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    probe2_wall = round(time.monotonic() - t1, 3)
+    cids2: dict = {}
+    for r in top2:
+        cids2.setdefault(r.vec_id, set()).add(r.cid)
+    captured2 = {p for p in truth if cids2.get(p[0], set()) & cids2.get(p[1], set())}
+    sizes2 = Counter(c for s in cids2.values() for c in s)
+    mass2 = sum(s * (s - 1) // 2 for s in sizes2.values())
     out = {
         "n_vecs": n_vecs,
         "n_corpus": n_corpus,
@@ -510,14 +541,22 @@ def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
         "iters": 3,
         "assignment_rows_per_iter": n_corpus * k,
         "candidate_mass": sum(s * (s - 1) // 2 for s in sizes),
+        "candidate_mass_probe2": mass2,
         "max_cluster": sizes[0] if sizes else 0,
         "train_assign_wall_sec": train_wall,
+        "probe2_extra_wall_sec": probe2_wall,
         "n_truth_pairs": len(truth),
         "recall_centroid": round(len(captured) / len(truth), 4) if truth else None,
+        "recall_centroid_probe2": (
+            round(len(captured2) / len(truth), 4) if truth else None
+        ),
     }
     for band, keys in bands.items():
         out[f"recall_centroid_{band}"] = (
             round(len(captured & keys) / len(keys), 4) if keys else None
+        )
+        out[f"recall_centroid_probe2_{band}"] = (
+            round(len(captured2 & keys) / len(keys), 4) if keys else None
         )
     return out
 
