@@ -2704,6 +2704,103 @@ def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_exact_substr_spans",
+    oracle="""
+    WITH pg AS (
+      SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                             FOR i IN range(1, greatest(len(toks) - 7, 0) + 1)],
+                            recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    occ AS (SELECT gram, COUNT(*) AS n FROM pg GROUP BY gram),
+    rg AS (SELECT pg.doc_id, pg.pos, pg.gram FROM pg JOIN occ ON pg.gram = occ.gram
+           WHERE occ.n BETWEEN 2 AND 16),
+    matches AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b, ga.pos AS pa, gb.pos AS pb
+      FROM rg ga JOIN rg gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+    ),
+    isl AS (
+      SELECT a, b, pa, pb, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+      FROM matches
+    )
+    SELECT a, b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY a, b, diag, grp
+    HAVING COUNT(*) + 7 >= 12
+    """,
+)
+def llm_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document ExactSubstr span EXTRACTION (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §3 —
+    their suffix-array step finds verbatim duplicated spans ≥ k
+    tokens ACROSS documents; the cut list, not just a rate): emits
+    every maximal shared token run ≥ 12 tokens as (a, b, start_a,
+    start_b, span_tokens), the actionable output `llm_repetition_
+    truncate` applies within-doc and a surgical dedup would cut
+    cross-doc. `llm_substring_dup_rate` reports how MUCH of a doc is
+    duplicated; this reports WHERE.
+
+    The distributable equivalent of the suffix array is a POSITIONAL
+    8-gram index + diagonal island detection: two docs share an
+    n-token verbatim run iff their positional 8-gram matches form a
+    run of n−7 consecutive positions on one (pos_a − pos_b) diagonal
+    — so maximal spans fall out of the classic island trick
+    (pos − row_number over the diagonal), no per-pair string
+    alignment anywhere. Scale shape: gram volume is O(total tokens);
+    the occurrence cap (2..16) bounds self-join fan-out per gram to
+    ≤120 pairs — boilerplate grams shared by everything are dropped,
+    splitting (not losing) spans that cross them, the same
+    cap-tradeoff class as the LSH hot-bucket cap; matches shuffle
+    gram-keyed, islands shuffle (a, b, diag)-keyed — every stage a
+    hash agg or co-partitioned join, nothing quadratic in docs."""
+    return _exact_substr_spans(load_tables(spark, sf_dir).documents)
+
+
+def _exact_substr_spans(docs: DataFrame) -> DataFrame:
+    """Core of `llm_exact_substr_spans` over any (doc_id, text) frame
+    — split out so boundary exactness is unit-testable on constructed
+    documents (tests/test_round12_ops.py)."""
+    pg = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 7), i -> "
+                    "struct(i AS pos, array_join(slice(split(text, ' '), i, 8), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gram")
+    )
+    occ = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    rg = pg.join(occ.filter(F.col("n").between(2, 16)), "gram")
+    ga = rg.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "gram")
+    gb = rg.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "gram")
+    matches = ga.join(gb, "gram").filter(F.col("a") < F.col("b"))
+    w = Window.partitionBy("a", "b", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = matches.select(
+        "a",
+        "b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        isl.groupBy("a", "b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + 7).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= 12)
+        .select("a", "b", "start_a", "start_b", "span_tokens")
+    )
+
+
+@register(
     "llm_containment_pairs",
     oracle=f"""
     WITH g AS ({_G4}),

@@ -329,3 +329,27 @@ def test_centroid_dedup_blocked_pairs_are_exact_within_blocks(spark):
     for cid, members in by_cluster.items():
         assert sum(r.keep for r in members) == 1
         assert cid == min(r.vec_id for r in members)
+
+
+def test_exact_substr_span_boundaries(spark):
+    """Constructed ground truth for `llm_exact_substr_spans`: two docs
+    sharing exactly one verbatim 20-token run (doc1 tokens 11-30 ==
+    doc2 tokens 11-30) and nothing else 8-gram-long must yield exactly
+    one maximal span per direction with exact boundaries; a third doc
+    with no 12-token overlap must contribute nothing."""
+    from heroku_kafka_connect_spark.operators.llm import _exact_substr_spans
+
+    shared = [f"s{i}" for i in range(20)]
+    d1 = " ".join([f"a{i}" for i in range(10)] + shared + [f"z{i}" for i in range(10)])
+    d2 = " ".join([f"b{i}" for i in range(10)] + shared + [f"y{i}" for i in range(10)])
+    d3 = " ".join(f"c{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    spans = _exact_substr_spans(docs).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.a, s.b) == (1, 2)
+    assert s.span_tokens == 20
+    # 1-based token positions: the shared run starts at token 11 in both
+    assert s.start_a == 11 and s.start_b == 11
