@@ -68,6 +68,8 @@ MEMO_FAMILIES = {
     # three-rung manifest, both shared with llm_curation_pipeline
     "llm_contamination_near": "_NC_PAIRS_MEMO",
     "llm_dedup_apply_full": "_FULL_MANIFEST_MEMO",
+    # r12: the centroid-blocked SemDeDup twin's train+verify pass
+    "llm_dedup_semantic_centroid": "_CENTROID_PAIRS_MEMO",
 }
 
 

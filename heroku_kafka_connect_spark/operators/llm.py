@@ -1799,6 +1799,26 @@ def _centroid_pairs(
     )
 
 
+#: (applicationId, sf_dir) -> checkpointed centroid-blocked pairs —
+#: same per-corpus-snapshot memo rationale as _SEM_PAIRS_MEMO: the
+#: k-means train + blocked verify runs once per corpus and its output
+#: feeds every downstream consumer.
+_CENTROID_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _centroid_pairs_for(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame
+) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key not in _CENTROID_PAIRS_MEMO:
+        _evict_stale(_CENTROID_PAIRS_MEMO, key)
+        k = _centroid_k_for(_n_embeddings(sf_dir))
+        _CENTROID_PAIRS_MEMO[key] = _centroid_pairs(embeddings, k).localCheckpoint(
+            eager=True
+        )
+    return _CENTROID_PAIRS_MEMO[key]
+
+
 def _centroid_dedup_oracle(sf_dir: str) -> str:
     """Lazily-built SQL replica of `llm_dedup_semantic_centroid` for a
     fixture dir: the shared unrolled-Lloyd chain (k derived from the
@@ -1851,9 +1871,12 @@ def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-LSH is measured per corpus size in SCALING_CURVES.json
     rather than argued."""
     t = load_tables(spark, sf_dir)
-    k = _centroid_k_for(_n_embeddings(sf_dir))
-    pairs = _centroid_pairs(t.embeddings, k).select("a", "b")
-    comp = llmops.connected_components(pairs, "a", "b")
+    pairs = _centroid_pairs_for(spark, sf_dir, t.embeddings).select("a", "b")
+    # two_star, not label_prop: within-cluster blocking admits EVERY
+    # above-threshold pair, so components chain through dense blobs
+    # (measured diameter >> the LSH twin's at sf0.1 — label_prop took
+    # ~20 rounds / 11 s where two_star converges in O(log² n))
+    comp = llmops.connected_components(pairs, "a", "b", algorithm="two_star")
     return comp.select(
         F.col("node").alias("vec_id"),
         F.col("component").alias("cluster_id"),
@@ -2761,8 +2784,11 @@ def _exact_substr_spans(docs: DataFrame) -> DataFrame:
     """Core of `llm_exact_substr_spans` over any (doc_id, text) frame
     — split out so boundary exactness is unit-testable on constructed
     documents (tests/test_round12_ops.py)."""
+    from .common import parallelize_scan
+
     pg = (
-        docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        parallelize_scan(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 8)
         .select(
             "doc_id",
             F.explode(
