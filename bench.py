@@ -68,8 +68,10 @@ MEMO_FAMILIES = {
     # three-rung manifest, both shared with llm_curation_pipeline
     "llm_contamination_near": "_NC_PAIRS_MEMO",
     "llm_dedup_apply_full": "_FULL_MANIFEST_MEMO",
-    # r12: the centroid-blocked SemDeDup twin's train+verify pass
+    # r12: the centroid-blocked SemDeDup twin's train+verify pass,
+    # and the cross-doc ExactSubstr span scan (report + apply share it)
     "llm_dedup_semantic_centroid": "_CENTROID_PAIRS_MEMO",
+    "llm_exact_substr_spans": "_XSPANS_MEMO",
 }
 
 

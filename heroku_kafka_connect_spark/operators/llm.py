@@ -2726,10 +2726,11 @@ def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_exact_substr_spans",
-    oracle="""
-    WITH pg AS (
+#: CTE chain ending in ``xspans(a, b, start_a, start_b, span_tokens)``
+#: — the maximal cross-doc verbatim runs, shared by the
+#: llm_exact_substr_spans and llm_exact_substr_apply oracles.
+_XSPANS_CTES = """
+    pg AS (
       SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
                              FOR i IN range(1, greatest(len(toks) - 7, 0) + 1)],
                             recursive := true)
@@ -2746,11 +2747,20 @@ def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b, pa, pb, pa - pb AS diag,
              pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
       FROM matches
+    ),
+    xspans AS (
+      SELECT a, b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY a, b, diag, grp
+      HAVING COUNT(*) + 7 >= 12
     )
-    SELECT a, b, MIN(pa) AS start_a, MIN(pb) AS start_b,
-           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-    FROM isl GROUP BY a, b, diag, grp
-    HAVING COUNT(*) + 7 >= 12
+"""
+
+
+@register(
+    "llm_exact_substr_spans",
+    oracle="WITH " + _XSPANS_CTES + """
+    SELECT a, b, start_a, start_b, span_tokens FROM xspans
     """,
 )
 def llm_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2777,7 +2787,23 @@ def llm_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-tradeoff class as the LSH hot-bucket cap; matches shuffle
     gram-keyed, islands shuffle (a, b, diag)-keyed — every stage a
     hash agg or co-partitioned join, nothing quadratic in docs."""
-    return _exact_substr_spans(load_tables(spark, sf_dir).documents)
+    return _xspans_for(spark, sf_dir)
+
+
+#: (applicationId, sf_dir) -> checkpointed cross-doc span relation —
+#: shared by llm_exact_substr_spans and llm_exact_substr_apply (the
+#: span scan runs once per corpus snapshot, its output feeds both the
+#: report and the cut).
+_XSPANS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _xspans_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key not in _XSPANS_MEMO:
+        _evict_stale(_XSPANS_MEMO, key)
+        docs = load_tables(spark, sf_dir).documents
+        _XSPANS_MEMO[key] = _exact_substr_spans(docs).localCheckpoint(eager=True)
+    return _XSPANS_MEMO[key]
 
 
 def _exact_substr_spans(docs: DataFrame) -> DataFrame:
@@ -2823,6 +2849,90 @@ def _exact_substr_spans(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("span_tokens") >= 12)
         .select("a", "b", "start_a", "start_b", "span_tokens")
+    )
+
+
+@register(
+    "llm_exact_substr_apply",
+    oracle="WITH " + _XSPANS_CTES + """,
+    cov AS (
+      SELECT DISTINCT b AS doc_id, start_b + o.o AS pos
+      FROM xspans, LATERAL (SELECT unnest(range(0, span_tokens)) AS o) o
+    ),
+    tok AS (
+      SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+                             FOR i IN range(1, len(toks) + 1)], recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(array_to_string(
+             list(t.tok ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
+             AS text_clean
+    FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    GROUP BY t.doc_id
+    """,
+)
+def llm_exact_substr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of cross-doc ExactSubstr dedup (Lee et al. 2022
+    §3.1 actually CUTS: every duplicated span keeps ONE occurrence in
+    the corpus and the rest are removed): consume `llm_exact_substr_
+    spans`'s cut list, drop the covered token ranges from each span's
+    b-side (the higher doc_id — the a-side occurrence survives, the
+    same min-id canonical convention as every dedup manifest here),
+    and emit the rewritten corpus as (doc_id, n_tokens, n_removed,
+    text_clean) for every document, untouched ones included.
+
+    Overlapping spans on one doc union cleanly (the covered-position
+    set is a DISTINCT anti-set, not interval arithmetic); the rewrite
+    is positional token surgery — explode with position, left-anti
+    mark, ordered re-assembly — one (doc_id, pos)-keyed join plus one
+    doc-keyed agg over O(total tokens) rows, the same scale class as
+    the tokenizer passes. The span relation is the memoized per-
+    corpus-snapshot artifact both queries share (`_xspans_for`)."""
+    docs = load_tables(spark, sf_dir).documents
+    spans = _xspans_for(spark, sf_dir)
+    from .common import parallelize_scan
+
+    tok = (
+        parallelize_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    )
+    cov = (
+        spans.select(
+            F.col("b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"), F.col("start_b") + F.col("span_tokens") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    return (
+        tok.join(cov, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered").isNull(), F.struct("pos", "tok")
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
     )
 
 

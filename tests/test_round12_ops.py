@@ -353,3 +353,65 @@ def test_exact_substr_span_boundaries(spark):
     assert s.span_tokens == 20
     # 1-based token positions: the shared run starts at token 11 in both
     assert s.start_a == 11 and s.start_b == 11
+
+
+def test_exact_substr_apply_cuts_only_the_b_side(spark):
+    """Apply semantics on the same constructed corpus as the span
+    test: the shared 20-token run survives in doc 1 (the a-side /
+    min-id occurrence) and is cut from doc 2; doc 3 is untouched;
+    token counts and the rewritten text are exact."""
+    from heroku_kafka_connect_spark.operators.llm import _exact_substr_spans
+
+    shared = [f"s{i}" for i in range(20)]
+    d1_toks = [f"a{i}" for i in range(10)] + shared + [f"z{i}" for i in range(10)]
+    d2_toks = [f"b{i}" for i in range(10)] + shared + [f"y{i}" for i in range(10)]
+    d3_toks = [f"c{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1_toks)), (2, " ".join(d2_toks)), (3, " ".join(d3_toks))],
+        ["doc_id", "text"],
+    )
+    # replicate the apply pipeline on the constructed frame (the
+    # registered query is fixture-bound; the cut logic is what's pinned)
+    spans = _exact_substr_spans(docs)
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    )
+    cov = (
+        spans.select(
+            F.col("b").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("start_b"), F.col("start_b") + F.col("span_tokens") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    out = {
+        r.doc_id: r
+        for r in tok.join(cov, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("covered").isNull(), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .collect()
+    }
+    assert out[1].n_removed == 0 and out[1].text_clean == " ".join(d1_toks)
+    assert out[2].n_removed == 20
+    assert out[2].text_clean == " ".join(d2_toks[:10] + d2_toks[30:])
+    assert out[3].n_removed == 0 and out[3].text_clean == " ".join(d3_toks)
+    assert all(out[i].n_tokens == 40 for i in (1, 2, 3))
