@@ -108,6 +108,9 @@ EXTRA = [
     "mm_tone_spectrum",    # narrow synth/decode/DFT-project, zero shuffle
     "llm_retrieval_ndcg",  # broadcast-query scan + label-count broadcast
     "rel_new_vs_returning",  # first-seen min-agg joined on the user key
+    "llm_dedup_semantic_centroid",  # r12: Lloyd broadcast rounds + cid-hash pair join + two_star CC
+    "llm_exact_substr_spans",  # r12: positional-gram join + diagonal-island window
+    "llm_exact_substr_apply",  # r12: covered-pos anti-set + ordered reassembly
 ]
 
 
