@@ -415,3 +415,36 @@ def test_exact_substr_apply_cuts_only_the_b_side(spark):
     assert out[2].text_clean == " ".join(d2_toks[:10] + d2_toks[30:])
     assert out[3].n_removed == 0 and out[3].text_clean == " ".join(d3_toks)
     assert all(out[i].n_tokens == 40 for i in (1, 2, 3))
+
+
+def test_scaling_artifact_carries_the_blocking_frontier():
+    """SCALING_CURVES.json must keep the measured centroid-vs-LSH
+    frontier (SCALE.md round-12 section is built on it): 4 centroid
+    points with both probe depths, recall + candidate mass + the
+    assignment-cost fields, and the monotone facts the SCALE.md
+    narrative states — 1-probe dedup-grade recall decays with scale
+    while 2-probe stays strictly above it at ~4x candidate mass."""
+    import json
+
+    with open("/root/repo/SCALING_CURVES.json") as f:
+        art = json.load(f)
+    pts = art["sweeps"]["fixture"]["centroid_recall"]
+    assert len(pts) >= 4
+    for p in pts:
+        for key in (
+            "k",
+            "recall_centroid_dedup_grade",
+            "recall_centroid_probe2_dedup_grade",
+            "candidate_mass",
+            "candidate_mass_probe2",
+            "train_assign_wall_sec",
+        ):
+            assert key in p, key
+        assert (
+            p["recall_centroid_probe2_dedup_grade"]
+            > p["recall_centroid_dedup_grade"]
+        )
+        assert 3.0 <= p["candidate_mass_probe2"] / p["candidate_mass"] <= 5.0
+    by_scale = sorted(pts, key=lambda p: p["scale"])
+    r1 = [p["recall_centroid_dedup_grade"] for p in by_scale]
+    assert r1[0] > r1[-1], "1-probe recall must show the measured decay"

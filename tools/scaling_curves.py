@@ -307,6 +307,14 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         q = t.embeddings.filter(F.col("vec_id") < 5)
         _noop(ivf_probe_topk(spark, ivf_path, q, 3, n_probe=4))
 
+    def exact_substr():
+        # r12 family: positional-gram span scan + corpus rewrite —
+        # claimed O(total tokens) with the occurrence cap bounding the
+        # gram self-join; the two-entropy sweep is the proof (fixture
+        # vocab stresses the cap, open vocab stresses gram volume)
+        release_all_memos()
+        _noop(qs["llm_exact_substr_apply"].fn(spark, sf_dir))
+
     # ivf_write must precede ivf_probe (dict order is execution order)
     return {
         "dedup_cascade": dedup_cascade,
@@ -315,6 +323,7 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "near_dup": near_dup,
         "ivf_write": ivf_write,
         "ivf_probe": ivf_probe,
+        "exact_substr": exact_substr,
     }
 
 
