@@ -107,6 +107,8 @@ BNLJ_OK = {
     "llm_kmeans_train",   # Lloyd rounds: corpus scan x k broadcast centroids per round
     "llm_dedup_semantic_centroid",  # same Lloyd rounds (centroid blocking);
                                     # the pair join itself is hash on cid
+    "rel_pagerank_coparts",  # node-count N = 1-row broadcast into the
+                             # damping expression (tfidf pattern)
     "llm_knn_ivf_indexed",  # probe scan (partition-pruned) x 5 broadcast query vectors
     "text_tfidf",         # corpus-count N = 1-row broadcast into the idf expression
     "text_unigram_logprob",  # corpus token total = 1-row broadcast into p(w)

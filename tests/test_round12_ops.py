@@ -448,3 +448,18 @@ def test_scaling_artifact_carries_the_blocking_frontier():
     by_scale = sorted(pts, key=lambda p: p["scale"])
     r1 = [p["recall_centroid_dedup_grade"] for p in by_scale]
     assert r1[0] > r1[-1], "1-probe recall must show the measured decay"
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """rel_pagerank_coparts invariants at sf0.001: rank mass sums to
+    1.0 (the symmetric co-purchase graph has no dangling nodes, so no
+    mass leaks), every rank is positive and bounded by 1, and rank
+    correlates with connectivity at the extremes — the top-ranked
+    node's co-occurrence strength beats the bottom-ranked one's."""
+    q = all_queries()["rel_pagerank_coparts"].fn(spark, SF001)
+    rows = q.collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(0 < r.rank < 1 for r in rows)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert by_rank[-1].co_w > by_rank[0].co_w
