@@ -111,6 +111,7 @@ EXTRA = [
     "llm_dedup_semantic_centroid",  # r12: Lloyd broadcast rounds + cid-hash pair join + two_star CC
     "llm_exact_substr_spans",  # r12: positional-gram join + diagonal-island window
     "llm_exact_substr_apply",  # r12: covered-pos anti-set + ordered reassembly
+    "rel_pagerank_coparts",  # r12: edge self-join + per-round join/decimal-agg
 ]
 
 
