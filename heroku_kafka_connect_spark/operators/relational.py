@@ -3011,28 +3011,31 @@ def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
+    # Event-level terms (one decimal term per raw co-occurrence pair,
+    # c = rank/outw) so the oracle's sum association is IDENTICAL to the
+    # engine's by construction: decimal addition of w equal terms is
+    # exact, hence order-independent, hence bit-identical cross-engine.
+    # (The r12 form pre-aggregated w and summed rank*w/outw doubles —
+    # a different double-rounding association the engine no longer uses.)
     rounds = []
     for i in range(1, iters + 1):
         rounds.append(f"""r{i} AS (
-      SELECT n.node, n.n_nodes,
+      SELECT n.node, n.n_nodes, n.outw,
              ROUND(0.15E0 / n.n_nodes + 0.85E0 *
-                   CAST(SUM(CAST(r.rank * e.w / e.outw AS DECIMAL(38,18))) AS DOUBLE), 9) AS rank
-      FROM nodes_n n JOIN eo e ON e.dst = n.node JOIN r{i - 1} r ON r.node = e.src
-      GROUP BY n.node, n.n_nodes)""")
+                   CAST(SUM(CAST(r.rank / r.outw AS DECIMAL(38,18))) AS DOUBLE), 9) AS rank
+      FROM nodes_n n JOIN pairs p ON p.dst = n.node JOIN r{i - 1} r ON r.node = p.src
+      GROUP BY n.node, n.n_nodes, n.outw)""")
     return f"""
     WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
-      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-      GROUP BY 1, 2),
-    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src),
-    eo AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o ON o.src = e.src),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    outw AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outw FROM pairs GROUP BY src),
     nn AS (SELECT COUNT(*) AS n_nodes FROM outw),
-    nodes_n AS (SELECT o.src AS node, nn.n_nodes FROM outw o, nn),
-    r0 AS (SELECT node, n_nodes, ROUND(1.0E0 / n_nodes, 9) AS rank FROM nodes_n),
+    nodes_n AS (SELECT o.src AS node, nn.n_nodes, o.outw FROM outw o, nn),
+    r0 AS (SELECT node, n_nodes, outw, ROUND(1.0E0 / n_nodes, 9) AS rank FROM nodes_n),
     {','.join(rounds)}
-    SELECT r{iters}.node, r{iters}.rank, o.outw AS co_w
-    FROM r{iters} JOIN outw o ON o.src = r{iters}.node
+    SELECT node, rank, outw AS co_w FROM r{iters}
     """
 
 
@@ -3048,61 +3051,81 @@ def rel_pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism reuses the unrolled-iteration contract
     k-means proved out (llmops.kmeans_lloyd): per-round inflows are
-    decimal(38,18) sums (12-dp decimals quantize 1e-9-scale
-    contributions to a handful of significant digits at 20k nodes —
-    measured 1-ulp oracle drift before widening) (order-independent) of identically-associated
-    double terms (rank·w/outw, left-assoc in both engines), re-rounded
-    to 9 dp each round — three full power iterations replay
-    bit-identically in DuckDB. The graph is symmetric by construction
-    (a co-occurrence links both ways), so every node has out-edges and
-    the dangling-mass term is exactly zero — rank mass conserves at
-    1.0, which the oracle's Σrank confirms at every sf.
+    decimal(38,18) sums of EVENT-level terms — one term rank/outw per
+    raw co-occurrence pair, so a pair seen w times contributes w
+    identical decimal terms whose exact sum is order-independent and
+    associates identically in both engines (the r12 form summed
+    rank·w/outw doubles over pre-aggregated edges; this is the same
+    value with one fewer double-rounding site) — re-rounded to 9 dp
+    each round: three full power iterations replay bit-identically in
+    DuckDB. The graph is symmetric by construction (a co-occurrence
+    links both ways), so every node has out-edges and the dangling-mass
+    term is exactly zero — rank mass conserves at 1.0, which the
+    oracle's Σrank confirms at every sf.
 
-    Scale shape: edge building is the order-keyed self-join (per-order
-    pair mass = (lines/order)², bounded by order size, linear in
-    lineitems); each round is one src-keyed hash join + one dst-keyed
-    decimal-sum agg — the k-means|| per-round shape with the corpus
-    scan replaced by the edge relation. N reaches the expression as a
-    1-row broadcast (the tfidf pattern), never a driver hop. The
-    driver loop is over ITERS, not data; 3 rounds need no lineage
-    checkpoint."""
+    Scale shape: the raw pair stream IS the iteration operand — no
+    (src,dst) edge aggregation is needed because the per-round math is
+    Σ rank(src)/outw(src) grouped by dst, and grouping the w-duplicate
+    events first would only add a near-useless full-width shuffle
+    (w≈1 for most co-purchase pairs; measured: the edge-agg build cost
+    5 s of the query's r12 7 s wall). The pair stream and the
+    (node, n_nodes, outw) relation are localCheckpoint'ed ONCE before
+    the loop (the kmeans_lloyd house pattern) — without the pin every
+    unrolled round re-executed the order-keyed self-join (measured
+    r12: 30 lineitem scans, zero ReusedExchange); with it lineitem is
+    scanned exactly twice (the a/b sides of the one pair build).
+    outw is a map-side-combinable count (3M events collapse to
+    |parts| partials before the exchange); each round maps the pinned
+    pair blocks against a BROADCAST 20k-row rank vector (no per-round
+    shuffle of the big side) and partial-aggregates the dst-keyed
+    decimal sum (20k groups/partition before the exchange). N reaches
+    the expression as a 1-row broadcast (the tfidf pattern), never a
+    driver hop. At 100 TB: one fact-scan job instead of fifteen, and
+    the only repeated big-side work is a broadcast-map + combinable
+    agg per round."""
     t = load_tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
+    pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    eo = edges.join(outw, "src")
+    outw = pairs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outw"))
     nrow = outw.agg(F.count(F.lit(1)).alias("n_nodes"))
-    nodes_n = outw.select(F.col("src").alias("node")).crossJoin(F.broadcast(nrow))
+    nodes_n = (
+        outw.select(F.col("src").alias("node"), "outw")
+        .crossJoin(F.broadcast(nrow))
+        .localCheckpoint(eager=True)
+    )
     rank = nodes_n.select(
-        "node", "n_nodes", F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("rank")
+        "node",
+        "n_nodes",
+        "outw",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("rank"),
     )
     for _ in range(3):
-        contrib = eo.join(
-            rank.select(F.col("node").alias("src"), "rank"), "src"
-        ).select(
-            F.col("dst").alias("node"),
-            (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
+        rsrc = rank.select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("outw")).alias("c"),
+        )
+        contrib = pairs.join(F.broadcast(rsrc), "src").select(
+            F.col("dst").alias("node"), "c"
         )
         inflow = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("inflow")
         )
-        rank = nodes_n.join(inflow, "node").select(
+        rank = inflow.join(F.broadcast(nodes_n), "node").select(
             "node",
             "n_nodes",
+            "outw",
             F.round(
                 F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("inflow"), 9
             ).alias("rank"),
         )
-    return rank.join(outw.select(F.col("src").alias("node"), "outw"), "node").select(
-        "node", "rank", F.col("outw").alias("co_w")
-    )
+    return rank.select("node", "rank", F.col("outw").alias("co_w"))
 
 
 # ------------------------------------------------- r7: data-quality expectations
