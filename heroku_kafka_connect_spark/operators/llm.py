@@ -591,6 +591,16 @@ _EMB_LSH_TABLES = 10
 _EMB_LSH_SEED = 42
 _EMB_DIM = 64
 
+#: Shared semantic-rung constants (r12 ADVICE item 3): the cosine
+#: verify threshold and the Lloyd round count are each derived in ONE
+#: place, referenced by the engine defaults (`_embedding_cosine_pairs`,
+#: `_centroid_pairs`), the unrolled-Lloyd CTE builder
+#: (`_kmeans_assign_ctes`), and the `_centroid_dedup_oracle` f-string —
+#: changing either can no longer desynchronize engine and oracle
+#: silently.
+SEM_THRESHOLD = 0.35
+KMEANS_ITERS = 3
+
 #: Per-plane agreement at the DESIGN similarity: the L-growth formula
 #: holds recall for dedup-grade pairs, cos >= 0.7 — the SemDeDup
 #: operating band — giving q = 1 - acos(0.7)/π ≈ 0.7468 and the LSH
@@ -689,9 +699,46 @@ def _emb_lsh_geometry_for(sf_dir: str) -> tuple[int, int]:
     return planes, _emb_lsh_tables_for(planes)
 
 
+def _emb_lsh_table_structs(planes: int, tables: int):
+    """The exploded (t, bucket) signature expression shared by
+    `_embedding_cosine_pairs` and the scaling sweep's bucket-mass
+    census (tools/scaling_curves.py) — one definition so a measured
+    candidate mass is the mass the production blocking would pay."""
+    from ..llmops import hyperplane_component
+
+    def _dlit(x: float) -> str:
+        r = repr(x)
+        return r if ("e" in r or "E" in r) else r + "E0"
+
+    def _bucket_sql(t: int) -> str:
+        plane_arrays = ", ".join(
+            "array("
+            + ", ".join(
+                _dlit(hyperplane_component(_EMB_LSH_SEED + t, p, d))
+                for d in range(_EMB_DIM)
+            )
+            + ")"
+            for p in range(planes)
+        )
+        weights = ", ".join(str(1 << p) for p in range(planes))
+        return (
+            f"aggregate(zip_with(array({plane_arrays}), array({weights}), (pl, w) -> "
+            "IF(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), pl, (x, y) -> x * y), "
+            "0E0, (a, x) -> a + x) >= 0E0, w, 0)), 0, (a, x) -> a + x)"
+        )
+
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"struct({t} AS t, {_bucket_sql(t)} AS bucket)" for t in range(tables)
+        )
+        + ")"
+    )
+
+
 def _embedding_cosine_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.35,
+    threshold: float = SEM_THRESHOLD,
     planes: int | None = None,
     tables: int | None = None,
 ) -> DataFrame:
@@ -727,44 +774,14 @@ def _embedding_cosine_pairs(
 
     v = F.col("embedding").cast("array<double>")
 
-    def _dlit(x: float) -> str:
-        # Spark SQL DOUBLE literal: bare decimals parse as DECIMAL (a
-        # corpus-wide trap) — force E-notation. The components are
-        # dyadic rationals, so repr round-trips the exact double.
-        r = repr(x)
-        return r if ("e" in r or "E" in r) else r + "E0"
-
-    def _bucket_sql(t: int) -> str:
-        # One SQL string per table instead of the functional-API tree:
-        # F.lit() marshals nested plane lists element-by-element over
-        # py4j (~3 s of driver time at L×P×dim = 3200 components);
-        # expr() ships one string and parses JVM-side. The projection
-        # is the same left-to-right elementwise fold as
-        # lsh_bucket_expr / the oracle's list_dot_product, so buckets
-        # stay bit-identical across the three definitions.
-        plane_arrays = ", ".join(
-            "array("
-            + ", ".join(
-                _dlit(hyperplane_component(_EMB_LSH_SEED + t, p, d))
-                for d in range(_EMB_DIM)
-            )
-            + ")"
-            for p in range(planes)
-        )
-        weights = ", ".join(str(1 << p) for p in range(planes))
-        return (
-            f"aggregate(zip_with(array({plane_arrays}), array({weights}), (pl, w) -> "
-            "IF(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), pl, (x, y) -> x * y), "
-            "0E0, (a, x) -> a + x) >= 0E0, w, 0)), 0, (a, x) -> a + x)"
-        )
-
-    table_structs = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({t} AS t, {_bucket_sql(t)} AS bucket)" for t in range(tables)
-        )
-        + ")"
-    )
+    # One SQL string per table instead of the functional-API tree:
+    # F.lit() marshals nested plane lists element-by-element over
+    # py4j (~3 s of driver time at L×P×dim = 3200 components);
+    # expr() ships one string and parses JVM-side. The projection
+    # is the same left-to-right elementwise fold as lsh_bucket_expr /
+    # the oracle's list_dot_product, so buckets stay bit-identical
+    # across the three definitions (shared: `_emb_lsh_table_structs`).
+    table_structs = _emb_lsh_table_structs(planes, tables)
     cand = (
         embeddings.select("vec_id", "label", F.explode(table_structs).alias("tb"))
         .groupBy("label", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
@@ -1605,16 +1622,6 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared semantic-rung constants (r12 ADVICE item 3): the cosine
-#: verify threshold and the Lloyd round count are each derived in ONE
-#: place, referenced by the engine defaults (`_centroid_pairs`), the
-#: unrolled-Lloyd CTE builder (`_kmeans_assign_ctes`), and the
-#: `_centroid_dedup_oracle` f-string — changing either can no longer
-#: desynchronize engine and oracle silently.
-SEM_THRESHOLD = 0.35
-KMEANS_ITERS = 3
-
-
 def _kmeans_assign_ctes(k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
     """DuckDB CTE chain ``e, c0, a1, c1, …, a{iters}, c{iters}`` — the
     Lloyd rounds of ``llmops.kmeans_lloyd`` unrolled as CTE pairs
@@ -1904,6 +1911,173 @@ def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
     )
+
+
+#: Corpus-shape decision thresholds for the semantic blocking rung,
+#: calibrated from the r13 shape frontier (SCALING_CURVES.json
+#: `emb_shape_*` sweeps): trained-k8 mean silhouette measured 0.11 on
+#: the md5-uniform corpus (where r12 REFUTED centroid blocking: recall
+#: 0.76→0.57 with n) vs 0.23–0.40 on Gaussian-mixture macro-clustered
+#: corpora (where centroid recall holds and LSH bucket mass explodes).
+#: 0.18 sits between the measured regimes. The balance veto guards the
+#: degenerate single-mode corpus, where one k-means cluster swallows
+#: the mass and centroid blocking inherits the hot-bucket quadratic.
+CHOOSER_SIL_MIN = 0.18
+CHOOSER_MAXSHARE_MAX = 0.5
+
+
+def _blocking_chooser_oracle(k: int = 8) -> str:
+    # silhouette against the FINAL trained centroids (c{iters}), the
+    # same top-2-distance machinery as the J173 monitor's oracle, then
+    # the threshold decision applied to the QUANTIZED values so the
+    # CASE sees bit-identical inputs in both engines.
+    fold = "list_reduce({l}, (a,b) -> a + b)"
+    dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
+    nv = fold.format(l="list_transform(e.v, x -> x * x)")
+    nc = fold.format(l="list_transform(c.cv, x -> x * x)")
+    return (
+        "WITH "
+        + _kmeans_assign_ctes(k=k)
+        + f""",
+    ch_dists AS (
+      SELECT e.vec_id, c.cid,
+             1.0 - ({dot}) / (sqrt({nv}) * sqrt({nc})) AS dist
+      FROM e CROSS JOIN c{KMEANS_ITERS} c
+    ),
+    ch_ranked AS (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      FROM ch_dists
+    ),
+    ch_ab AS (
+      SELECT vec_id,
+             MIN(CASE WHEN rn = 1 THEN cid END) AS assigned,
+             MIN(CASE WHEN rn = 1 THEN dist END) AS a,
+             MIN(CASE WHEN rn = 2 THEN dist END) AS b
+      FROM ch_ranked WHERE rn <= 2 GROUP BY vec_id
+    ),
+    ch_s AS (
+      SELECT assigned,
+             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b)) AS BIGINT) AS s_micro
+      FROM ch_ab
+    ),
+    ch_pop AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 100.0) AS BIGINT)
+               / 10000.0 AS mean_silhouette
+      FROM ch_s
+    ),
+    ch_share AS (
+      SELECT FLOOR(10000.0 * MAX(n) / SUM(n) + 0.5) / 10000.0 AS max_share
+      FROM (SELECT COUNT(*) AS n FROM ch_s GROUP BY assigned)
+    )
+    SELECT p.n_vecs, p.mean_silhouette, s.max_share,
+           CASE WHEN p.mean_silhouette >= {CHOOSER_SIL_MIN}
+                 AND s.max_share <= {CHOOSER_MAXSHARE_MAX}
+                THEN 'centroid' ELSE 'lsh' END AS blocking
+    FROM ch_pop p, ch_share s
+    """
+    )
+
+
+def semantic_blocking_choice(
+    embeddings: DataFrame, k: int = 8, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Corpus-SHAPE chooser for the semantic dedup rung (the r12
+    SCALE.md revision made executable): r12 measured that centroid
+    blocking (SemDeDup proper, J236) LOSES to recall-holding LSH on an
+    unclustered corpus (single-probe recall decays 0.76 → 0.57 with n)
+    but was built for macro-clustered embedding spaces; r13's shape
+    frontier measures that it WINS there (recall holds while LSH
+    bucket mass explodes on clustered corpora — SCALING_CURVES.json
+    `emb_shape_*`). The trigger is therefore clusterability, not
+    corpus size. This chooser reads the two shipped monitors' signals
+    — the trained-centroid silhouette (J173's machinery, population
+    level) and assignment balance (J200's max-cluster share) — and
+    emits a 1-row (n_vecs, mean_silhouette, max_share, blocking)
+    decision: 'centroid' iff mean silhouette ≥ 0.18 (measured
+    separatrix: 0.11 uniform vs 0.23+ clustered) AND no cluster holds
+    > 50% of the corpus (the hot-bucket degenerate case).
+
+    Determinism: per-row silhouette quantizes to micro-int before the
+    population sum (order-invariant), mean derives by round-to-int;
+    max_share quantizes half-away-from-zero to 4 dp; the decision CASE
+    compares the quantized values, so both engines see bit-identical
+    inputs. Scale: one kmeans_lloyd train (k broadcast centroids per
+    round), one n×k broadcast top-2 pass, two tiny aggs — O(n·k),
+    the price of ONE Lloyd round, amortized against choosing an
+    n^1.42-vs-n·k blocking wrongly."""
+    _, cents = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
+    v = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
+    cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
+        F.sqrt(fold(F.transform("v", lambda x: x * x)))
+        * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    ab = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", (F.lit(1.0) - cos).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("assigned"),
+            F.min(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+            F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+        )
+    )
+    s = ab.select(
+        "assigned",
+        F.round(
+            F.lit(1000000.0) * (F.col("b") - F.col("a")) / F.greatest("a", "b")
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    pop = s.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.round(F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 100.0)
+            .cast("long")
+            / 10000.0
+        ).alias("mean_silhouette"),
+    )
+    share = (
+        s.groupBy("assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (
+                F.floor(F.lit(10000.0) * F.max("n") / F.sum("n") + F.lit(0.5))
+                / 10000.0
+            ).alias("max_share")
+        )
+    )
+    return pop.crossJoin(F.broadcast(share)).select(
+        "n_vecs",
+        "mean_silhouette",
+        "max_share",
+        F.when(
+            (F.col("mean_silhouette") >= CHOOSER_SIL_MIN)
+            & (F.col("max_share") <= CHOOSER_MAXSHARE_MAX),
+            F.lit("centroid"),
+        )
+        .otherwise(F.lit("lsh"))
+        .alias("blocking"),
+    )
+
+
+@register("llm_blocking_chooser", oracle=_blocking_chooser_oracle())
+def llm_blocking_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-rung blocking chooser (`semantic_blocking_choice`)
+    run over the fixture embeddings — on the md5-uniform fixture space
+    it must choose 'lsh' (the corpus r12's refutation was measured
+    on); the clustered-corpus 'centroid' leg is pinned by the round-13
+    shape tests on constructed Gaussian-mixture frames."""
+    t = load_tables(spark, sf_dir)
+    return semantic_blocking_choice(t.embeddings)
 
 
 #: CTE chain ending in ``full_manifest(doc_id, canonical_id, keep,

@@ -105,6 +105,8 @@ BNLJ_OK = {
     "stream_late_data",   # watermark = scalar max(ts) broadcast to the filter
     "llm_knn_ivf",        # centroid assignment: corpus scan x 16 broadcast centroids
     "llm_kmeans_train",   # Lloyd rounds: corpus scan x k broadcast centroids per round
+    "llm_blocking_chooser",  # chooser: Lloyd rounds + final n x 8-centroid
+                          # broadcast top-2 pass + 1-row share broadcast
     "llm_dedup_semantic_centroid",  # same Lloyd rounds (centroid blocking);
                                     # the pair join itself is hash on cid
     "rel_pagerank_coparts",  # node-count N = 1-row broadcast into the

@@ -104,3 +104,70 @@ def test_semantic_constants_shared():
     oracle = L._centroid_dedup_oracle(SF001)
     assert f">= {L.SEM_THRESHOLD}" in oracle
     assert f"a{L.KMEANS_ITERS} x" in oracle
+
+
+# ---------------------------------------------------------------- blocking chooser
+
+
+def _shape_corpus(spark, shape, n=800, n_clusters=32, mix=0.55):
+    """Deterministic md5 corpora matching the scaling sweep's two
+    shapes: `uniform` (the regime where r12 REFUTED centroid blocking)
+    and `clustered` (32-center Gaussian-mixture macro clusters, the
+    regime SemDeDup was designed for)."""
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    if shape == "uniform":
+        emb = base.format(i="id")
+    else:
+        center = base.format(i=f"concat('ct:', cast(id % {n_clusters} as string))")
+        emb = (
+            f"zip_with({center}, {base.format(i='id')}, "
+            f"(c, f) -> {mix}E0 * c + {1 - mix}E0 * f)"
+        )
+    return spark.range(n).selectExpr("id AS vec_id", emb + " AS embedding")
+
+
+def test_blocking_chooser_picks_lsh_on_uniform(spark):
+    from heroku_kafka_connect_spark.operators.llm import semantic_blocking_choice
+
+    row = semantic_blocking_choice(_shape_corpus(spark, "uniform")).collect()[0]
+    assert row["blocking"] == "lsh"
+    assert row["mean_silhouette"] < 0.18
+
+
+def test_blocking_chooser_picks_centroid_on_clustered(spark):
+    from heroku_kafka_connect_spark.operators.llm import semantic_blocking_choice
+
+    row = semantic_blocking_choice(_shape_corpus(spark, "clustered")).collect()[0]
+    assert row["blocking"] == "centroid"
+    assert row["mean_silhouette"] >= 0.18
+    assert row["max_share"] <= 0.5
+
+
+def test_blocking_chooser_balance_veto_on_degenerate(spark):
+    """A corpus dominated by ONE point mass (a heavily-duplicated
+    embedding — the hot-bucket corpus of the r12 drill) must trip the
+    balance veto: the mass ties to a single k-means cluster, its
+    silhouette is near-perfect (a ≈ 0), and without the veto the
+    chooser would hand centroid blocking a quadratic (0.9n)² verify
+    block. A diffuse single blob does NOT trip it — k-means happily
+    splits a blob into balanced sub-clusters, and within-sub-cluster
+    blocking stays bounded."""
+    from heroku_kafka_connect_spark.operators.llm import semantic_blocking_choice
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    # 90% exact copies of one vector, 10% uniform background
+    corpus = spark.range(800).selectExpr(
+        "id AS vec_id",
+        f"IF(id % 10 < 9, {base.format(i='99991')}, {base.format(i='id')}) AS embedding",
+    )
+    row = semantic_blocking_choice(corpus).collect()[0]
+    assert row["max_share"] > 0.5
+    assert row["blocking"] == "lsh"

@@ -327,7 +327,57 @@ def family_runs(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
     }
 
 
-def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
+#: Gaussian-mixture-style macro-clustered embedding construction for
+#: the r13 corpus-SHAPE frontier (VERDICT r12 item 2): 32 md5-derived
+#: cluster centers, member = mix·center + (1−mix)·own-noise. At
+#: mix=0.55 the in-cluster member↔member cosine sits ≈ 0.6 (clusterable
+#: but below the 0.7 dedup grade, so planted clones stay the only
+#: dedup-grade truth) and the trained-k8 mean silhouette measures
+#: ≈ 0.33 vs ≈ 0.11 on the uniform corpus — the regime SemDeDup's
+#: centroid blocking was designed for.
+SHAPE_N_CLUSTERS = 32
+SHAPE_MIX = 0.55
+
+_BASE_VEC = (
+    "transform(sequence(0, 63), j -> "
+    "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+    " / 4294967296.0E0 - 0.5E0)"
+)
+
+
+def _vec_sql(shape: str, noise_i: str, cluster_i: str | None = None) -> str:
+    """SQL expression for one synthetic embedding: `uniform` = the
+    md5 base vector of ``noise_i``; `clustered` = mix·center(cluster)
+    + (1−mix)·noise, with the cluster index derived from
+    ``cluster_i`` (defaults to ``noise_i``) mod SHAPE_N_CLUSTERS."""
+    if shape == "uniform":
+        return _BASE_VEC.format(i=noise_i)
+    ci = cluster_i if cluster_i is not None else noise_i
+    center = _BASE_VEC.format(
+        i=f"concat('ct:', cast(({ci}) % {SHAPE_N_CLUSTERS} as string))"
+    )
+    noise = _BASE_VEC.format(i=noise_i)
+    return (
+        f"zip_with({center}, {noise}, (c, f) -> "
+        f"{SHAPE_MIX}E0 * c + {1.0 - SHAPE_MIX}E0 * f)"
+    )
+
+
+def _donor_sql(shape: str, id_expr: str = "id") -> str:
+    """Donor id for a planted clone: any earlier id (uniform), or an
+    earlier id in the SAME macro cluster (clustered — residue class
+    mod SHAPE_N_CLUSTERS preserved), so planted dups are in-cluster
+    exactly as SemDeDup's design assumes."""
+    h = f"conv(substr(md5(concat('rd:', cast({id_expr} as string))), 1, 4), 16, 10)"
+    if shape == "uniform":
+        return f"greatest(0L, {id_expr} - 1 - {h} % 50)"
+    c = SHAPE_N_CLUSTERS
+    return f"greatest({id_expr} % {c}, {id_expr} - {c} * (1 + {h} % 40))"
+
+
+def semantic_recall_point(
+    spark: SparkSession, n_vecs: int, shape: str = "uniform"
+) -> dict:
     """Measured blocking recall at corpus size ``n_vecs`` (r11 ADVICE
     item 2's 'record the recall-vs-n curve'): plant near-dup vector
     pairs with cosine spanning ~0.4-0.99 (embedding = a·donor +
@@ -348,27 +398,23 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     tables_default = _emb_lsh_tables_for(planes)
 
     stride = max(1, n_vecs // 600)  # ~600 planted clones per point
-    base = (
-        "transform(sequence(0, 63), j -> "
-        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
-        " / 4294967296.0E0 - 0.5E0)"
-    )
     alpha = (
         "(0.3E0 + 0.65E0 * (conv(substr(md5(concat('ra:', cast(vec_id as string))), 1, 8), 16, 10)"
         " / 4294967296.0E0))"
     )
-    # clone of a nearby donor, mixed with a fresh direction; donor
-    # label inherited so the (label, bucket) blocking applies
+    # clone of a nearby donor (same macro cluster in `clustered`
+    # shape), mixed with a fresh direction (also in-cluster when
+    # clustered); donor label inherited so the (label, bucket)
+    # blocking applies
     vecs = spark.range(0, n_vecs, stride).selectExpr(
-        "id AS vec_id",
-        "greatest(0L, id - 1 - conv(substr(md5(concat('rd:', cast(id as string))), 1, 4), 16, 10) % 50) AS donor_id",
+        "id AS vec_id", _donor_sql(shape) + " AS donor_id"
     )
     members = (
         vecs.selectExpr(
             "vec_id",
             "donor_id",
-            "zip_with(" + base.format(i="donor_id") + ", "
-            + base.format(i="vec_id")
+            "zip_with(" + _vec_sql(shape, "donor_id") + ", "
+            + _vec_sql(shape, "vec_id", cluster_i="donor_id")
             + f", (d, f) -> {alpha} * d + (1.0E0 - {alpha}) * f) AS embedding",
             "cast(donor_id % 10 AS int) AS label",
         )
@@ -376,7 +422,7 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
             vecs.selectExpr(
                 "donor_id AS vec_id",
                 "donor_id",
-                base.format(i="donor_id") + " AS embedding",
+                _vec_sql(shape, "donor_id") + " AS embedding",
                 "cast(donor_id % 10 AS int) AS label",
             )
         )
@@ -412,6 +458,7 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     emb_members = members.select("vec_id", "label", "embedding")
     out = {
         "n_vecs": n_vecs,
+        "shape": shape,
         "planes": planes,
         "n_truth_pairs": len(truth),
         "n_dedup_grade": len(bands["dedup_grade"]),
@@ -435,7 +482,9 @@ def semantic_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     return out
 
 
-def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
+def centroid_recall_point(
+    spark: SparkSession, n_vecs: int, shape: str = "uniform"
+) -> dict:
     """Centroid-blocking (SemDeDup proper, `llm_dedup_semantic_centroid`)
     recall at corpus size ``n_vecs`` — the measured half of SCALE.md's
     scale-out decision rule for the semantic rung. Unlike LSH capture
@@ -452,23 +501,21 @@ def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     from heroku_kafka_connect_spark.operators.llm import _centroid_k_for
 
     stride = max(1, n_vecs // 600)
-    base = (
-        "transform(sequence(0, 63), j -> "
-        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
-        " / 4294967296.0E0 - 0.5E0)"
-    )
     alpha = (
         "(0.3E0 + 0.65E0 * (conv(substr(md5(concat('ra:', cast(id as string))), 1, 8), 16, 10)"
         " / 4294967296.0E0))"
     )
     background = spark.range(0, n_vecs).selectExpr(
-        "id AS vec_id", base.format(i="id") + " AS embedding"
+        "id AS vec_id", _vec_sql(shape, "id") + " AS embedding"
     )
+    # clone ids offset by n_vecs; the clone's noise direction and its
+    # macro cluster both derive from the PRE-offset id (donor is in
+    # the same residue class, so the clone stays in-cluster)
     clones = spark.range(0, n_vecs, stride).selectExpr(
         f"id + {n_vecs} AS vec_id",
-        "greatest(0L, id - 1 - conv(substr(md5(concat('rd:', cast(id as string))), 1, 4), 16, 10) % 50) AS donor_id",
-        "zip_with(" + base.format(i="donor_id") + ", "
-        + base.format(i="id")
+        _donor_sql(shape) + " AS donor_id",
+        "zip_with(" + _vec_sql(shape, "donor_id") + ", "
+        + _vec_sql(shape, "id")
         + f", (d, f) -> {alpha} * d + (1.0E0 - {alpha}) * f) AS embedding",
     )
     corpus = (
@@ -543,8 +590,53 @@ def centroid_recall_point(spark: SparkSession, n_vecs: int) -> dict:
     captured2 = {p for p in truth if cids2.get(p[0], set()) & cids2.get(p[1], set())}
     sizes2 = Counter(c for s in cids2.values() for c in s)
     mass2 = sum(s * (s - 1) // 2 for s in sizes2.values())
+
+    # LSH cost census on the SAME corpus (the other side of the shape
+    # frontier): per-(table, bucket) sizes under the production
+    # recall-holding geometry -> the pre-distinct verify-join mass
+    # Σ n_b·(n_b−1)/2 and the hottest bucket. No pairs are generated —
+    # group counts only — so the census stays cheap even where the
+    # mass itself would not be. Single label = the worst case (the
+    # production blocking also splits by label).
+    from heroku_kafka_connect_spark.operators.llm import (
+        _emb_lsh_planes_for,
+        _emb_lsh_table_structs,
+        _emb_lsh_tables_for,
+        semantic_blocking_choice,
+    )
+
+    t2b = time.monotonic()
+    planes = _emb_lsh_planes_for(n_corpus)
+    tables = _emb_lsh_tables_for(planes)
+    census = (
+        corpus.select(F.explode(_emb_lsh_table_structs(planes, tables)).alias("tb"))
+        .groupBy("tb.t", "tb.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("mass"),
+            F.max("n").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    lsh_census_wall = round(time.monotonic() - t2b, 3)
+
+    # the executable shape trigger, read off the same corpus: the
+    # chooser must say 'centroid' exactly where this point's numbers
+    # show centroid blocking winning
+    chooser = semantic_blocking_choice(corpus).collect()[0]
+
     out = {
         "n_vecs": n_vecs,
+        "shape": shape,
+        "lsh_planes": planes,
+        "lsh_tables": tables,
+        "lsh_candidate_mass": int(census["mass"] or 0),
+        "lsh_max_bucket": int(census["max_bucket"] or 0),
+        "lsh_census_wall_sec": lsh_census_wall,
+        "chooser_mean_silhouette": chooser["mean_silhouette"],
+        "chooser_max_share": chooser["max_share"],
+        "chooser_blocking": chooser["blocking"],
         "n_corpus": n_corpus,
         "k": k,
         "iters": 3,
@@ -611,8 +703,67 @@ def main() -> None:
         "scales and fold them into the existing sweep as `centroid_recall` "
         "(full-corpus k-means per point — heavier than the LSH capture test)",
     )
+    ap.add_argument(
+        "--emb-shape",
+        choices=("uniform", "clustered"),
+        default="uniform",
+        help="embedding-space shape for the recall points (clustered = "
+        "32-center Gaussian-mixture macro clusters, dups planted within)",
+    )
+    ap.add_argument(
+        "--shape-frontier",
+        action="store_true",
+        help="run the r13 corpus-SHAPE frontier at the given scales: LSH "
+        "capture recall + centroid recall + LSH bucket-mass census + the "
+        "blocking chooser's readout, all on the --emb-shape corpus; writes "
+        "sweeps['emb_shape_<shape>']",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+
+    if args.shape_frontier:
+        spark = get_ui_session()
+        sem_pts, cen_pts = [], []
+        for scale in scales:
+            rp = semantic_recall_point(
+                spark, args.base_vecs * scale, shape=args.emb_shape
+            )
+            rp["scale"] = scale
+            sem_pts.append(rp)
+            print(
+                f"[{scale:>3}x] {args.emb_shape} LSH capture: L={rp['tables_default']} "
+                f"-> {rp['recall_default']} (dedup_grade {rp['recall_default_dedup_grade']})",
+                flush=True,
+            )
+            cp = centroid_recall_point(
+                spark, args.base_vecs * scale, shape=args.emb_shape
+            )
+            cp["scale"] = scale
+            cen_pts.append(cp)
+            print(
+                f"[{scale:>3}x] {args.emb_shape} centroid: k={cp['k']} -> "
+                f"{cp['recall_centroid']} (dedup_grade {cp['recall_centroid_dedup_grade']}); "
+                f"mass centroid {cp['candidate_mass']:,} vs LSH {cp['lsh_candidate_mass']:,} "
+                f"(max bucket {cp['lsh_max_bucket']}); chooser: sil "
+                f"{cp['chooser_mean_silhouette']} share {cp['chooser_max_share']} "
+                f"-> {cp['chooser_blocking']}",
+                flush=True,
+            )
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing.setdefault("sweeps", {})[f"emb_shape_{args.emb_shape}"] = {
+            "shape": args.emb_shape,
+            "base_vecs": args.base_vecs,
+            "scales": scales,
+            "semantic_recall": sem_pts,
+            "centroid_recall": cen_pts,
+        }
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+        print(json.dumps({"shape": args.emb_shape, "points": len(cen_pts)}))
+        return
 
     if args.centroid_recall_only:
         spark = get_ui_session()
