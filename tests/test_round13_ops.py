@@ -171,3 +171,36 @@ def test_blocking_chooser_balance_veto_on_degenerate(spark):
     row = semantic_blocking_choice(corpus).collect()[0]
     assert row["max_share"] > 0.5
     assert row["blocking"] == "lsh"
+
+
+# ---------------------------------------------------------------- rocksdb state
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("op", ["dedup", "session_window"])
+def test_state_semantics_hold_on_rocksdb(spark, op):
+    """r12 verdict item 3: the r12 state-growth table ran on the
+    default HDFS-backed (on-heap) provider; at 100 TB the deployment
+    answer is RocksDB. Pin that switching providerClass changes NO
+    semantics: same live-state boundedness, same eviction behavior,
+    and the same final emitted state rows as the HDFS run at the same
+    scale (row-identical state metrics), with memory now reported by
+    the native store."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from state_growth import build_stream_dir, run_op
+
+    base = 4_000
+    d = build_stream_dir(spark, 1, base)
+    r_hdfs = run_op(spark, op, d, "10 minutes", provider="hdfs")
+    r_rocks = run_op(spark, op, d, "10 minutes", provider="rocksdb")
+    assert r_rocks["n_batches"] >= 15
+    # identical state semantics across providers
+    assert r_rocks["final_rows_total"] == r_hdfs["final_rows_total"]
+    assert r_rocks["max_rows_total"] == r_hdfs["max_rows_total"]
+    assert r_rocks["total_rows_removed"] == r_hdfs["total_rows_removed"]
+    # eviction fired and state stays bounded on the native store too
+    assert r_rocks["total_rows_removed"] > 0
+    assert (r_rocks["max_rows_total"] or 0) < 0.5 * r_rocks["cumulative_input_rows"]
+    assert r_rocks["max_memory_used_bytes"] > 0

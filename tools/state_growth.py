@@ -178,14 +178,30 @@ OPS = {
 # ------------------------------------------------------------- harness
 
 
-def run_op(spark: SparkSession, op_name: str, d: str, wm: str) -> dict:
+#: providerClass values for the two shipped state-store backends. The
+#: default (HDFS-backed) provider holds every live row on-heap; at
+#: 100 TB the deployment answer is RocksDB (state spills to local SST
+#: files, heap holds only block cache + memtables) — r13 measures the
+#: SAME sweep under both so the provider rule in SCALE.md is evidence,
+#: not vendor advice.
+PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
+def run_op(
+    spark: SparkSession, op_name: str, d: str, wm: str, provider: str = "hdfs"
+) -> dict:
     """One checkpointed AvailableNow run, one micro-batch per file;
     returns the per-batch stateOperators series + summary."""
     df = OPS[op_name](spark, d, wm)
     name = f"sg_{op_name}_{uuid.uuid4().hex[:8]}"
     cp = os.path.join(tempfile.mkdtemp(prefix="hkc-sg-"), "cp")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", PROVIDERS[provider])
     try:
         q = (
             df.writeStream.format("noop")
@@ -199,6 +215,7 @@ def run_op(spark: SparkSession, op_name: str, d: str, wm: str) -> dict:
         progress = [json.loads(p.json) for p in q.recentProgress]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
         shutil.rmtree(os.path.dirname(cp), ignore_errors=True)
     batches = []
     for p in progress:
@@ -218,6 +235,7 @@ def run_op(spark: SparkSession, op_name: str, d: str, wm: str) -> dict:
     totals = [b["rows_total"] for b in batches if b["rows_total"] is not None]
     return {
         "op": op_name,
+        "provider": provider,
         "watermark": wm,
         "n_batches": len(progress),
         "cumulative_input_rows": sum(p.get("numInputRows") or 0 for p in progress),
@@ -238,6 +256,13 @@ def main() -> None:
     ap.add_argument("--watermarks", default="10 minutes,2 hours")
     ap.add_argument("--ops", default=",".join(OPS))
     ap.add_argument("--out", default=os.path.join(REPO, "STATE_GROWTH.json"))
+    ap.add_argument(
+        "--provider",
+        choices=tuple(PROVIDERS),
+        default="hdfs",
+        help="state-store backend; results merge into the artifact "
+        "under providers.<name>, preserving the other backend's sweep",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     wms = [w.strip() for w in args.watermarks.split(",")]
@@ -249,7 +274,7 @@ def main() -> None:
         d = build_stream_dir(spark, scale, args.base_rows)
         for wm in wms:
             for op in ops:
-                r = run_op(spark, op, d, wm)
+                r = run_op(spark, op, d, wm, provider=args.provider)
                 r["scale"] = scale
                 r["rows"] = args.base_rows * scale
                 runs.append(r)
@@ -297,18 +322,36 @@ def main() -> None:
                     },
                 }
 
-    out = {
-        "method": "file source, maxFilesPerTrigger=1 (20 micro-batches, event "
-        "time ~1 event/s, 1000 recurring users), AvailableNow, noop sink; "
-        "stateOperators from StreamingQueryProgress per batch",
+    sweep = {
+        "provider": args.provider,
+        "provider_class": PROVIDERS[args.provider],
         "base_rows": args.base_rows,
         "scales": scales,
         "watermarks": wms,
         "summary": summary,
         "runs": runs,
     }
+    # merge per provider (a pre-r13 flat artifact migrates as the hdfs
+    # sweep — that is what it was measured on)
+    existing: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    if "runs" in existing and "providers" not in existing:
+        existing = {
+            "providers": {
+                "hdfs": {k: v for k, v in existing.items() if k != "method"}
+            }
+        }
+    existing.setdefault("providers", {})[args.provider] = sweep
+    existing["method"] = (
+        "file source, maxFilesPerTrigger=1 (20 micro-batches, event "
+        "time ~1 event/s, 1000 recurring users), AvailableNow, noop sink; "
+        "stateOperators from StreamingQueryProgress per batch; one sweep "
+        "per state-store providerClass (providers.hdfs / providers.rocksdb)"
+    )
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        json.dump(existing, f, indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1, sort_keys=True))
     spark.stop()
 
