@@ -204,3 +204,62 @@ def test_state_semantics_hold_on_rocksdb(spark, op):
     assert r_rocks["total_rows_removed"] > 0
     assert (r_rocks["max_rows_total"] or 0) < 0.5 * r_rocks["cumulative_input_rows"]
     assert r_rocks["max_memory_used_bytes"] > 0
+
+
+# ------------------------------------------------------- exact-substr cap recall
+
+
+def test_exact_substr_cap_span_recall_classes(spark):
+    """r12 verdict item 4, quantified: the 2..16 occurrence cap's
+    effect on span recall is a LOCAL property of the span's structure,
+    exact per class — clean spans are fully recovered (1.0); spans
+    crossing a 20-token boilerplate run split around a 6-token hole
+    (kept flanking grams bridge 7 tokens into the run from each side:
+    44/50 = 0.88); short spans whose split fragments fall under the
+    12-token minimum are lost (0.0). The 1x-64x sweep on the realistic
+    corpus (SCALING_CURVES.json exact_substr_recall) measures the SAME
+    values at every scale."""
+    from heroku_kafka_connect_spark.operators.llm import _exact_substr_spans
+
+    bp = " ".join(f"bp{j}" for j in range(20))
+
+    def px(pair, n, off=0):
+        return " ".join(f"px{pair}x{j + off}" for j in range(n))
+
+    rows = []
+    # 20 boilerplate carriers -> bp-internal grams occur >16 times
+    for i in range(20):
+        rows.append((i, " ".join(f"f{i}w{j}" for j in range(10)) + " " + bp))
+    # one pair per class, planted run appended to distinct base texts
+    runs = {
+        "clean": px("c", 40),
+        "crossing": px("x", 15) + " " + bp + " " + px("x", 15, off=15),
+        "short": px("s", 2) + " " + bp + " " + px("s", 2, off=2),
+    }
+    truth = {}
+    did = 100
+    for cls, run in runs.items():
+        ids = []
+        for side in range(2):
+            base = " ".join(f"b{did}w{j}" for j in range(9))
+            rows.append((did, base + " " + run))
+            ids.append((did, 9, len(run.split())))
+            did += 1
+        truth[cls] = ids
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = _exact_substr_spans(docs).collect()
+    covered = {}
+    for r in spans:
+        for doc, start in ((r["a"], r["start_a"]), (r["b"], r["start_b"])):
+            covered.setdefault(doc, set()).update(
+                range(start, start + r["span_tokens"])
+            )
+    got = {}
+    for cls, ids in truth.items():
+        tot = cov = 0
+        for doc, orig_n, rl in ids:
+            planted = set(range(orig_n + 1, orig_n + rl + 1))
+            tot += len(planted)
+            cov += len(planted & covered.get(doc, set()))
+        got[cls] = round(cov / tot, 4)
+    assert got == {"clean": 1.0, "crossing": 0.88, "short": 0.0}, got

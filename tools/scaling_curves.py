@@ -662,6 +662,136 @@ def centroid_recall_point(
     return out
 
 
+#: 20-token boilerplate snippet for the ExactSubstr span-recall sweep:
+#: long enough that grams FULLY inside it exist (needs >= 8) and the
+#: dropped-gram hole exceeds what flanking kept-grams can bridge.
+_BP_RUN = " ".join(f"bp{j}" for j in range(20))
+
+
+def _px_run(pbase_expr: str, n: int, off: int = 0) -> str:
+    """SQL for ``n`` pair-unique tokens px<pairbase>x<off+j> — each
+    8-gram containing one of these occurs exactly twice in the corpus
+    (the two pair docs), so it is KEPT by the 2..16 occurrence cap."""
+    return (
+        f"array_join(transform(sequence(0, {n - 1}), "
+        f"j -> concat('px', {pbase_expr}, 'x', j + {off})), ' ')"
+    )
+
+
+def exact_substr_recall_point(
+    spark: SparkSession, scale: int, base_docs: int, entropy: str = "realistic"
+) -> dict:
+    """Measured span-recall of the ExactSubstr extractor under its
+    2..16 occurrence cap (r12 verdict item 4): plant verbatim shared
+    runs of three classes into the synthetic corpus —
+
+    - `clean`     40 pair-unique tokens (no over-cap grams): the cap
+                  is invisible, expected token coverage 1.0;
+    - `crossing`  15 unique + 20-token boilerplate + 15 unique: grams
+                  fully inside the boilerplate are over-cap and
+                  dropped, flanking grams bridge 7 tokens into it from
+                  each side — expected coverage 44/50 = 0.88, the
+                  split-not-lost case;
+    - `short`     2 unique + boilerplate + 2 unique (24 tokens): both
+                  split fragments fall under the 12-token minimum —
+                  expected coverage 0.0, the honest loss case the
+                  J237 docstring now documents.
+
+    Every 50th doc also carries the bare boilerplate so its grams are
+    over-cap at every scale (>= 100 carriers at 1x). Ground truth is
+    the planted (doc, pos) set; recovered = positions covered by any
+    extracted span on either side. Deterministic: expected values are
+    exact, so the sweep measures that the cap's recall is SCALE-
+    INDEPENDENT (the hole is a local property of the span, not of n)."""
+    from heroku_kafka_connect_spark.operators.llm import _exact_substr_spans
+
+    d = build_scale_dir(spark, scale, base_docs, 2000, entropy)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    runs = {
+        "clean": (20, _px_run("pbase", 40)),
+        "crossing": (
+            40,
+            f"concat({_px_run('pbase', 15)}, ' ', '{_BP_RUN}', ' ', {_px_run('pbase', 15, off=15)})",
+        ),
+        "short": (
+            60,
+            f"concat({_px_run('pbase', 2)}, ' ', '{_BP_RUN}', ' ', {_px_run('pbase', 2, off=2)})",
+        ),
+    }
+    run_len = {"clean": 40, "crossing": 50, "short": 24}
+    case = "CASE "
+    for cls, (r, run_sql) in runs.items():
+        case += (
+            f"WHEN doc_id % 100 IN ({r}, {r + 1}) THEN "
+            f"concat(text, ' ', {run_sql.replace('pbase', f'(doc_id - (doc_id % 100) + {r})')}) "
+        )
+    case += f"WHEN doc_id % 50 = 7 THEN concat(text, ' ', '{_BP_RUN}') ELSE text END"
+    planted = docs.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS orig_n",
+        case + " AS text",
+    ).localCheckpoint(eager=True)
+
+    cls_expr = (
+        "CASE "
+        + " ".join(
+            f"WHEN doc_id % 100 IN ({r}, {r + 1}) THEN '{cls}'"
+            for cls, (r, _) in runs.items()
+        )
+        + " END"
+    )
+    truth = (
+        planted.selectExpr("doc_id", "orig_n", cls_expr + " AS cls")
+        .filter("cls IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            "cls",
+            "explode(sequence(orig_n + 1, orig_n + "
+            + "CASE cls WHEN 'clean' THEN 40 WHEN 'crossing' THEN 50 ELSE 24 END"
+            + ")) AS pos",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _ = run_len  # lengths inlined in the SQL above
+
+    spans = _exact_substr_spans(planted.select("doc_id", "text"))
+    tdocs = truth.select("doc_id").distinct()
+    cov = (
+        spans.join(tdocs.withColumnRenamed("doc_id", "a"), "a", "left_semi")
+        .selectExpr(
+            "a AS doc_id", "explode(sequence(start_a, start_a + span_tokens - 1)) AS pos"
+        )
+        .union(
+            spans.join(tdocs.withColumnRenamed("doc_id", "b"), "b", "left_semi")
+            .selectExpr(
+                "b AS doc_id",
+                "explode(sequence(start_b, start_b + span_tokens - 1)) AS pos",
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_cls = {
+        r["cls"]: (r["n_cov"], r["n_truth"])
+        for r in truth.join(cov, ["doc_id", "pos"], "left")
+        .groupBy("cls")
+        .agg(F.count("hit").alias("n_cov"), F.count(F.lit(1)).alias("n_truth"))
+        .collect()
+    }
+    out = {"scale": scale, "n_docs": base_docs * scale, "entropy": entropy}
+    tot_c = tot_t = 0
+    for cls in runs:
+        c, t = per_cls.get(cls, (0, 0))
+        out[f"coverage_{cls}"] = round(c / t, 4) if t else None
+        out[f"n_truth_{cls}"] = t
+        tot_c += c
+        tot_t += t
+    out["coverage_overall"] = round(tot_c / tot_t, 4) if tot_t else None
+    return out
+
+
 def fit_alpha(points: list[tuple[int, float]]) -> float | None:
     """Least-squares slope of log(wall) vs log(scale) — wall ~ N^alpha.
     alpha ~ 1 is linear scaling; ivf_probe should sit near 0."""
@@ -711,6 +841,13 @@ def main() -> None:
         "32-center Gaussian-mixture macro clusters, dups planted within)",
     )
     ap.add_argument(
+        "--exact-substr-recall",
+        action="store_true",
+        help="measure ONLY the ExactSubstr span-recall-under-cap points "
+        "(planted clean/crossing/short runs) at the given scales; folds "
+        "into sweeps[<entropy>]['exact_substr_recall']",
+    )
+    ap.add_argument(
         "--shape-frontier",
         action="store_true",
         help="run the r13 corpus-SHAPE frontier at the given scales: LSH "
@@ -720,6 +857,37 @@ def main() -> None:
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+
+    if args.exact_substr_recall:
+        spark = get_ui_session()
+        from heroku_kafka_connect_spark.sources.synthetic import (
+            register_synthetic_sources,
+        )
+
+        assert register_synthetic_sources(spark), "Spark 4 DataSource API required"
+        pts = []
+        for scale in scales:
+            p = exact_substr_recall_point(
+                spark, scale, args.base_docs, entropy=args.entropy
+            )
+            pts.append(p)
+            print(
+                f"[{scale:>3}x] exact_substr span recall: overall "
+                f"{p['coverage_overall']} (clean {p['coverage_clean']}, "
+                f"crossing {p['coverage_crossing']}, short {p['coverage_short']})",
+                flush=True,
+            )
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing.setdefault("sweeps", {}).setdefault(args.entropy, {})[
+            "exact_substr_recall"
+        ] = pts
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+        print(json.dumps({"exact_substr_recall_points": len(pts)}))
+        return
 
     if args.shape_frontier:
         spark = get_ui_session()
