@@ -736,11 +736,29 @@ def _emb_lsh_table_structs(planes: int, tables: int):
     )
 
 
+#: Hot-bucket cap for the embedding-LSH rung, mirroring the lexical
+#: MinHash cap (r12 drill: an uncapped hot bucket = quadratic pair
+#: mass = OOM). The r13 shape frontier measured WHY the embedding rung
+#: needs it too: on a macro-clustered corpus, cluster members share
+#: hyperplane sign bits and buckets go hot (max 1337 members at 64×
+#: clustered vs 189 uniform — SCALING_CURVES.json emb_shape_*); one
+#: 1337-member bucket alone is 893k pairs in a single collect_set
+#: row's explode. Buckets above the cap are dropped per TABLE — a pair
+#: survives if ANY of its L tables holds it in a sane bucket, and the
+#: corpus shapes where whole pair-neighborhoods go over-cap are
+#: exactly the ones the J240 chooser routes to centroid blocking.
+#: Never fires at the oracle-gate fixtures (uniform md5 space, max
+#: bucket ≪ 256 at every sf), so the SQL replica keeps matching while
+#: carrying the same QUALIFY guard.
+EMB_MAX_BUCKET = 256
+
+
 def _embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = SEM_THRESHOLD,
     planes: int | None = None,
     tables: int | None = None,
+    max_bucket: int = EMB_MAX_BUCKET,
 ) -> DataFrame:
     """(label, hyperplane-LSH bucket)-blocked exact cosine pairs
     (a < b, cos_sim >= threshold) — THE shared pair generator for the
@@ -786,7 +804,10 @@ def _embedding_cosine_pairs(
         embeddings.select("vec_id", "label", F.explode(table_structs).alias("tb"))
         .groupBy("label", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
         .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        # size cap BEFORE the pair explode: a hot bucket's id set is
+        # O(bucket) memory, its pair set is O(bucket²) — the cap cuts
+        # the quadratic term off (see EMB_MAX_BUCKET)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .distinct()
@@ -807,17 +828,21 @@ def _emb_pairs_ctes(
     threshold: str = "0.35",
     planes: int = _EMB_LSH_PLANES,
     tables: int = _EMB_LSH_TABLES,
+    max_bucket: int = None,
 ) -> str:
     """DuckDB CTE chain ending in ``sem_pairs(a, b, cos_sim)`` — the SQL
     replica of `_embedding_cosine_pairs`: identical hyperplane literals
     (dyadic rationals whose decimal repr round-trips into the same
-    doubles), identical (label, bucket)-per-table candidate union, and
-    the same dot/(sqrt·sqrt) + ROUND verify. Shared by the
-    `llm_dedup_embedding`, `llm_dedup_semantic`, and
-    `llm_dedup_apply_full` oracles — each built LAZILY per sf_dir with
-    the (planes, tables) `_emb_lsh_geometry_for` derives for that
-    fixture, so the replica holds at every scale, not just the P=5
-    gates (r11 ADVICE item 1)."""
+    doubles), identical (label, bucket)-per-table candidate union with
+    the same hot-bucket cap (QUALIFY replays the engine's size filter;
+    never fires at the fixture gates), and the same dot/(sqrt·sqrt) +
+    ROUND verify. Shared by the `llm_dedup_embedding`,
+    `llm_dedup_semantic`, and `llm_dedup_apply_full` oracles — each
+    built LAZILY per sf_dir with the (planes, tables)
+    `_emb_lsh_geometry_for` derives for that fixture, so the replica
+    holds at every scale, not just the P=5 gates (r11 ADVICE item 1)."""
+    if max_bucket is None:
+        max_bucket = EMB_MAX_BUCKET
     table_ctes = []
     unions = []
     for t in range(tables):
@@ -831,7 +856,8 @@ def _emb_pairs_ctes(
             for p in range(planes)
         )
         table_ctes.append(
-            f"semb{t} AS (SELECT vec_id, label, {bucket} AS bucket FROM seme)"
+            f"semb{t} AS (SELECT vec_id, label, {bucket} AS bucket FROM seme "
+            f"QUALIFY COUNT(*) OVER (PARTITION BY label, bucket) <= {max_bucket})"
         )
         unions.append(
             f"SELECT x.vec_id AS a, y.vec_id AS b FROM semb{t} x JOIN semb{t} y"

@@ -263,3 +263,48 @@ def test_exact_substr_cap_span_recall_classes(spark):
             cov += len(planted & covered.get(doc, set()))
         got[cls] = round(cov / tot, 4)
     assert got == {"clean": 1.0, "crossing": 0.88, "short": 0.0}, got
+
+
+# ---------------------------------------------------------- embedding LSH cap
+
+
+def test_embedding_lsh_hot_bucket_cap_fires(spark):
+    """r13 frontier finding applied: on a macro-clustered corpus the
+    embedding-LSH buckets go hot (1337 members at 64x clustered) and
+    the pair explode is quadratic in the bucket — the rung now carries
+    the same hot-bucket cap as lexical MinHash. Construct a point-mass
+    corpus (300 identical vectors land in ONE bucket in EVERY table)
+    plus one normal near-dup pair: the capped generator must drop the
+    point-mass block (≤ cap pairs, not 300·299/2 = 44,850) while still
+    emitting the sane pair."""
+    from heroku_kafka_connect_spark.operators.llm import _embedding_cosine_pairs
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    corpus = spark.range(302).selectExpr(
+        "id AS vec_id",
+        "0 AS label",
+        # ids 0..299: one point mass; ids 300, 301: a planted pair
+        # (301 = 0.9·vec(300) + 0.1·fresh -> cos >= 0.35, same buckets
+        # with high probability across 10 tables)
+        f"CASE WHEN id < 300 THEN {base.format(i='7777')} "
+        f"WHEN id = 300 THEN {base.format(i='8888')} "
+        f"ELSE zip_with({base.format(i='8888')}, {base.format(i='id')}, "
+        "(d, f) -> 0.9E0 * d + 0.1E0 * f) END AS embedding",
+    )
+    capped = _embedding_cosine_pairs(corpus, planes=5, tables=10).collect()
+    pairs = {(r["a"], r["b"]) for r in capped}
+    # the point-mass quadratic is gone...
+    assert not any(a < 300 and b < 300 for a, b in pairs), (
+        f"{sum(1 for a, b in pairs if a < 300 and b < 300)} point-mass pairs leaked"
+    )
+    # ...the sane pair survives...
+    assert (300, 301) in pairs
+    # ...and the uncapped generator WOULD have built the quadratic
+    uncapped = _embedding_cosine_pairs(
+        corpus, planes=5, tables=10, max_bucket=10**9
+    ).count()
+    assert uncapped >= 300 * 299 // 2
