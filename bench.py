@@ -72,6 +72,8 @@ MEMO_FAMILIES = {
     # and the cross-doc ExactSubstr span scan (report + apply share it)
     "llm_dedup_semantic_centroid": "_CENTROID_PAIRS_MEMO",
     "llm_exact_substr_spans": "_XSPANS_MEMO",
+    # r13: the 2-probe centroid twin (the frontier's operative form)
+    "llm_dedup_semantic_centroid2": "_CENTROID2_PAIRS_MEMO",
 }
 
 

@@ -1939,6 +1939,149 @@ def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid2_pairs(
+    embeddings: DataFrame,
+    k: int,
+    threshold: float = SEM_THRESHOLD,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """2-PROBE centroid-blocked exact cosine pairs: candidates are
+    pairs whose TOP-2 centroid sets (vs the FINAL trained centroids)
+    intersect — the standard IVF multi-probe mitigation of Voronoi
+    boundary splitting, which the r13 frontier measured as the
+    operative form of SemDeDup at scale (single-probe recall decays on
+    EVERY corpus shape once k = ⌈n/256⌉ grows: 0.955 → 0.604 even
+    clustered; 2-probe holds ≥ 0.87 at exactly 4× candidate mass —
+    SCALING_CURVES.json emb_shape_*). Verify is the shared
+    dot/(norm·norm) ROUND(4) contract."""
+    from ..functions.vectors import dot, norm
+
+    _, cents = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
+    v = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
+    cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
+        F.sqrt(fold(F.transform("v", lambda x: x * x)))
+        * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    top2 = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos.alias("__cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("vec_id", "cid")
+    )
+    cand = (
+        top2.select(F.col("vec_id").alias("a"), "cid")
+        .join(top2.select(F.col("vec_id").alias("b"), "cid"), "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e = v.withColumn("nrm", norm(F.col("v")))
+    ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+_CENTROID2_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _centroid2_pairs_for(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame
+) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key not in _CENTROID2_PAIRS_MEMO:
+        _evict_stale(_CENTROID2_PAIRS_MEMO, key)
+        k = _centroid_k_for(_n_embeddings(sf_dir))
+        _CENTROID2_PAIRS_MEMO[key] = _centroid2_pairs(embeddings, k).localCheckpoint(
+            eager=True
+        )
+    return _CENTROID2_PAIRS_MEMO[key]
+
+
+def _centroid2_dedup_oracle(sf_dir: str) -> str:
+    """SQL replica of `llm_dedup_semantic_centroid2`: the shared
+    unrolled-Lloyd chain, a TOP-2 rank of every vector against the
+    FINAL centroids (c{iters}; cosine DESC, cid-asc ties — the same
+    contract the chooser oracle proved out), shared-cid candidates,
+    the ROUND(4) verify, then the recursive-CTE components."""
+    fold = "list_reduce({l}, (a,b) -> a + b)"
+    dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
+    nv = fold.format(l="list_transform(e.v, x -> x * x)")
+    nc = fold.format(l="list_transform(c.cv, x -> x * x)")
+    k = _centroid_k_for(_n_embeddings(sf_dir))
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_assign_ctes(k=k)
+        + f""",
+    p2d AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ({dot}) / (sqrt({nv}) * sqrt({nc})) DESC,
+                                         c.cid ASC) AS rn
+      FROM e CROSS JOIN c{KMEANS_ITERS} c),
+    p2 AS (SELECT vec_id, cid FROM p2d WHERE rn <= 2),
+    c2cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM p2 x JOIN p2 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    c2pairs AS (
+      SELECT c.a, c.b
+      FROM c2cand c JOIN e x ON x.vec_id = c.a JOIN e y ON y.vec_id = c.b
+      WHERE ROUND(list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                  4) >= {SEM_THRESHOLD}
+    ),
+    c2sym AS (SELECT a AS u, b AS v FROM c2pairs UNION ALL SELECT b AS u, a AS v FROM c2pairs),
+    c2reach(u, v) AS (
+      SELECT u, v FROM c2sym
+      UNION
+      SELECT r.u, s.v FROM c2reach r JOIN c2sym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS vec_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           CASE WHEN LEAST(u, MIN(v)) = u THEN 1 ELSE 0 END AS keep
+    FROM c2reach GROUP BY u
+    """
+    )
+
+
+@register("llm_dedup_semantic_centroid2", oracle=_centroid2_dedup_oracle)
+def llm_dedup_semantic_centroid2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its measured OPERATIVE form (r13 frontier): 2-probe
+    centroid blocking — candidates where top-2 centroid sets intersect
+    — exact cosine verify → connected components → per-vector
+    (cluster_id, keep) manifest, same output contract as the J236
+    single-probe twin. The frontier measured single-probe recall
+    decaying on every corpus shape once k scales (Voronoi boundary
+    splitting), while 2-probe holds dedup-grade recall ≥ 0.87 at 4×
+    candidate mass — still ~n·k·const linear, an order of magnitude
+    under clustered-corpus LSH mass at 64×. Registering it makes the
+    form the chooser actually routes to itself oracle-verified.
+
+    Scale shape: kmeans train (k broadcast centroids per Lloyd round)
+    + ONE extra n×k broadcast top-2 pass + a cid-keyed self-join whose
+    per-key mass is ≤ (2·cluster)² — the blocked-verify shape with the
+    cap story inherited from `_centroid_k_for`'s ~256 target. Pairs
+    memoized per corpus snapshot like every expensive index family."""
+    t = load_tables(spark, sf_dir)
+    pairs = _centroid2_pairs_for(spark, sf_dir, t.embeddings).select("a", "b")
+    comp = llmops.connected_components(pairs, "a", "b", algorithm="two_star")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("keep"),
+    )
+
+
 #: Corpus-shape decision thresholds for the semantic blocking rung,
 #: calibrated from the r13 shape frontier (SCALING_CURVES.json
 #: `emb_shape_*` sweeps): trained-k8 mean silhouette measured 0.11 on

@@ -107,6 +107,8 @@ BNLJ_OK = {
     "llm_kmeans_train",   # Lloyd rounds: corpus scan x k broadcast centroids per round
     "llm_blocking_chooser",  # chooser: Lloyd rounds + final n x 8-centroid
                           # broadcast top-2 pass + 1-row share broadcast
+    "llm_dedup_semantic_centroid2",  # 2-probe: Lloyd rounds + final n x k
+                          # broadcast top-2 pass (the IVF assign shape)
     "llm_dedup_semantic_centroid",  # same Lloyd rounds (centroid blocking);
                                     # the pair join itself is hash on cid
     "rel_pagerank_coparts",  # node-count N = 1-row broadcast into the
