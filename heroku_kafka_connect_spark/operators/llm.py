@@ -806,19 +806,35 @@ def _embedding_cosine_pairs(
         .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
         # size cap BEFORE the pair explode: a hot bucket's id set is
         # O(bucket) memory, its pair set is O(bucket²) — the cap cuts
-        # the quadratic term off (see EMB_MAX_BUCKET)
+        # the quadratic term off (see EMB_MAX_BUCKET). The 13.2M-group
+        # collect_set itself is NOT the memory risk (r13 soak isolated
+        # it spill-free at 64×; the spill lived in the verify SMJ
+        # below) — and a two-pass count-then-collect variant was
+        # measured WORSE (AQE does not reuse the signature exchange
+        # across the two consumers, so the expensive projection ran
+        # twice: +50% wall, +2.7× shuffle volume).
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .distinct()
     )
+    # verify joins carry a 64-double vector per side — SHUFFLE_HASH,
+    # not sort-merge: SMJ sorts the candidate×vector rows (≈ 1 KB wide
+    # once va is attached; r13 soak measured 8.6 GB memory / 6.1 GB
+    # disk spilled in this sort at 64× — the composed curation DAG's
+    # only spill site). A shuffled hash join builds on the narrow
+    # vector side (n/partitions rows per task) and STREAMS the wide
+    # rows — nothing wide is ever sorted; measured spill-free at the
+    # same scale (peak 4.8 → 3.9 GB) at comparable wall: the win is
+    # the removed 14.7 GB of spill traffic, which on disk-bound
+    # cluster nodes is wall, not just I/O.
     e = embeddings.select("vec_id", v.alias("v")).withColumn("nrm", norm(F.col("v")))
     ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
-        cand.join(ea, "a")
-        .join(eb, "b")
+        cand.join(ea.hint("shuffle_hash"), "a")
+        .join(eb.hint("shuffle_hash"), "b")
         .select("a", "b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -98,6 +98,18 @@ def soak(spark, name: str, sf_dir: str, cold: bool) -> dict:
         "stages_top": [
             {
                 "stage_id": s.get("stageId"),
+                "details_head": next(
+                    (
+                        ln.strip()[:120]
+                        for ln in (s.get("details") or "").splitlines()
+                        if (
+                            "org.apache.spark.sql" in ln
+                            and "anonfun" not in ln
+                            and "SQLExecution" not in ln
+                        )
+                    ),
+                    "",
+                ),
                 "tasks": s.get("numCompleteTasks", s.get("numTasks", 0)),
                 "executor_run_time_ms": s.get("executorRunTime", 0),
                 "input_bytes": s.get("inputBytes", 0),
@@ -119,9 +131,18 @@ def main() -> None:
     ap.add_argument("--base-vecs", type=int, default=2000)
     ap.add_argument("--entropy", default="realistic")
     ap.add_argument("--out", default=os.path.join(REPO, "CURATION_SOAK.json"))
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions for the soak (the r12 "
+        "memory-cliff sizing rule: ~1 partition per 64 MB of stage shuffle)",
+    )
     args = ap.parse_args()
 
     spark = get_ui_session()
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     from heroku_kafka_connect_spark.sources.synthetic import (
         register_synthetic_sources,
     )
@@ -141,6 +162,7 @@ def main() -> None:
     gb = corpus_bytes / 1e9
     out = {
         "scale": args.scale,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "entropy": args.entropy,
         "n_docs": args.base_docs * args.scale,
         "n_vecs": args.base_vecs * args.scale,

@@ -38,6 +38,10 @@ EXTRA = [
     "src_python_datasource",  # custom source: BatchScan over generator
     "llm_kmeans_train",    # iterative: k-centroid broadcast per Lloyd round
     "llm_dedup_semantic",  # (label, LSH-bucket)-blocked cosine pairs -> CC manifest
+    "llm_dedup_semantic_centroid2",  # r13: 2-probe centroid blocking (top-2 vs
+                           # final centroids, broadcast n x k pass)
+    "llm_blocking_chooser",  # r13: corpus-shape chooser (Lloyd train + top-2
+                           # silhouette + balance -> 1-row decision)
     "rel_window_range_frame",  # value-bounded RANGE frame, one window shuffle
     "rel_variant_json",    # parse_json once, typed variant_get paths
     "rel_join_bucketed",   # co-bucketed SMJ: only exchange is the final agg
