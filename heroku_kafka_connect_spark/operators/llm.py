@@ -818,23 +818,28 @@ def _embedding_cosine_pairs(
         .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .distinct()
     )
-    # verify joins carry a 64-double vector per side — SHUFFLE_HASH,
-    # not sort-merge: SMJ sorts the candidate×vector rows (≈ 1 KB wide
-    # once va is attached; r13 soak measured 8.6 GB memory / 6.1 GB
-    # disk spilled in this sort at 64× — the composed curation DAG's
-    # only spill site). A shuffled hash join builds on the narrow
-    # vector side (n/partitions rows per task) and STREAMS the wide
-    # rows — nothing wide is ever sorted; measured spill-free at the
-    # same scale (peak 4.8 → 3.9 GB) at comparable wall: the win is
-    # the removed 14.7 GB of spill traffic, which on disk-bound
-    # cluster nodes is wall, not just I/O.
+    # Verify joins carry a 64-double vector per side. Below ~16k
+    # vectors the vector side fits the broadcast threshold and AQE
+    # converts the join to broadcast-hash — leave it alone (a forced
+    # shuffle there measurably SLOWED the sf0.1 cold build 3.0 → 4.0 s
+    # by suppressing the conversion). Above it, the default is
+    # sort-merge, which sorts the candidate×vector rows (~1 KB wide
+    # once va is attached) — the r13 64× soak measured 8.6 GB memory /
+    # 6.1 GB disk spilled in that sort, the composed curation DAG's
+    # only spill site. hint("shuffle_hash") builds on the narrow
+    # per-partition vector slice and STREAMS the wide rows — nothing
+    # wide is ever sorted; measured spill-free at 64× (peak 4.8 →
+    # 1.3 GB, wall 100–150 → 88 s, identical pairs). planes ≥ 11 ⟺
+    # n ≳ 16k via the `_emb_lsh_planes_for` geometry, so every
+    # fixture gate (planes ≤ 7) keeps its broadcast plan.
+    jhint = (lambda d: d.hint("shuffle_hash")) if planes >= 11 else (lambda d: d)
     e = embeddings.select("vec_id", v.alias("v")).withColumn("nrm", norm(F.col("v")))
     ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
-        cand.join(ea.hint("shuffle_hash"), "a")
-        .join(eb.hint("shuffle_hash"), "b")
+        cand.join(jhint(ea), "a")
+        .join(jhint(eb), "b")
         .select("a", "b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -1996,13 +2001,18 @@ def _centroid2_pairs(
         .select("a", "b")
         .distinct()
     )
+    # same size-conditional verify-join strategy as
+    # `_embedding_cosine_pairs`: k ≥ 64 ⟺ n ≳ 16k vectors via
+    # `_centroid_k_for` — broadcast regime below (every fixture gate),
+    # sort-free shuffled hash above (the r13 soak's spill fix)
+    jhint = (lambda d: d.hint("shuffle_hash")) if k >= 64 else (lambda d: d)
     e = v.withColumn("nrm", norm(F.col("v")))
     ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
-        cand.join(ea, "a")
-        .join(eb, "b")
+        cand.join(jhint(ea), "a")
+        .join(jhint(eb), "b")
         .select("a", "b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
