@@ -2192,7 +2192,11 @@ def semantic_blocking_choice(
     emits a 1-row (n_vecs, mean_silhouette, max_share, blocking)
     decision: 'centroid' iff mean silhouette ≥ 0.18 (measured
     separatrix: 0.11 uniform vs 0.23+ clustered) AND no cluster holds
-    > 50% of the corpus (the hot-bucket degenerate case).
+    > 50% of the corpus (the hot-bucket degenerate case). A 'centroid'
+    decision means centroid WITH multi-probe — the frontier measured
+    single-probe decaying on every shape once k scales; J241
+    (`llm_dedup_semantic_centroid2`) is the operator the decision
+    routes to.
 
     Determinism: per-row silhouette quantizes to micro-int before the
     population sum (order-invariant), mean derives by round-to-int;

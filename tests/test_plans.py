@@ -479,7 +479,14 @@ def test_pagerank_scans_lineitem_exactly_twice(spark, sf_dir):
     import time
 
     store = spark._jsparkSession.sharedState().statusStore()
-    before = store.executionsCount()
+    # snapshot the MAX retained execution id, not executionsCount():
+    # once the store evicts past spark.sql.ui.retainedExecutions the
+    # count stops tracking ids, and an id >= count filter would sweep
+    # in OTHER queries' retained executions (full-suite flake, r13)
+    _execs0 = store.executionsList()
+    before = max(
+        (_execs0.apply(i).executionId() for i in range(_execs0.size())), default=-1
+    ) + 1
     df = all_queries()["rel_pagerank_coparts"].fn(spark, sf_dir)
     df.count()
     p = df._jdf.queryExecution().executedPlan().toString()
