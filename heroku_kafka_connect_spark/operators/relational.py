@@ -3087,10 +3087,23 @@ def rel_pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # repartition BEFORE pinning: AQE broadcast-converts the order-
+    # keyed self-join (lineitem fits the threshold locally), so the
+    # pair build never shuffles and the checkpoint inherits the SCAN's
+    # 3 input splits — which serializes every power round onto 3 of 32
+    # cores (measured 4.7 s/round of decimal-sum work; 0.35 s at full
+    # width). src-keyed so the outw count reuses the partitioning. At
+    # cluster scale the scan has ample splits and this exchange is the
+    # only full pass over the pair stream. (NB: measure this query via
+    # the noop SINK, never bare count() — Catalyst prunes every
+    # round's unused decimal aggregates for a count, faking a 4×
+    # speedup.)
+    par = spark.sparkContext.defaultParallelism
     pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .repartition(par, F.col("src"))
         .localCheckpoint(eager=True)
     )
     outw = pairs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outw"))
