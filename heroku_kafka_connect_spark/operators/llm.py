@@ -846,10 +846,11 @@ def _embedding_cosine_pairs(
 
 
 def _emb_pairs_ctes(
-    threshold: str = "0.35",
+    threshold: str | None = None,
     planes: int = _EMB_LSH_PLANES,
     tables: int = _EMB_LSH_TABLES,
     max_bucket: int = None,
+    final_name: str = "sem_pairs",
 ) -> str:
     """DuckDB CTE chain ending in ``sem_pairs(a, b, cos_sim)`` — the SQL
     replica of `_embedding_cosine_pairs`: identical hyperplane literals
@@ -861,7 +862,15 @@ def _emb_pairs_ctes(
     `llm_dedup_semantic`, and `llm_dedup_apply_full` oracles — each
     built LAZILY per sf_dir with the (planes, tables)
     `_emb_lsh_geometry_for` derives for that fixture, so the replica
-    holds at every scale, not just the P=5 gates (r11 ADVICE item 1)."""
+    holds at every scale, not just the P=5 gates (r11 ADVICE item 1).
+    ``threshold`` defaults to str(SEM_THRESHOLD) — the SAME constant
+    the engine generator defaults to (r13 ADVICE item 2: a hard-coded
+    "0.35" here would silently desync every LSH-leg oracle from a
+    SEM_THRESHOLD change). ``final_name`` renames the terminal pair
+    CTE so the dispatched apply-full chain can stage this leg as
+    ``lsh_pairs`` next to the centroid leg."""
+    if threshold is None:
+        threshold = str(SEM_THRESHOLD)
     if max_bucket is None:
         max_bucket = EMB_MAX_BUCKET
     table_ctes = []
@@ -888,7 +897,7 @@ def _emb_pairs_ctes(
     seme AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     {', '.join(table_ctes)},
     sem_cand AS ({' UNION '.join(unions)}),
-    sem_pairs AS (
+    {final_name} AS (
       SELECT c.a, c.b,
              ROUND(list_dot_product(x.v, y.v)
                    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
@@ -1669,7 +1678,9 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_assign_ctes(k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
+def _kmeans_assign_ctes(
+    k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64, prefix: str = ""
+) -> str:
     """DuckDB CTE chain ``e, c0, a1, c1, …, a{iters}, c{iters}`` — the
     Lloyd rounds of ``llmops.kmeans_lloyd`` unrolled as CTE pairs
     (assign_i from centroids_{i-1}, centroids_i from assign_i), shared
@@ -1680,37 +1691,40 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64) ->
     similarities (list_reduce == F.aggregate given a 0.0 seed:
     0.0 + x == x), cid tiebreaks, decimal-sum centroid updates rounded
     to 6. Metric = cosine argmax (DESC), matching the IVF
-    assignment/probe metric."""
+    assignment/probe metric. ``prefix`` renames every CTE (``{p}e``,
+    ``{p}c{i}``, ``{p}a{i}``) so the dispatched apply-full oracle can
+    carry a second chain at a different k without name collisions."""
+    p = prefix
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
     nc = fold.format(l="list_transform(c.cv, x -> x * x)")
     dist = f"({dot}) / (sqrt({nv}) * sqrt({nc}))"
-    cte = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
-    cte.append(f"""c0 AS (
+    cte = [f"{p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    cte.append(f"""{p}c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
              list_transform(v, x -> round(x, 6)) AS cv
-      FROM e ORDER BY vec_id LIMIT {k})""")
+      FROM {p}e ORDER BY vec_id LIMIT {k})""")
     for it in range(1, iters + 1):
-        cte.append(f"""a{it} AS (
+        cte.append(f"""{p}a{it} AS (
       SELECT e.vec_id, e.v,
-             (SELECT c.cid FROM c{it - 1} c
+             (SELECT c.cid FROM {p}c{it - 1} c
               ORDER BY {dist} DESC, c.cid ASC LIMIT 1) AS cid
-      FROM e)""")
+      FROM {p}e e)""")
         # carry an empty cluster's previous centroid forward (LEFT JOIN
         # + COALESCE), exactly like kmeans_lloyd's cents update — a cid
         # with zero assigned vectors used to vanish from this CTE while
         # the engine kept it, a silent cross-engine divergence waiting
         # on any fixture where a cluster empties mid-iteration (r12
         # ADVICE item 1).
-        cte.append(f"""c{it} AS (
+        cte.append(f"""{p}c{it} AS (
       SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-      FROM c{it - 1} p LEFT JOIN (
+      FROM {p}c{it - 1} p LEFT JOIN (
         SELECT cid, list(m ORDER BY dim) AS cv FROM (
           SELECT a.cid, d.dim,
                  ROUND(CAST(SUM(CAST(a.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
                        / COUNT(*), 6) AS m
-          FROM a{it} a, LATERAL (
+          FROM {p}a{it} a, LATERAL (
             SELECT unnest(generate_series(1, {dim})) AS dim) d
           GROUP BY a.cid, d.dim)
         GROUP BY cid) n ON n.cid = p.cid)""")
@@ -2034,38 +2048,49 @@ def _centroid2_pairs_for(
     return _CENTROID2_PAIRS_MEMO[key]
 
 
-def _centroid2_dedup_oracle(sf_dir: str) -> str:
-    """SQL replica of `llm_dedup_semantic_centroid2`: the shared
-    unrolled-Lloyd chain, a TOP-2 rank of every vector against the
-    FINAL centroids (c{iters}; cosine DESC, cid-asc ties — the same
-    contract the chooser oracle proved out), shared-cid candidates,
-    the ROUND(4) verify, then the recursive-CTE components."""
+def _centroid2_pair_ctes(kprefix: str = "") -> str:
+    """``p2d/p2/c2cand/c2pairs`` CTE chain ending in ``c2pairs(a, b)``
+    — a TOP-2 rank of every vector against the ``{kprefix}``-prefixed
+    Lloyd chain's FINAL centroids (cosine DESC, cid-asc ties — the
+    same contract the chooser oracle proved out), shared-cid
+    candidates, the ROUND(4) verify at SEM_THRESHOLD. Shared by
+    `_centroid2_dedup_oracle` and the dispatched apply-full chain."""
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
     nc = fold.format(l="list_transform(c.cv, x -> x * x)")
-    k = _centroid_k_for(_n_embeddings(sf_dir))
-    return (
-        "WITH RECURSIVE "
-        + _kmeans_assign_ctes(k=k)
-        + f""",
+    return f"""
     p2d AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                 ORDER BY ({dot}) / (sqrt({nv}) * sqrt({nc})) DESC,
                                          c.cid ASC) AS rn
-      FROM e CROSS JOIN c{KMEANS_ITERS} c),
+      FROM {kprefix}e e CROSS JOIN {kprefix}c{KMEANS_ITERS} c),
     p2 AS (SELECT vec_id, cid FROM p2d WHERE rn <= 2),
     c2cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM p2 x JOIN p2 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
     c2pairs AS (
       SELECT c.a, c.b
-      FROM c2cand c JOIN e x ON x.vec_id = c.a JOIN e y ON y.vec_id = c.b
+      FROM c2cand c JOIN {kprefix}e x ON x.vec_id = c.a JOIN {kprefix}e y ON y.vec_id = c.b
       WHERE ROUND(list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
                   4) >= {SEM_THRESHOLD}
-    ),
+    )
+    """
+
+
+def _centroid2_dedup_oracle(sf_dir: str) -> str:
+    """SQL replica of `llm_dedup_semantic_centroid2`: the shared
+    unrolled-Lloyd chain, the 2-probe candidate+verify chain
+    (`_centroid2_pair_ctes`), then the recursive-CTE components."""
+    k = _centroid_k_for(_n_embeddings(sf_dir))
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_assign_ctes(k=k)
+        + ","
+        + _centroid2_pair_ctes()
+        + """,
     c2sym AS (SELECT a AS u, b AS v FROM c2pairs UNION ALL SELECT b AS u, a AS v FROM c2pairs),
     c2reach(u, v) AS (
       SELECT u, v FROM c2sym
@@ -2121,23 +2146,25 @@ CHOOSER_SIL_MIN = 0.18
 CHOOSER_MAXSHARE_MAX = 0.5
 
 
-def _blocking_chooser_oracle(k: int = 8) -> str:
-    # silhouette against the FINAL trained centroids (c{iters}), the
-    # same top-2-distance machinery as the J173 monitor's oracle, then
-    # the threshold decision applied to the QUANTIZED values so the
-    # CASE sees bit-identical inputs in both engines.
+def _chooser_ctes(kprefix: str = "") -> str:
+    """``ch_*`` CTE chain ending in the 1-row ``ch_decision(n_vecs,
+    mean_silhouette, max_share, blocking)`` — the SQL replica of
+    `semantic_blocking_choice` over the ``{kprefix}``-prefixed
+    unrolled-Lloyd chain (silhouette against the FINAL trained
+    centroids, the same top-2-distance machinery as the J173
+    monitor's oracle, then the threshold decision applied to the
+    QUANTIZED values so the CASE sees bit-identical inputs in both
+    engines). Factored out of `_blocking_chooser_oracle` (r14) so the
+    dispatched apply-full oracle replays the SAME decision inline."""
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
     nc = fold.format(l="list_transform(c.cv, x -> x * x)")
-    return (
-        "WITH "
-        + _kmeans_assign_ctes(k=k)
-        + f""",
+    return f"""
     ch_dists AS (
       SELECT e.vec_id, c.cid,
              1.0 - ({dot}) / (sqrt({nv}) * sqrt({nc})) AS dist
-      FROM e CROSS JOIN c{KMEANS_ITERS} c
+      FROM {kprefix}e e CROSS JOIN {kprefix}c{KMEANS_ITERS} c
     ),
     ch_ranked AS (
       SELECT vec_id, cid, dist,
@@ -2153,7 +2180,7 @@ def _blocking_chooser_oracle(k: int = 8) -> str:
     ),
     ch_s AS (
       SELECT assigned,
-             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b)) AS BIGINT) AS s_micro
+             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b, 1e-300)) AS BIGINT) AS s_micro
       FROM ch_ab
     ),
     ch_pop AS (
@@ -2165,13 +2192,24 @@ def _blocking_chooser_oracle(k: int = 8) -> str:
     ch_share AS (
       SELECT FLOOR(10000.0 * MAX(n) / SUM(n) + 0.5) / 10000.0 AS max_share
       FROM (SELECT COUNT(*) AS n FROM ch_s GROUP BY assigned)
+    ),
+    ch_decision AS (
+      SELECT p.n_vecs, p.mean_silhouette, s.max_share,
+             CASE WHEN p.mean_silhouette >= {CHOOSER_SIL_MIN}
+                   AND s.max_share <= {CHOOSER_MAXSHARE_MAX}
+                  THEN 'centroid' ELSE 'lsh' END AS blocking
+      FROM ch_pop p, ch_share s
     )
-    SELECT p.n_vecs, p.mean_silhouette, s.max_share,
-           CASE WHEN p.mean_silhouette >= {CHOOSER_SIL_MIN}
-                 AND s.max_share <= {CHOOSER_MAXSHARE_MAX}
-                THEN 'centroid' ELSE 'lsh' END AS blocking
-    FROM ch_pop p, ch_share s
     """
+
+
+def _blocking_chooser_oracle(k: int = 8) -> str:
+    return (
+        "WITH "
+        + _kmeans_assign_ctes(k=k)
+        + ","
+        + _chooser_ctes()
+        + "\n    SELECT n_vecs, mean_silhouette, max_share, blocking FROM ch_decision"
     )
 
 
@@ -2228,10 +2266,17 @@ def semantic_blocking_choice(
             F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
         )
     )
+    # denominator floored at 1e-300: a == b == 0 (duplicate-dominated
+    # corpus whose carried-forward centroids coincide — exactly the
+    # balance-veto regime) is otherwise 0/0 → NaN, which Spark casts
+    # to 0L while DuckDB's CAST(ROUND(NaN) AS BIGINT) errors (r13
+    # ADVICE item 3); the floor makes both engines see s_micro = 0.
     s = ab.select(
         "assigned",
         F.round(
-            F.lit(1000000.0) * (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            F.lit(1000000.0)
+            * (F.col("b") - F.col("a"))
+            / F.greatest("a", "b", F.lit(1e-300))
         )
         .cast("long")
         .alias("s_micro"),
@@ -2279,15 +2324,54 @@ def llm_blocking_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_blocking_choice(t.embeddings)
 
 
-#: CTE chain ending in ``full_manifest(doc_id, canonical_id, keep,
-#: reason)`` — the three-rung manifest, composable by downstream
-#: oracles (llm_dedup_apply_full, llm_curation_pipeline).
-def _apply_full_ctes(sf_dir: str) -> str:
+def _sem_dispatch_ctes(sf_dir: str) -> str:
+    """CTE chain ending in the DISPATCHED ``sem_pairs(a, b)`` — the
+    r13 blocking chooser wired into the semantic rung (r13 verdict
+    item 1): one k=8 unrolled-Lloyd chain feeding the chooser's
+    ``ch_decision``, the centroid 2-probe leg (`_centroid2_pair_ctes`
+    at k = `_centroid_k_for`; the k=8 chain is REUSED when the two
+    geometries coincide — every fixture gate — else a ``cb``-prefixed
+    second chain is emitted), the recall-held LSH leg
+    (`_emb_pairs_ctes` as ``lsh_pairs``), and a decision-gated UNION
+    ALL that replays exactly the dispatch `_sem_pairs_dispatched_for`
+    performs engine-side. DuckDB evaluates both legs and keeps the
+    chosen one — the honest replica of a data-dependent branch; the
+    engine runs only the chosen generator."""
     planes, tables = _emb_lsh_geometry_for(sf_dir)
+    kc = _centroid_k_for(_n_embeddings(sf_dir))
+    parts = [_kmeans_assign_ctes(k=8), ",", _chooser_ctes()]
+    if kc == 8:
+        cb = ""
+    else:
+        cb = "cb"
+        parts += [",", _kmeans_assign_ctes(k=kc, prefix=cb)]
+    parts += [
+        ",",
+        _centroid2_pair_ctes(kprefix=cb),
+        ",",
+        _emb_pairs_ctes(planes=planes, tables=tables, final_name="lsh_pairs"),
+        """,
+    sem_pairs AS (
+      SELECT a, b FROM lsh_pairs
+      WHERE (SELECT blocking FROM ch_decision) = 'lsh'
+      UNION ALL
+      SELECT a, b FROM c2pairs
+      WHERE (SELECT blocking FROM ch_decision) = 'centroid'
+    )
+    """,
+    ]
+    return "".join(parts)
+
+
+#: CTE chain ending in ``full_manifest(doc_id, canonical_id, keep,
+#: reason)`` — the three-rung manifest with the DISPATCHED semantic
+#: rung, composable by downstream oracles (llm_dedup_apply_full,
+#: llm_curation_pipeline).
+def _apply_full_ctes(sf_dir: str) -> str:
     return (
         _MANIFEST_CTES.rstrip()
         + ",\n    mfull AS MATERIALIZED (SELECT * FROM manifest),\n    "
-        + _emb_pairs_ctes(planes=planes, tables=tables).strip()
+        + _sem_dispatch_ctes(sf_dir).strip()
         + """,
     sem_edges AS (
       SELECT p.a, p.b FROM sem_pairs p
@@ -2398,13 +2482,60 @@ def llm_dedup_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cascade semantics: the semantic rung runs only on survivors of
     the lexical rungs (dup mass never reaches the expensive rung —
     same staging as `_dedup_manifest`), using the fixture's 1:1
-    vec_id≡doc_id mapping (`llm_dataset_audit` pins it). Each doc's
+    vec_id≡doc_id mapping (`llm_dataset_audit` pins it). Since r14
+    the rung's pair generator is DISPATCHED by the J240 corpus-shape
+    chooser (`_sem_pairs_dispatched_for`): recall-held LSH on
+    unclustered corpora (every md5-uniform fixture gate), 2-probe
+    centroid blocking on macro-clustered ones — the oracle replays
+    the same branch in SQL (`_sem_dispatch_ctes`). Each doc's
     lexical canonical resolves through the semantic component, so
-    transitive replacement stays a single left join. Both heavy
-    relations are the session-memoized ones (_MANIFEST_MEMO,
-    _SEM_PAIRS_MEMO) — in production each is written once per corpus
-    snapshot; this query is one CC pass + two joins on top."""
+    transitive replacement stays a single left join. The heavy
+    relations are the session-memoized ones (_MANIFEST_MEMO, the
+    chosen leg's pair memo) — in production each is written once per
+    corpus snapshot; this query is one CC pass + two joins on top."""
     return _apply_full_manifest(spark, sf_dir)
+
+
+#: (applicationId, realpath, fingerprint) -> the chooser's collected
+#: decision Row (n_vecs, mean_silhouette, max_share, blocking). ONE
+#: bounded collect (1 row) per corpus snapshot — in production the
+#: chooser runs once per snapshot, its decision row is recorded in the
+#: run manifest, and every dispatched consumer reads the recorded row
+#: rather than re-training the probe k-means.
+_BLOCKING_CHOICE_MEMO: dict[tuple, object] = {}
+
+
+def _blocking_choice_for(spark: SparkSession, sf_dir: str):
+    key = _memo_key(spark, sf_dir)
+    if key not in _BLOCKING_CHOICE_MEMO:
+        _evict_stale(_BLOCKING_CHOICE_MEMO, key)
+        t = load_tables(spark, sf_dir)
+        _BLOCKING_CHOICE_MEMO[key] = semantic_blocking_choice(
+            t.embeddings
+        ).collect()[0]
+    return _BLOCKING_CHOICE_MEMO[key]
+
+
+def _sem_pairs_dispatched_for(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame
+) -> DataFrame:
+    """The DISPATCHED semantic pair generator (r13 verdict item 1: the
+    measured corpus-shape frontier become behavior): run the J240
+    chooser once per corpus snapshot, then route to the leg it picks —
+    2-probe centroid blocking (`_centroid2_pairs_for`, SemDeDup's
+    operative form, wins on macro-clustered embedding spaces where LSH
+    bucket mass explodes) or recall-held hyperplane LSH
+    (`_sem_pairs_for`, wins on unclustered corpora where centroid
+    recall decays with k). Both legs end in the same (a, b) exact-
+    verified pair contract, so the downstream CC/manifest machinery is
+    leg-agnostic. The decision itself is a driver-side 1-row collect —
+    the documented bounded-collect class — because which PLAN to run
+    is data-dependent; the oracle replays the same branch in SQL
+    (`_sem_dispatch_ctes`)."""
+    choice = _blocking_choice_for(spark, sf_dir)
+    if choice["blocking"] == "centroid":
+        return _centroid2_pairs_for(spark, sf_dir, embeddings).select("a", "b")
+    return _sem_pairs_for(spark, sf_dir, embeddings).select("a", "b")
 
 
 #: (applicationId, realpath, fingerprint) -> checkpointed three-rung
@@ -2432,7 +2563,7 @@ def _apply_full_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _apply_full_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     m = _dedup_manifest_for(spark, sf_dir, t.documents)
-    pairs = _sem_pairs_for(spark, sf_dir, t.embeddings).select("a", "b")
+    pairs = _sem_pairs_dispatched_for(spark, sf_dir, t.embeddings)
     surv = m.filter(F.col("keep") == 1).select(F.col("doc_id").alias("s_id"))
     edges = (
         pairs.join(surv, pairs.a == F.col("s_id"))
@@ -4931,7 +5062,8 @@ _CURATION_TAIL = (
              CAST(FLOOR((SUM(CASE WHEN final_keep THEN n_tokens END)
                            OVER (PARTITION BY lang, final_keep ORDER BY doc_id)
                          - n_tokens) / 2048.0) AS BIGINT)
-           END AS pack_id
+           END AS pack_id,
+           (SELECT blocking FROM ch_decision) AS sem_blocking
     FROM flags
     """
 )
@@ -5063,6 +5195,11 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_keep"),
             F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)),
         ),
+        # the audit manifest carries WHICH blocking the dispatched
+        # semantic rung ran with (r13 verdict item 1: the chooser's
+        # decision surfaced in the lineage a post-hoc audit reads)
+    ).withColumn(
+        "sem_blocking", F.lit(_blocking_choice_for(spark, sf_dir)["blocking"])
     )
 
 
@@ -5590,7 +5727,7 @@ def llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT vec_id, assigned,
-             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b)) AS BIGINT) AS s_micro
+             CAST(ROUND(1000000.0 * (b - a) / GREATEST(a, b, 1e-300)) AS BIGINT) AS s_micro
       FROM ab
     )
     SELECT assigned AS centroid_id, COUNT(*) AS n_vecs,
@@ -5641,8 +5778,12 @@ def llm_silhouette_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
         )
     )
+    # same 1e-300 denominator floor as the blocking chooser: a == b
+    # == 0 would otherwise be NaN (Spark) vs a CAST error (DuckDB)
     s_micro = F.round(
-        F.lit(1000000.0) * (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+        F.lit(1000000.0)
+        * (F.col("b") - F.col("a"))
+        / F.greatest(F.col("a"), F.col("b"), F.lit(1e-300))
     ).cast("long")
     return (
         ab.select("assigned", s_micro.alias("s_micro"))
@@ -6844,7 +6985,8 @@ def _dataset_card_oracle(sf_dir: str) -> str:
            CAST(SUM(CASE WHEN NOT contam_keep THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
            CAST(SUM(CASE WHEN NOT near_contam_keep THEN 1 ELSE 0 END) AS BIGINT) AS near_contaminated,
            CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
-           (1000 * CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS keep_rate_milli
+           (1000 * CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS keep_rate_milli,
+           MIN(sem_blocking) AS sem_blocking
     FROM ({_curation_oracle(sf_dir)})
     GROUP BY source, lang
     """
@@ -6890,6 +7032,9 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * sum(CASE WHEN final_keep THEN 1 ELSE 0 END)) div count(1)")
         .cast("long")
         .alias("keep_rate_milli"),
+        # constant per corpus snapshot (the dispatched rung's decision);
+        # MIN is the deterministic per-group projection in both engines
+        F.min("sem_blocking").alias("sem_blocking"),
     )
 
 

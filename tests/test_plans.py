@@ -513,11 +513,29 @@ def test_pagerank_scans_lineitem_exactly_twice(spark, sf_dir):
     if scans < 2:
         # under the full suite the shared listener bus can drop SQL
         # events (test_corpus runs 320 queries first), losing the
-        # checkpoint execution from the store — the strict ==2 count
-        # is pinned by the standalone / test_plans-only run. A
-        # REGRESSED plan (r12 measured 30 scans) trips the assert
-        # above as soon as any of its executions lands.
-        pytest.skip(
-            f"SQL listener dropped execution events under suite load "
-            f"(saw {n_new} executions, {scans} scans)"
+        # checkpoint execution from the store. r13 turned that into a
+        # skip; r14 verdict item 3: the gate must FAIL-or-PASS, never
+        # skip. Fall back to an ISOLATED SparkContext (own JVM, empty
+        # listener bus — events cannot be dropped by suite load) and
+        # assert the strict count there.
+        import json
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "tools/pagerank_scan_probe.py", sf_dir],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=600,
         )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        probe = json.loads(line)
+        assert probe.get("scans") == 2, (
+            f"isolated-session probe: {probe} (suite listener saw "
+            f"{n_new} executions / {scans} scans); stderr tail: "
+            f"{out.stderr[-500:]}"
+        )
+        assert probe["final_plan_reads_checkpoint"]
+        assert not probe["final_plan_scans_lineitem"]
+        assert not probe["final_plan_has_smj"]

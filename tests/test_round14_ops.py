@@ -1,0 +1,214 @@
+"""Round-14 additions: the blocking chooser DISPATCHED into the
+semantic rung of the three-rung manifest (r13 verdict item 1), the
+chooser/monitor silhouette NaN guard (r13 ADVICE item 3), and
+SEM_THRESHOLD single-sourcing for the LSH-leg oracle CTEs (r13
+ADVICE item 2)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from heroku_kafka_connect_spark.session import TABLES
+
+SF001 = "/root/testdata/sf0.001"
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _h(s: str) -> float:
+    """md5-derived double in [-0.5, 0.5) — the same hash→unit-interval
+    construction as the r13 shape sweep's corpora, in plain Python so
+    the fixture is built without a Spark job."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 4294967296.0 - 0.5
+
+
+def _clustered_fixture(tmp_path, n=800, n_clusters=32, mix=0.55) -> str:
+    """A macro-clustered corpus written as a DRIVER-SHAPED fixture dir:
+    Gaussian-mixture-style embeddings (the r13 shape frontier's
+    'clustered' regime, float32 like the real fixtures), documents with
+    pairwise-disjoint md5 token streams (the lexical rungs find
+    nothing, isolating the semantic rung), and every other table
+    symlinked from sf0.001 so load_tables/duck_con see a full dir."""
+    emb = []
+    for i in range(n):
+        c = [_h(f"ct:{i % n_clusters}:{j}") for j in range(64)]
+        f = [_h(f"{i}:{j}") for j in range(64)]
+        emb.append([mix * x + (1 - mix) * y for x, y in zip(c, f)])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    texts = [
+        " ".join(
+            hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in range(12)
+        )
+        for i in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"src{i % 4 + 2}" for i in range(n)], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            os.symlink(f"{SF001}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    return str(tmp_path)
+
+
+# ------------------------------------------------ dispatched semantic rung
+
+
+def test_apply_full_dispatches_centroid_on_clustered(spark, tmp_path):
+    """END-TO-END gate for the dispatched semantic rung's CENTROID leg
+    (the leg the md5-uniform driver fixtures can never exercise): on a
+    macro-clustered corpus the chooser must route the three-rung
+    manifest's semantic rung to 2-probe centroid blocking, the engine
+    manifest must value-match the dispatched DuckDB oracle (which
+    replays the SAME decision in SQL), and the rung must actually
+    remove semantic dups."""
+    from check_correctness import run_corpus
+
+    from heroku_kafka_connect_spark.operators.llm import (
+        _blocking_choice_for,
+        llm_dedup_apply_full,
+    )
+
+    d = _clustered_fixture(tmp_path)
+    n_pass, n_fail, n_rows_only, failures = run_corpus(
+        d, ["llm_dedup_apply_full"], spark=spark
+    )
+    assert failures == [] and n_fail == 0 and n_pass == 1
+    # the engine really took the centroid leg (memoized decision row)
+    row = _blocking_choice_for(spark, d)
+    assert row["blocking"] == "centroid"
+    assert row["mean_silhouette"] >= 0.18 and row["max_share"] <= 0.5
+    # and the centroid leg did real work: the 32 macro clusters
+    # collapse through the semantic rung (intra-cluster cos ≈ 0.6 at
+    # mix 0.55 clears SEM_THRESHOLD), far below one survivor per doc
+    reasons = {
+        r["reason"]: r["count"]
+        for r in llm_dedup_apply_full(spark, d).groupBy("reason").count().collect()
+    }
+    assert reasons.get("semantic", 0) > 0
+    assert reasons.get("exact", 0) == 0 and reasons.get("near", 0) == 0
+
+
+def test_curation_manifest_surfaces_lsh_decision_on_uniform(spark):
+    """On the md5-uniform driver fixture the dispatch must pick the
+    LSH leg, and the curation audit manifest must carry that decision
+    on every row (r13 verdict item 1: 'the chooser's decision row
+    surfaced in the manifest/dataset card')."""
+    from heroku_kafka_connect_spark.operators.llm import llm_curation_pipeline
+
+    vals = (
+        llm_curation_pipeline(spark, SF001)
+        .select("sem_blocking")
+        .distinct()
+        .collect()
+    )
+    assert [r["sem_blocking"] for r in vals] == ["lsh"]
+
+
+def test_dispatch_oracle_carries_both_legs():
+    """The dispatched apply-full oracle must contain the chooser's
+    decision CTE and BOTH pair legs, gated by the same decision — not
+    a hard-coded LSH chain (what r13 shipped) nor a hard-coded
+    centroid chain."""
+    from heroku_kafka_connect_spark.operators import llm as L
+
+    sql = L._apply_full_oracle(SF001)
+    assert "ch_decision" in sql
+    assert "lsh_pairs" in sql and "c2pairs" in sql
+    assert "(SELECT blocking FROM ch_decision) = 'lsh'" in sql
+    assert "(SELECT blocking FROM ch_decision) = 'centroid'" in sql
+
+
+# ------------------------------------------------ chooser NaN guard
+
+
+def test_chooser_zero_distance_corpus_is_not_nan(spark, tmp_path):
+    """r13 ADVICE item 3: a corpus of IDENTICAL vectors whose
+    components are exact 6-dp dyadics ([0.125]*64: Σv² = 1.0 exactly,
+    so dist = 1 − 1/(√1·√1) = 0.0 exactly, surviving the centroid
+    round-to-6) makes both top-2 distances exactly zero. Unguarded,
+    (b−a)/greatest(a,b) is 0/0 → NaN: Spark casts NaN→0L silently
+    while DuckDB errors on CAST(ROUND(NaN) AS BIGINT). The 1e-300
+    denominator floor makes both engines emit s_micro = 0 — pinned
+    here by running BOTH on the same frame."""
+    from heroku_kafka_connect_spark.operators.llm import (
+        _blocking_chooser_oracle,
+        semantic_blocking_choice,
+    )
+
+    n = 64
+    vec = [0.125] * 64
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    row = semantic_blocking_choice(df).collect()[0]
+    assert row["mean_silhouette"] == 0.0  # not NaN
+    assert row["max_share"] == 1.0  # single point mass
+    assert row["blocking"] == "lsh"  # balance veto
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array([vec] * n, pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    duck = con.execute(_blocking_chooser_oracle()).fetchone()
+    assert duck == (
+        row["n_vecs"],
+        row["mean_silhouette"],
+        row["max_share"],
+        row["blocking"],
+    )
+
+
+# ------------------------------------------------ constant single-sourcing
+
+
+def test_lsh_leg_oracle_threshold_derives_from_constant():
+    """r13 ADVICE item 2: `_emb_pairs_ctes` must derive its default
+    verify threshold from SEM_THRESHOLD (not a hard-coded literal), so
+    a constant change cannot desync the llm_dedup_embedding /
+    llm_dedup_semantic / llm_dedup_apply_full oracles from the
+    engine."""
+    import inspect
+
+    from heroku_kafka_connect_spark.operators import llm as L
+
+    assert (
+        inspect.signature(L._emb_pairs_ctes).parameters["threshold"].default
+        is None
+    )
+    assert f">= {L.SEM_THRESHOLD}" in L._emb_pairs_ctes()
+    # and the dispatched chain inherits it on both legs
+    sql = L._sem_dispatch_ctes(SF001)
+    assert sql.count(f">= {L.SEM_THRESHOLD}") >= 2
