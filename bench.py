@@ -74,6 +74,9 @@ MEMO_FAMILIES = {
     "llm_exact_substr_spans": "_XSPANS_MEMO",
     # r13: the 2-probe centroid twin (the frontier's operative form)
     "llm_dedup_semantic_centroid2": "_CENTROID2_PAIRS_MEMO",
+    # r14: the incremental semantic tier's index-side build (chooser
+    # train + dispatched new×indexed candidate/verify pass)
+    "llm_dedup_incremental_semantic": "_INC_SEM_MEMO",
 }
 
 

@@ -845,6 +845,22 @@ def _embedding_cosine_pairs(
     )
 
 
+def _emb_bucket_sql_duck(t: int, planes: int) -> str:
+    """One table's hyperplane-sign bucket as DuckDB SQL over a column
+    ``v DOUBLE[]`` — the same dyadic plane literals and left-to-right
+    weighted sum as `_emb_lsh_table_structs`. Shared by
+    `_emb_pairs_ctes` and the incremental semantic-tier oracle."""
+    return "\n             + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(
+            repr(llmops.hyperplane_component(_EMB_LSH_SEED + t, p, d))
+            for d in range(_EMB_DIM)
+        )
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+
+
 def _emb_pairs_ctes(
     threshold: str | None = None,
     planes: int = _EMB_LSH_PLANES,
@@ -876,15 +892,7 @@ def _emb_pairs_ctes(
     table_ctes = []
     unions = []
     for t in range(tables):
-        bucket = "\n             + ".join(
-            "(CASE WHEN list_dot_product(v, ["
-            + ", ".join(
-                repr(llmops.hyperplane_component(_EMB_LSH_SEED + t, p, d))
-                for d in range(_EMB_DIM)
-            )
-            + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(planes)
-        )
+        bucket = _emb_bucket_sql_duck(t, planes)
         table_ctes.append(
             f"semb{t} AS (SELECT vec_id, label, {bucket} AS bucket FROM seme "
             f"QUALIFY COUNT(*) OVER (PARTITION BY label, bucket) <= {max_bucket})"
@@ -1679,7 +1687,11 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_assign_ctes(
-    k: int = 8, iters: int = KMEANS_ITERS, dim: int = 64, prefix: str = ""
+    k: int = 8,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    prefix: str = "",
+    where: str = "",
 ) -> str:
     """DuckDB CTE chain ``e, c0, a1, c1, …, a{iters}, c{iters}`` — the
     Lloyd rounds of ``llmops.kmeans_lloyd`` unrolled as CTE pairs
@@ -1693,14 +1705,19 @@ def _kmeans_assign_ctes(
     to 6. Metric = cosine argmax (DESC), matching the IVF
     assignment/probe metric. ``prefix`` renames every CTE (``{p}e``,
     ``{p}c{i}``, ``{p}a{i}``) so the dispatched apply-full oracle can
-    carry a second chain at a different k without name collisions."""
+    carry a second chain at a different k without name collisions;
+    ``where`` filters the training corpus (the incremental tier trains
+    on the INDEXED side only)."""
     p = prefix
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
     nc = fold.format(l="list_transform(c.cv, x -> x * x)")
     dist = f"({dot}) / (sqrt({nv}) * sqrt({nc}))"
-    cte = [f"{p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    cte = [
+        f"{p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings {where})"
+    ]
     cte.append(f"""{p}c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
              list_transform(v, x -> round(x, 6)) AS cv
@@ -2691,11 +2708,13 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
-                        split: int = 400) -> str:
-    """SQL replica of ``llm_dedup_incremental`` — the two-sided
-    (new-batch × indexed-corpus) variant of ``_minhash_oracle``, same
-    md5+affine family, plus the exact-hash precedence tier."""
+def _incremental_ctes(bands: int = 8, rows: int = 4, threshold: float = 0.5,
+                      split: int = 400) -> str:
+    """CTE body of the incremental classifier's LEXICAL tiers —
+    ``sh … exact/cand/ver/best`` (exact-hash matches and the best
+    verified new×indexed Jaccard match per new doc). Shared by
+    `_incremental_oracle` and the three-tier
+    `_incremental_semantic_oracle`."""
     k = bands * rows
     mins = ",\n           ".join(
         f"min(({a} * x + {b}) % {llmops.P32}) AS m{i}"
@@ -2708,7 +2727,7 @@ def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
         for j in range(bands)
     )
     return f"""
-    WITH sh AS (
+    sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
@@ -2753,6 +2772,18 @@ def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
         FROM ver WHERE j >= {threshold})
       WHERE rn = 1
     )
+    """
+
+
+def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
+                        split: int = 400) -> str:
+    """SQL replica of ``llm_dedup_incremental`` — the two-sided
+    (new-batch × indexed-corpus) variant of ``_minhash_oracle``, same
+    md5+affine family, plus the exact-hash precedence tier."""
+    return (
+        "WITH "
+        + _incremental_ctes(bands, rows, threshold, split).strip()
+        + f"""
     SELECT n.doc_id,
            CASE WHEN e.match_id IS NOT NULL THEN 'exact'
                 WHEN best.b IS NOT NULL THEN 'near'
@@ -2763,6 +2794,7 @@ def _incremental_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.5,
     LEFT JOIN exact e ON e.doc_id = n.doc_id
     LEFT JOIN best ON best.a = n.doc_id
     """
+    )
 
 
 @register("llm_dedup_incremental", oracle=_incremental_oracle())
@@ -2851,6 +2883,282 @@ def incremental_classify(docs: DataFrame, *, split: int) -> DataFrame:
             F.when(F.col("exact_id").isNotNull(), F.lit(None).cast("double"))
             .otherwise(F.col("j"))
             .alias("jaccard"),
+        )
+    )
+
+
+def _inc_sem_ctes(sf_dir: str, split: int) -> str:
+    """CTE chain ending in ``isem_best(a, b, cos_sim)`` — the SEMANTIC
+    tier of the incremental classifier, DISPATCHED like the apply-full
+    rung: the chooser runs over the INDEXED side only (``ix``-prefixed
+    Lloyd chain trained WHERE vec_id < split — the index's shape is
+    what decides the blocking, a new batch doesn't retrain it), then
+    new×indexed candidates come from the leg it picks — per-table
+    hyperplane-LSH buckets (same plane literals/cap as
+    `_emb_pairs_ctes`, restricted to cross-side pairs) or the 2-probe
+    rank of EVERY vector against the indexed-trained centroids — and
+    the shared ROUND(4) cosine verify keeps the best match per new
+    vector (highest cosine, smallest indexed id)."""
+    planes, tables = _emb_lsh_geometry_for(sf_dir)
+    k = _centroid_k_for(min(split, _n_embeddings(sf_dir)))
+    cb = "ix" if k == 8 else "ib"
+    lsh_tables = []
+    lsh_unions = []
+    for t in range(tables):
+        bucket = _emb_bucket_sql_duck(t, planes)
+        lsh_tables.append(
+            f"isemb{t} AS (SELECT vec_id, label, {bucket} AS bucket FROM iseme "
+            f"QUALIFY COUNT(*) OVER (PARTITION BY label, bucket) <= {EMB_MAX_BUCKET})"
+        )
+        lsh_unions.append(
+            f"SELECT x.vec_id AS a, y.vec_id AS b FROM isemb{t} x JOIN isemb{t} y"
+            f" ON x.label = y.label AND x.bucket = y.bucket"
+            f" AND x.vec_id >= {split} AND y.vec_id < {split}"
+        )
+    fold = "list_reduce({l}, (a,b) -> a + b)"
+    dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
+    nv = fold.format(l="list_transform(e.v, x -> x * x)")
+    nc = fold.format(l="list_transform(c.cv, x -> x * x)")
+    cos = (
+        "ROUND(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 4)"
+    )
+    parts = [
+        _kmeans_assign_ctes(k=8, prefix="ix", where=f"WHERE vec_id < {split}"),
+        ",",
+        _chooser_ctes(kprefix="ix"),
+    ]
+    if cb == "ib":
+        parts += [
+            ",",
+            _kmeans_assign_ctes(k=k, prefix="ib", where=f"WHERE vec_id < {split}"),
+        ]
+    parts.append(
+        f""",
+    iseme AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {', '.join(lsh_tables)},
+    ilsh AS ({' UNION '.join(lsh_unions)}),
+    ip2d AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ({dot}) / (sqrt({nv}) * sqrt({nc})) DESC,
+                                         c.cid ASC) AS rn
+      FROM iseme e CROSS JOIN {cb}c{KMEANS_ITERS} c),
+    ip2 AS (SELECT vec_id, cid FROM ip2d WHERE rn <= 2),
+    icc AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM ip2 x JOIN ip2 y ON x.cid = y.cid
+      WHERE x.vec_id >= {split} AND y.vec_id < {split}),
+    icand AS (
+      SELECT a, b FROM ilsh
+      WHERE (SELECT blocking FROM ch_decision) = 'lsh'
+      UNION ALL
+      SELECT a, b FROM icc
+      WHERE (SELECT blocking FROM ch_decision) = 'centroid'
+    ),
+    iver AS (
+      SELECT c.a, c.b, {cos} AS cos_sim
+      FROM icand c JOIN iseme x ON x.vec_id = c.a JOIN iseme y ON y.vec_id = c.b
+      WHERE {cos} >= {SEM_THRESHOLD}
+    ),
+    isem_best AS (
+      SELECT a, b, cos_sim FROM (
+        SELECT a, b, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos_sim DESC, b ASC) AS rn
+        FROM iver)
+      WHERE rn = 1
+    )
+    """
+    )
+    return "".join(parts)
+
+
+def _incremental_semantic_oracle(sf_dir: str) -> str:
+    split = 400
+    return (
+        "WITH "
+        + _incremental_ctes(split=split).strip()
+        + ","
+        + _inc_sem_ctes(sf_dir, split)
+        + f"""
+    SELECT n.doc_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact'
+                WHEN best.b IS NOT NULL THEN 'near'
+                WHEN sb.b IS NOT NULL THEN 'semantic'
+                ELSE 'new' END AS status,
+           COALESCE(e.match_id, best.b, sb.b) AS match_id,
+           CASE WHEN e.match_id IS NOT NULL THEN CAST(NULL AS DOUBLE)
+                WHEN best.b IS NOT NULL THEN best.j
+                ELSE sb.cos_sim END AS score
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {split}) n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN best ON best.a = n.doc_id
+    LEFT JOIN isem_best sb ON sb.a = n.doc_id
+    """
+    )
+
+
+#: (applicationId, realpath, fingerprint, split) -> checkpointed
+#: semantic-tier best matches. In production the INDEX-side artifacts
+#: (LSH signature rows / trained centroids + the chooser decision) are
+#: persisted once per index snapshot and each batch pays only its own
+#: banding/assignment; the immutable fixtures make the whole delta
+#: classification replayable, so the memo stands in for that persisted
+#: index exactly like _SEM_PAIRS_MEMO does for the full rung.
+_INC_SEM_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _inc_semantic_best_for(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame, split: int
+) -> DataFrame:
+    key = _memo_key(spark, sf_dir) + (split,)
+    if key not in _INC_SEM_MEMO:
+        _evict_stale(_INC_SEM_MEMO, key)
+        _INC_SEM_MEMO[key] = _inc_semantic_best(
+            spark, sf_dir, embeddings, split
+        ).localCheckpoint(eager=True)
+    return _INC_SEM_MEMO[key]
+
+
+def _inc_semantic_best(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame, split: int
+) -> DataFrame:
+    """(a, sem_id, cos_sim) — each NEW vector's best semantic match in
+    the INDEXED corpus, candidates generated by the leg the chooser
+    picks for the INDEX's shape (see `_inc_sem_ctes` for the SQL twin
+    and the dispatch rationale). The chooser decision is the same
+    1-row bounded collect as `_blocking_choice_for` — in production it
+    is computed once when the index is (re)built, not per batch."""
+    from ..functions.vectors import dot, norm
+    from .common import parallelize_scan
+
+    # one-file fixture parquet = ONE input split: spread the rows
+    # before the compute-heavy narrow stages (signature explode /
+    # centroid ranking) or they serialize on a single core
+    embeddings = parallelize_scan(
+        embeddings.select("vec_id", "label", "embedding"), "vec_id"
+    )
+    indexed = embeddings.filter(F.col("vec_id") < split)
+    choice = semantic_blocking_choice(indexed).collect()[0]["blocking"]
+    if choice == "centroid":
+        k = _centroid_k_for(min(split, _n_embeddings(sf_dir)))
+        _, cents = llmops.kmeans_lloyd(indexed, k=k, iters=KMEANS_ITERS)
+        v = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
+        cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
+            F.sqrt(fold(F.transform("v", lambda x: x * x)))
+            * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("__cos").desc(), F.col("cid").asc()
+        )
+        top2 = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", cos.alias("__cos"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 2)
+            .select("vec_id", "cid")
+        )
+        cand = (
+            top2.filter(F.col("vec_id") >= split)
+            .select(F.col("vec_id").alias("a"), "cid")
+            .join(
+                top2.filter(F.col("vec_id") < split)
+                .select(F.col("vec_id").alias("b"), "cid"),
+                "cid",
+            )
+            .select("a", "b")
+            .distinct()
+        )
+    else:
+        planes, tables = _emb_lsh_geometry_for(sf_dir)
+        sig = embeddings.select(
+            "vec_id",
+            "label",
+            F.explode(_emb_lsh_table_structs(planes, tables)).alias("tb"),
+        )
+        buckets = (
+            sig.groupBy(
+                "label", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+            )
+            .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+            .filter(F.size("ids") <= EMB_MAX_BUCKET)
+            .select(
+                F.filter("ids", lambda i: i < F.lit(split)).alias("old"),
+                F.filter("ids", lambda i: i >= F.lit(split)).alias("new"),
+            )
+            .filter((F.size("old") > 0) & (F.size("new") > 0))
+        )
+        cand = (
+            buckets.select(F.explode("new").alias("a"), "old")
+            .select("a", F.explode("old").alias("b"))
+            .distinct()
+        )
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    ver = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEM_THRESHOLD)
+    )
+    wn = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b").asc())
+    return (
+        ver.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select("a", F.col("b").alias("sem_id"), "cos_sim")
+    )
+
+
+@register("llm_dedup_incremental_semantic", oracle=_incremental_semantic_oracle)
+def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-TIER incremental dedup (r13 verdict item 5: production
+    dedup at 100 TB is incremental-by-default, and the semantic rung
+    had no delta form): classify each NEW document (doc_id >= 400)
+    against the INDEXED corpus (doc_id < 400) as exact → near →
+    SEMANTIC → new. Tiers 1-2 are `incremental_classify`'s hash and
+    banded-MinHash tiers unchanged; tier 3 restricts the semantic
+    rung's candidates to new×indexed pairs under the blocking the J240
+    chooser picks for the INDEX's shape (`_inc_semantic_best`) — the
+    delta twin of the dispatched `llm_dedup_apply_full` rung. ``score``
+    carries the matched tier's evidence (Jaccard for near, cosine for
+    semantic; exact needs none).
+
+    Scale shape: per batch, the index side's LSH signatures / centroid
+    set are PERSISTED artifacts (built once per index snapshot —
+    exactly `_emb_lsh_table_structs` rows or the Lloyd centroids); the
+    batch pays banding/assignment of the DELTA plus one bucket- or
+    cid-keyed join whose in-bucket product is bounded by
+    |batch| × occupancy (hot buckets capped at EMB_MAX_BUCKET, same
+    guard as the full rung). Nothing rescans the corpus. Docs without
+    embeddings simply cannot match the semantic tier (LEFT JOIN), same
+    1:1 vec_id≡doc_id contract `llm_dataset_audit` pins."""
+    t = load_tables(spark, sf_dir)
+    split = 400
+    base = incremental_classify(t.documents, split=split)
+    sem = _inc_semantic_best_for(spark, sf_dir, t.embeddings, split)
+    return (
+        base.join(sem, base.doc_id == sem.a, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("status") != "new", F.col("status"))
+            .when(F.col("sem_id").isNotNull(), F.lit("semantic"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("match_id", "sem_id").alias("match_id"),
+            F.when(F.col("status") == "near", F.col("jaccard"))
+            .when(
+                (F.col("status") == "new") & F.col("sem_id").isNotNull(),
+                F.col("cos_sim"),
+            )
+            .cast("double")
+            .alias("score"),
         )
     )
 

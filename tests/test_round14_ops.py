@@ -142,6 +142,116 @@ def test_dispatch_oracle_carries_both_legs():
     assert "(SELECT blocking FROM ch_decision) = 'centroid'" in sql
 
 
+# ------------------------------------------------ incremental semantic tier
+
+
+def _inc_fixture(tmp_path, shape, n=420, split=400, n_clusters=32, mix=0.55):
+    """n docs/vecs with PLANTED cross-split duplicates for the
+    three-tier incremental classifier: doc 400 is an exact copy of
+    indexed doc 7; doc 401 is a lexical near-dup of doc 9 (one token
+    appended, 3-gram Jaccard 10/11); doc 402 is a SEMANTIC-ONLY dup of
+    doc 11 (identical embedding, disjoint md5 token stream — no
+    shingle overlap); everything else is unique. ``shape`` controls
+    the INDEXED side's embedding space: 'uniform' routes the tier's
+    dispatch to LSH, 'clustered' (the r13 Gaussian-mixture
+    construction) to 2-probe centroid blocking."""
+    texts = [
+        " ".join(hashlib.md5(f"i:{i}:{t}".encode()).hexdigest() for t in range(12))
+        for i in range(n)
+    ]
+    texts[400] = texts[7]
+    texts[401] = texts[9] + " " + hashlib.md5(b"extra").hexdigest()
+
+    def uni(i):
+        return [_h(f"iv:{i}:{j}") for j in range(64)]
+
+    emb = []
+    for i in range(n):
+        if shape == "clustered" and i < split:
+            c = [_h(f"ct:{i % n_clusters}:{j}") for j in range(64)]
+            f = uni(i)
+            emb.append([mix * x + (1 - mix) * y for x, y in zip(c, f)])
+        else:
+            emb.append(uni(i))
+    emb[402] = emb[11]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        os.path.join(tmp_path, "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"src{i % 4 + 2}" for i in range(n)], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            os.symlink(f"{SF001}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    return str(tmp_path)
+
+
+def _classify(spark, d):
+    from heroku_kafka_connect_spark.registry import all_queries
+
+    rows = all_queries()["llm_dedup_incremental_semantic"].fn(spark, d).collect()
+    return {r["doc_id"]: (r["status"], r["match_id"]) for r in rows}
+
+
+def test_incremental_three_tier_planted_uniform(spark, tmp_path):
+    """Planted exact/near/semantic-only dups classify into their tiers
+    on a uniform index (dispatch → LSH leg), the semantic match points
+    at the right indexed doc, and the engine value-matches the
+    dispatched oracle on the constructed fixture."""
+    from check_correctness import run_corpus
+
+    d = _inc_fixture(tmp_path, "uniform")
+    n_pass, n_fail, n_rows_only, failures = run_corpus(
+        d, ["llm_dedup_incremental_semantic"], spark=spark
+    )
+    assert failures == [] and n_pass == 1
+    got = _classify(spark, d)
+    assert got[400] == ("exact", 7)
+    assert got[401] == ("near", 9)
+    assert got[402] == ("semantic", 11)
+    assert sum(1 for s, _ in got.values() if s == "new") >= 10
+
+
+def test_incremental_three_tier_planted_clustered(spark, tmp_path):
+    """Same planted dups on a macro-CLUSTERED index: the tier's chooser
+    (which runs on the indexed side only) must route to the centroid
+    leg, and the identical-embedding semantic dup must still resolve
+    through it — the delta twin of the apply-full centroid gate."""
+    from check_correctness import run_corpus
+
+    from heroku_kafka_connect_spark.operators.llm import semantic_blocking_choice
+    from heroku_kafka_connect_spark.session import load_tables
+
+    d = _inc_fixture(tmp_path, "clustered")
+    t = load_tables(spark, d)
+    indexed = t.embeddings.filter("vec_id < 400")
+    assert semantic_blocking_choice(indexed).collect()[0]["blocking"] == "centroid"
+    n_pass, n_fail, n_rows_only, failures = run_corpus(
+        d, ["llm_dedup_incremental_semantic"], spark=spark
+    )
+    assert failures == [] and n_pass == 1
+    got = _classify(spark, d)
+    assert got[400] == ("exact", 7)
+    assert got[401] == ("near", 9)
+    assert got[402] == ("semantic", 11)
+
+
 # ------------------------------------------------ chooser NaN guard
 
 
