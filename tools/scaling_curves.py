@@ -921,16 +921,29 @@ def main() -> None:
         if os.path.exists(args.out):
             with open(args.out) as f:
                 existing = json.load(f)
-        existing.setdefault("sweeps", {})[f"emb_shape_{args.emb_shape}"] = {
+        key = f"emb_shape_{args.emb_shape}"
+        prev = existing.setdefault("sweeps", {}).get(key, {})
+
+        def _merge(old: list | None, new: list) -> list:
+            # extend-an-octave runs (--scales 128) must FOLD into the
+            # committed sweep, not clobber the measured lower scales
+            by = {p["scale"]: p for p in old or []}
+            for p in new:
+                by[p["scale"]] = p
+            return [by[s] for s in sorted(by)]
+
+        sem_all = _merge(prev.get("semantic_recall"), sem_pts)
+        cen_all = _merge(prev.get("centroid_recall"), cen_pts)
+        existing["sweeps"][key] = {
             "shape": args.emb_shape,
             "base_vecs": args.base_vecs,
-            "scales": scales,
-            "semantic_recall": sem_pts,
-            "centroid_recall": cen_pts,
+            "scales": sorted({p["scale"] for p in cen_all}),
+            "semantic_recall": sem_all,
+            "centroid_recall": cen_all,
         }
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1, sort_keys=True)
-        print(json.dumps({"shape": args.emb_shape, "points": len(cen_pts)}))
+        print(json.dumps({"shape": args.emb_shape, "points": len(cen_all)}))
         return
 
     if args.centroid_recall_only:
