@@ -42,6 +42,8 @@ EXTRA = [
                            # final centroids, broadcast n x k pass)
     "llm_blocking_chooser",  # r13: corpus-shape chooser (Lloyd train + top-2
                            # silhouette + balance -> 1-row decision)
+    "llm_dedup_incremental_semantic",  # r14: chooser-dispatched new x indexed
+                           # semantic tier over the lexical classifier
     "rel_window_range_frame",  # value-bounded RANGE frame, one window shuffle
     "rel_variant_json",    # parse_json once, typed variant_get paths
     "rel_join_bucketed",   # co-bucketed SMJ: only exchange is the final agg
