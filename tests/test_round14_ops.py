@@ -93,10 +93,19 @@ def test_apply_full_dispatches_centroid_on_clustered(spark, tmp_path):
     )
 
     d = _clustered_fixture(tmp_path)
+    # the full COMPOSED pipeline on the clustered shape: three-rung
+    # manifest, curation DAG, dataset card — each value-diffed against
+    # its dispatched oracle (which must take the centroid branch here)
     n_pass, n_fail, n_rows_only, failures = run_corpus(
-        d, ["llm_dedup_apply_full"], spark=spark
+        d,
+        ["llm_dedup_apply_full", "llm_curation_pipeline", "llm_dataset_card"],
+        spark=spark,
     )
-    assert failures == [] and n_fail == 0 and n_pass == 1
+    assert failures == [] and n_fail == 0 and n_pass == 3
+    from heroku_kafka_connect_spark.operators.llm import llm_dataset_card
+
+    card = llm_dataset_card(spark, d).select("sem_blocking").distinct().collect()
+    assert [r["sem_blocking"] for r in card] == ["centroid"]
     # the engine really took the centroid leg (memoized decision row)
     row = _blocking_choice_for(spark, d)
     assert row["blocking"] == "centroid"
