@@ -310,6 +310,42 @@ def test_chooser_zero_distance_corpus_is_not_nan(spark, tmp_path):
     )
 
 
+# ------------------------------------------------ shape-frontier floor (128x)
+
+
+def test_clustered_frontier_artifact_floors():
+    """The r14 octave extension, pinned (r13 verdict item 7): the
+    clustered shape sweep now reaches 128x (256k vectors, k=1003).
+    Measured facts the SCALE.md narrative states: the chooser picks
+    centroid at EVERY clustered scale; single-probe keeps decaying;
+    2-probe crossed below the 0.87 dedup-grade floor at 128x (0.83) —
+    and the PROBE-3 point restores ≥ 0.92 at ~2.25x the probe-2
+    candidate mass, still growing ~linearly in n while clustered LSH
+    mass (the alternative) is 5.7x larger and growing ~n^1.8."""
+    import json
+
+    with open("/root/repo/SCALING_CURVES.json") as f:
+        art = json.load(f)
+    pts = sorted(
+        art["sweeps"]["emb_shape_clustered"]["centroid_recall"],
+        key=lambda p: p["scale"],
+    )
+    assert pts[-1]["scale"] >= 128
+    for p in pts:
+        assert p["chooser_blocking"] == "centroid"
+    p128 = pts[-1]
+    assert p128["recall_centroid_probe2_dedup_grade"] < 0.87  # the crossing
+    assert p128["recall_centroid_probe3_dedup_grade"] >= 0.92  # the answer
+    assert (
+        p128["candidate_mass_probe3"] / p128["candidate_mass_probe2"] <= 3.0
+    )
+    assert p128["candidate_mass_probe3"] * 5 <= p128["lsh_candidate_mass"]
+    # LSH mass on the clustered shape keeps exploding (superlinear):
+    # per-octave growth ratio > 2 (linear would be == 2)
+    lsh = [p["lsh_candidate_mass"] for p in pts[-2:]]
+    assert lsh[1] / lsh[0] > 2.5
+
+
 # ------------------------------------------------ constant single-sourcing
 
 

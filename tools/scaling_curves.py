@@ -576,20 +576,32 @@ def centroid_recall_point(
         * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
     )
     w2 = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    top2 = (
+    # one ranking pass serves BOTH probe depths: rank <= 3 collected,
+    # probe-2 sets are the rn<=2 subset. Probe-3 exists because the
+    # r14 128x octave measured probe-2 dedup-grade recall crossing
+    # below the 0.87 floor (0.8717 at 64x -> 0.83 at 128x) — the
+    # next multi-probe rung is the measured answer, at its measured
+    # candidate-mass price.
+    top3 = (
         d2.select("vec_id", "cid", cos2.alias("__cos"))
         .withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= 2)
-        .select("vec_id", "cid")
+        .filter(F.col("__rn") <= 3)
+        .select("vec_id", "cid", "__rn")
         .collect()
     )
     probe2_wall = round(time.monotonic() - t1, 3)
     cids2: dict = {}
-    for r in top2:
-        cids2.setdefault(r.vec_id, set()).add(r.cid)
+    cids3: dict = {}
+    for r in top3:
+        if r["__rn"] <= 2:
+            cids2.setdefault(r.vec_id, set()).add(r.cid)
+        cids3.setdefault(r.vec_id, set()).add(r.cid)
     captured2 = {p for p in truth if cids2.get(p[0], set()) & cids2.get(p[1], set())}
     sizes2 = Counter(c for s in cids2.values() for c in s)
     mass2 = sum(s * (s - 1) // 2 for s in sizes2.values())
+    captured3 = {p for p in truth if cids3.get(p[0], set()) & cids3.get(p[1], set())}
+    sizes3 = Counter(c for s in cids3.values() for c in s)
+    mass3 = sum(s * (s - 1) // 2 for s in sizes3.values())
 
     # LSH cost census on the SAME corpus (the other side of the shape
     # frontier): per-(table, bucket) sizes under the production
@@ -643,6 +655,7 @@ def centroid_recall_point(
         "assignment_rows_per_iter": n_corpus * k,
         "candidate_mass": sum(s * (s - 1) // 2 for s in sizes),
         "candidate_mass_probe2": mass2,
+        "candidate_mass_probe3": mass3,
         "max_cluster": sizes[0] if sizes else 0,
         "train_assign_wall_sec": train_wall,
         "probe2_extra_wall_sec": probe2_wall,
@@ -651,6 +664,9 @@ def centroid_recall_point(
         "recall_centroid_probe2": (
             round(len(captured2) / len(truth), 4) if truth else None
         ),
+        "recall_centroid_probe3": (
+            round(len(captured3) / len(truth), 4) if truth else None
+        ),
     }
     for band, keys in bands.items():
         out[f"recall_centroid_{band}"] = (
@@ -658,6 +674,9 @@ def centroid_recall_point(
         )
         out[f"recall_centroid_probe2_{band}"] = (
             round(len(captured2 & keys) / len(keys), 4) if keys else None
+        )
+        out[f"recall_centroid_probe3_{band}"] = (
+            round(len(captured3 & keys) / len(keys), 4) if keys else None
         )
     return out
 
