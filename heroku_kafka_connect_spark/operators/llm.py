@@ -1991,11 +1991,25 @@ def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_probe_for(k: int) -> int:
+    """Multi-probe depth for centroid blocking — the r14 octave's
+    measured rule (SCALING_CURVES.json `emb_shape_clustered`,
+    SCALE.md round-14): 2-probe holds dedup-grade recall ≥ 0.87
+    through k = 503 (the 64× sweep point) and crosses below grade at
+    k = 1003 (0.830), where 3-probe restores 0.92 at ~2.25× the
+    probe-2 candidate mass — mass per probe level stays ~linear in n,
+    so the deeper probe buys recall without changing the asymptotic.
+    Every fixture gate derives k = 8 → probe 2, bit-identical to the
+    r13 plans and oracles."""
+    return 2 if k <= 503 else 3
+
+
 def _centroid2_pairs(
     embeddings: DataFrame,
     k: int,
     threshold: float = SEM_THRESHOLD,
     iters: int = KMEANS_ITERS,
+    probe: int | None = None,
 ) -> DataFrame:
     """2-PROBE centroid-blocked exact cosine pairs: candidates are
     pairs whose TOP-2 centroid sets (vs the FINAL trained centroids)
@@ -2004,10 +2018,15 @@ def _centroid2_pairs(
     operative form of SemDeDup at scale (single-probe recall decays on
     EVERY corpus shape once k = ⌈n/256⌉ grows: 0.955 → 0.604 even
     clustered; 2-probe holds ≥ 0.87 at exactly 4× candidate mass —
-    SCALING_CURVES.json emb_shape_*). Verify is the shared
+    SCALING_CURVES.json emb_shape_*). ``probe`` defaults to the
+    measured k-conditional depth (`_centroid_probe_for`: 2 through
+    k = 503, 3 above — the r14 octave found the probe-2 → probe-3
+    crossing between 64× and 128×). Verify is the shared
     dot/(norm·norm) ROUND(4) contract."""
     from ..functions.vectors import dot, norm
 
+    if probe is None:
+        probe = _centroid_probe_for(k)
     _, cents = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
     v = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2022,7 +2041,7 @@ def _centroid2_pairs(
         v.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", cos.alias("__cos"))
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 2)
+        .filter(F.col("__rn") <= probe)
         .select("vec_id", "cid")
     )
     cand = (
@@ -2065,13 +2084,15 @@ def _centroid2_pairs_for(
     return _CENTROID2_PAIRS_MEMO[key]
 
 
-def _centroid2_pair_ctes(kprefix: str = "") -> str:
+def _centroid2_pair_ctes(kprefix: str = "", probe: int = 2) -> str:
     """``p2d/p2/c2cand/c2pairs`` CTE chain ending in ``c2pairs(a, b)``
-    — a TOP-2 rank of every vector against the ``{kprefix}``-prefixed
-    Lloyd chain's FINAL centroids (cosine DESC, cid-asc ties — the
-    same contract the chooser oracle proved out), shared-cid
-    candidates, the ROUND(4) verify at SEM_THRESHOLD. Shared by
-    `_centroid2_dedup_oracle` and the dispatched apply-full chain."""
+    — a TOP-``probe`` rank of every vector against the
+    ``{kprefix}``-prefixed Lloyd chain's FINAL centroids (cosine DESC,
+    cid-asc ties — the same contract the chooser oracle proved out),
+    shared-cid candidates, the ROUND(4) verify at SEM_THRESHOLD.
+    Shared by `_centroid2_dedup_oracle` and the dispatched apply-full
+    chain; ``probe`` replays the engine's measured k-conditional
+    depth (`_centroid_probe_for`)."""
     fold = "list_reduce({l}, (a,b) -> a + b)"
     dot = fold.format(l="list_transform(e.v, (x,i) -> x * c.cv[i])")
     nv = fold.format(l="list_transform(e.v, x -> x * x)")
@@ -2083,7 +2104,7 @@ def _centroid2_pair_ctes(kprefix: str = "") -> str:
                                 ORDER BY ({dot}) / (sqrt({nv}) * sqrt({nc})) DESC,
                                          c.cid ASC) AS rn
       FROM {kprefix}e e CROSS JOIN {kprefix}c{KMEANS_ITERS} c),
-    p2 AS (SELECT vec_id, cid FROM p2d WHERE rn <= 2),
+    p2 AS (SELECT vec_id, cid FROM p2d WHERE rn <= {probe}),
     c2cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM p2 x JOIN p2 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
@@ -2106,7 +2127,7 @@ def _centroid2_dedup_oracle(sf_dir: str) -> str:
         "WITH RECURSIVE "
         + _kmeans_assign_ctes(k=k)
         + ","
-        + _centroid2_pair_ctes()
+        + _centroid2_pair_ctes(probe=_centroid_probe_for(k))
         + """,
     c2sym AS (SELECT a AS u, b AS v FROM c2pairs UNION ALL SELECT b AS u, a AS v FROM c2pairs),
     c2reach(u, v) AS (
@@ -2364,7 +2385,7 @@ def _sem_dispatch_ctes(sf_dir: str) -> str:
         parts += [",", _kmeans_assign_ctes(k=kc, prefix=cb)]
     parts += [
         ",",
-        _centroid2_pair_ctes(kprefix=cb),
+        _centroid2_pair_ctes(kprefix=cb, probe=_centroid_probe_for(kc)),
         ",",
         _emb_pairs_ctes(planes=planes, tables=tables, final_name="lsh_pairs"),
         """,
@@ -2944,7 +2965,7 @@ def _inc_sem_ctes(sf_dir: str, split: int) -> str:
                                 ORDER BY ({dot}) / (sqrt({nv}) * sqrt({nc})) DESC,
                                          c.cid ASC) AS rn
       FROM iseme e CROSS JOIN {cb}c{KMEANS_ITERS} c),
-    ip2 AS (SELECT vec_id, cid FROM ip2d WHERE rn <= 2),
+    ip2 AS (SELECT vec_id, cid FROM ip2d WHERE rn <= {_centroid_probe_for(k)}),
     icc AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM ip2 x JOIN ip2 y ON x.cid = y.cid
@@ -3058,7 +3079,7 @@ def _inc_semantic_best(
             v.crossJoin(F.broadcast(cents))
             .select("vec_id", "cid", cos.alias("__cos"))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 2)
+            .filter(F.col("__rn") <= _centroid_probe_for(k))
             .select("vec_id", "cid")
         )
         cand = (

@@ -346,6 +346,66 @@ def test_clustered_frontier_artifact_floors():
     assert lsh[1] / lsh[0] > 2.5
 
 
+def test_centroid_probe_rule_and_probe3_parity(spark, tmp_path):
+    """The measured probe ladder become behavior: `_centroid_probe_for`
+    switches 2-probe → 3-probe above k = 503 (the octave's measured
+    crossing), every fixture gate (k = 8) stays 2-probe, and the
+    probe-3 leg's engine/oracle parity is pinned on constructed
+    clustered data by forcing probe=3 at small k on BOTH sides."""
+    import duckdb
+
+    from heroku_kafka_connect_spark.operators.llm import (
+        _centroid2_pair_ctes,
+        _centroid2_pairs,
+        _centroid_probe_for,
+        _kmeans_assign_ctes,
+    )
+
+    assert _centroid_probe_for(8) == 2
+    assert _centroid_probe_for(503) == 2
+    assert _centroid_probe_for(504) == 3
+
+    n, n_clusters, mix = 400, 32, 0.55
+    emb = []
+    for i in range(n):
+        c = [_h(f"ct:{i % n_clusters}:{j}") for j in range(64)]
+        f = [_h(f"{i}:{j}") for j in range(64)]
+        emb.append([mix * x + (1 - mix) * y for x, y in zip(c, f)])
+    path = os.path.join(tmp_path, "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+    df = spark.read.parquet(path)
+    eng = sorted(
+        (r["a"], r["b"])
+        for r in _centroid2_pairs(df, k=8, probe=3).select("a", "b").collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    sql = (
+        "WITH "
+        + _kmeans_assign_ctes(k=8)
+        + ","
+        + _centroid2_pair_ctes(probe=3)
+        + " SELECT a, b FROM c2pairs"
+    )
+    duck = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
+    assert len(eng) > 0
+    assert eng == duck
+    # and probe-3 admits a superset of probe-2's candidates
+    eng2 = {
+        (r["a"], r["b"])
+        for r in _centroid2_pairs(df, k=8, probe=2).select("a", "b").collect()
+    }
+    assert eng2 <= set(eng)
+
+
 # ------------------------------------------------ constant single-sourcing
 
 
