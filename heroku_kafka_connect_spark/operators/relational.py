@@ -4498,7 +4498,14 @@ def rel_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched once, map-only; truth rides a broadcast semi-join of the
     same dimension. Bit positions are 16-bit md5 prefixes mod m on
     both engines; counts are exact BIGINTs and the FP rate is one
-    IEEE division."""
+    IEEE division. The probe side is `parallelize_scan`'d (r14: the
+    one-file fixture gave the md5×3 + array_contains×3 probe map a
+    SINGLE input split — 1.35B element comparisons on one core, the
+    quiet-ledger's last ≥1.5× straggler; at cluster scale the scan
+    has ample splits and the repartition is a no-op-cost shuffle of
+    one int column)."""
+    from .common import parallelize_scan
+
     t = load_tables(spark, sf_dir)
     dim = t.customer.filter(F.col("c_acctbal") > 7500).select(
         F.col("c_custkey").alias("k")
@@ -4521,7 +4528,7 @@ def rel_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = dim.select(F.col("k").alias("o_custkey")).withColumn("is_true", F.lit(True))
     probe = (
-        t.orders.select("o_custkey")
+        parallelize_scan(t.orders.select("o_custkey"), "o_custkey")
         .join(F.broadcast(truth), "o_custkey", "left")
         .select(
             F.col("o_custkey").alias("k"),
