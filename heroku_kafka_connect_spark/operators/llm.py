@@ -2201,7 +2201,7 @@ def _chooser_ctes(kprefix: str = "") -> str:
     return f"""
     ch_dists AS (
       SELECT e.vec_id, c.cid,
-             1.0 - ({dot}) / (sqrt({nv}) * sqrt({nc})) AS dist
+             GREATEST(1.0 - ({dot}) / (sqrt({nv}) * sqrt({nc})), 0.0) AS dist
       FROM {kprefix}e e CROSS JOIN {kprefix}c{KMEANS_ITERS} c
     ),
     ch_ranked AS (
@@ -2294,7 +2294,7 @@ def semantic_blocking_choice(
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
     ab = (
         v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", (F.lit(1.0) - cos).alias("dist"))
+        .select("vec_id", "cid", F.greatest(F.lit(1.0) - cos, F.lit(0.0)).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
         .groupBy("vec_id")
@@ -2309,6 +2309,11 @@ def semantic_blocking_choice(
     # balance-veto regime) is otherwise 0/0 → NaN, which Spark casts
     # to 0L while DuckDB's CAST(ROUND(NaN) AS BIGINT) errors (r13
     # ADVICE item 3); the floor makes both engines see s_micro = 0.
+    # dist itself is clamped ≥ 0 at the source (r14 ADVICE: IEEE fold
+    # error can push cos fractionally past 1, and a negative best
+    # distance with a ~0 runner-up would ride the 1e-300 floor into a
+    # BIGINT overflow that Spark clamps but DuckDB errors on), so
+    # (b−a)/max(a,b) ≤ 1 whenever b > 0 and s_micro stays ≤ 1e6.
     s = ab.select(
         "assigned",
         F.round(
@@ -6037,9 +6042,9 @@ def llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dists AS (
       SELECT e.vec_id, c.centroid_id,
-             1.0 - list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+             GREATEST(1.0 - list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS dist
+                  * sqrt(list_dot_product(c.cv, c.cv))), 0.0) AS dist
       FROM embeddings e CROSS JOIN cents c
     ),
     ranked AS (
@@ -6091,7 +6096,7 @@ def llm_silhouette_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "centroid_id",
-            (F.lit(1.0) - cosine(F.col("v"), F.col("cv"))).alias("dist"),
+            F.greatest(F.lit(1.0) - cosine(F.col("v"), F.col("cv")), F.lit(0.0)).alias("dist"),
         )
     )
     rn = F.row_number().over(

@@ -40,18 +40,25 @@ def main() -> int:
     p = df._jdf.queryExecution().executedPlan().toString()
 
     # the listener is still async even on a quiet bus — poll until the
-    # checkpoint executions land (they always do here; the generous
-    # ceiling only bounds a hung JVM)
+    # census is STABLE (scan count AND execution count unchanged for a
+    # few consecutive ticks after reaching 2), not merely until the
+    # first >= 2 reading: a regressed plan whose first-landed
+    # executions happen to sum to exactly 2 would otherwise freeze the
+    # census before the extra executions land (r14 ADVICE item 1).
+    # The generous ceiling only bounds a hung JVM.
     scans = n_execs = 0
+    stable = 0
     for _ in range(240):
         time.sleep(0.25)
         execs = store.executionsList()
-        n_execs = execs.size()
-        scans = sum(
+        new_n = execs.size()
+        new_scans = sum(
             execs.apply(i).physicalPlanDescription().count("lineitem.parquet")
-            for i in range(n_execs)
+            for i in range(new_n)
         )
-        if scans >= 2:
+        stable = stable + 1 if (new_scans, new_n) == (scans, n_execs) else 0
+        scans, n_execs = new_scans, new_n
+        if scans >= 2 and stable >= 8:
             break
     print(
         json.dumps(
