@@ -845,3 +845,232 @@ def kmeans_lloyd(
             .select("cid", F.coalesce("cv", "__prev_cv").alias("cv"))
         )
     return assign, cents
+
+
+# --------------------------------------------------------------- sampled k-means
+
+#: k at or below which `kmeans_sampled` runs the EXACT Lloyd trainer.
+#: Every oracle fixture gate (k = 8 at the driver fixtures, k = 9 at
+#: the constructed >2048-vector parity gates) sits far under it, so
+#: the SQL-replayable path — and every committed plan/oracle — is
+#: bit-identical to the pre-r15 behavior; the sampled path is the
+#: at-scale branch, pytest-gated on recall rather than value-oracled.
+KMEANS_EXACT_MAX_K = 32
+#: Fine-training sample = 1 / KMEANS_SAMPLE_BUCKETS of the corpus by
+#: md5 bucket. At the k = ⌈n/256⌉ geometry this is EXACTLY 32 sampled
+#: vectors per centroid (256 / 8) — the fixed per-centroid training
+#: budget (FAISS trains IVF quantizers the same way: a bounded
+#: points-per-centroid subsample, not the corpus).
+KMEANS_SAMPLE_BUCKETS = 8
+#: Coarse-quantizer training set: 256 vectors per coarse centroid,
+#: md5-order-deterministic. Coarse Lloyd cost is then
+#: 256·k_c² ≈ 256·k ≈ n per round — linear in the corpus.
+KMEANS_COARSE_PER_CENTROID = 256
+#: Coarse cells probed when the coarse quantizer accelerates an
+#: argmax/top-probe pass (training rounds AND the downstream corpus
+#: assignment). 2 is the same Voronoi-boundary mitigation as the fine
+#: 2-probe rung; the r15 recall gate measures the combined effect.
+KMEANS_COARSE_PROBE = 2
+
+
+def _coarse_k_for(k: int) -> int:
+    """⌈√k⌉ coarse cells — the flat-IVF optimum: per-vector assignment
+    work k_c + p·k/k_c is minimized (≈ 2√k) when k_c = √k, which is
+    what turns the exact trainer's measured α 1.88 (n·k = n²/256) into
+    the n·√k assignment envelope (α 1.25 asymptotic; the remaining gap
+    to α 1.0 needs a log-depth tree quantizer — see SCALE.md r15)."""
+    import math
+
+    # ⌈√k⌉ == isqrt(k−1) + 1 for every k ≥ 1
+    return max(2, math.isqrt(max(k - 1, 1)) + 1)
+
+
+def rank_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    probe: int,
+    *,
+    id_col: str = "__id",
+    vec_col: str = "__v",
+) -> DataFrame:
+    """(id, cid, __rn) — each vector's ``probe`` nearest centroids by
+    cosine (ties on cid asc), the shared brute-force ranking pass of
+    `kmeans_lloyd` / `_centroid2_pairs` / the chooser, factored out so
+    the coarse-accelerated variant (`coarse_rank_centroids`) is a
+    drop-in. One broadcast of cents into the corpus scan, one window
+    keyed on the vector id."""
+    from pyspark.sql import Window
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    d = vectors.crossJoin(F.broadcast(cents))
+    cos = fold_sum(F.zip_with(vec_col, "cv", lambda x, y: x * y)) / (
+        F.sqrt(fold_sum(F.transform(vec_col, lambda x: x * x)))
+        * F.sqrt(fold_sum(F.transform("cv", lambda x: x * x)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    return (
+        d.select(id_col, vec_col, "cid", cos.alias("__cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probe)
+        .select(id_col, vec_col, "cid", "__rn")
+    )
+
+
+def coarse_rank_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    coarse: tuple[DataFrame, DataFrame],
+    probe: int,
+    *,
+    id_col: str = "__id",
+    vec_col: str = "__v",
+    coarse_probe: int = KMEANS_COARSE_PROBE,
+) -> DataFrame:
+    """Coarse-quantizer-accelerated `rank_centroids`: rank the k_c≈√k
+    COARSE cells brute-force (n·√k), then rank only the fine centroids
+    living in the vector's top-``coarse_probe`` cells (n·p·k/√k ≈
+    n·p·√k) — the flat-IVF assignment envelope, replacing the exact
+    n·k argmax that measured α 1.88 at the k = ⌈n/256⌉ geometry.
+    APPROXIMATE by design: a fine centroid outside the probed coarse
+    cells is invisible to that vector (the r15 recall gate + shape
+    sweep measure the cost); a vector whose probed cells hold no fine
+    centroid yields no rows, exactly like an empty LSH bucket.
+
+    Plan shape: two broadcasts (coarse cells, then the cell-tagged
+    fine centroids) and ONE exchange — the second window reuses the
+    vec-id hash partitioning the first window installed, so the
+    accelerated pass shuffles n·k_c thin rows instead of ranking n·k.
+    At 100 TB-scale k (k ≳ 10⁵) the fine side outgrows a broadcast and
+    becomes a shuffle join on cell — same per-cell-bounded mass."""
+    from pyspark.sql import Window
+
+    coarse_cents, fine_cells = coarse
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    vcells = (
+        rank_centroids(vectors, coarse_cents, coarse_probe, id_col=id_col, vec_col=vec_col)
+        .select(id_col, vec_col, F.col("cid").alias("cell"))
+    )
+    fine = F.broadcast(
+        cents.join(fine_cells, "cid").select("cid", "cell", "cv")
+    )
+    cos = fold_sum(F.zip_with(vec_col, "cv", lambda x, y: x * y)) / (
+        F.sqrt(fold_sum(F.transform(vec_col, lambda x: x * x)))
+        * F.sqrt(fold_sum(F.transform("cv", lambda x: x * x)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    return (
+        vcells.join(fine, "cell")
+        .select(id_col, vec_col, "cid", cos.alias("__cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probe)
+        .select(id_col, vec_col, "cid", "__rn")
+    )
+
+
+def kmeans_sampled(
+    vectors: DataFrame,
+    *,
+    k: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame] | None]:
+    """SAMPLE-TRAINED k-means + coarse quantizer — the r15 fix for the
+    filed α-1.88 exact trainer (SCALE.md 100 TB table: exact-argmax
+    Lloyd at k = ⌈n/256⌉ is n·k = n²/256). Returns ``(cents, coarse)``
+    where ``cents`` is the (cid, cv) fine-centroid relation and
+    ``coarse`` is ``(coarse_cents, fine_cells)`` for
+    `coarse_rank_centroids` — or ``None`` when k ≤ KMEANS_EXACT_MAX_K,
+    in which case the EXACT `kmeans_lloyd` ran and every committed
+    plan/oracle is untouched (all fixture gates).
+
+    The sampled path:
+    1. fine-training sample = md5-bucket 1/8 of the corpus — 32
+       vectors per centroid at the ⌈n/256⌉ geometry, deterministic in
+       the ids (the md5-order idiom: re-runs and engines agree);
+    2. coarse quantizer: EXACT `kmeans_lloyd` with k_c = ⌈√k⌉ over the
+       256·k_c md5-smallest sample vectors (256·k_c² ≈ 256·k ≈ n ops
+       per round — linear);
+    3. fine Lloyd rounds over the sample with COARSE-ACCELERATED
+       argmax (sample·2√k per round instead of sample·k), init = the
+       k md5-smallest sample vectors, same decimal-mean/round-6
+       determinism contract as `kmeans_lloyd`, empty clusters carry
+       forward.
+
+    Cost envelope: training is O(n) per round (constants: 1/8 sample ×
+    2√k-accelerated argmax ≈ n·√k/4), the downstream full-corpus
+    assignment is n·(√k + p·√k) — α 1.25 asymptotic vs the exact
+    trainer's 2.0, and the measured octave (SCALING_CURVES
+    `sampled_trainer`) is the evidence the 100 TB table now cites."""
+    if k <= KMEANS_EXACT_MAX_K:
+        _, cents = kmeans_lloyd(vectors, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+        return cents, None
+
+    kc = _coarse_k_for(k)
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    rnd6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
+    sample = (
+        v.withColumn("__ord", F.md5(F.col("__id").cast("string")))
+        .filter(md5_prefix_bucket(F.col("__id"), KMEANS_SAMPLE_BUCKETS) == 0)
+        .localCheckpoint(eager=True)
+    )
+    coarse_train = sample.orderBy("__ord", "__id").limit(KMEANS_COARSE_PER_CENTROID * kc)
+    _, coarse_cents = kmeans_lloyd(
+        coarse_train, k=kc, iters=iters, vec_col="__v", id_col="__id"
+    )
+    coarse_cents = coarse_cents.localCheckpoint(eager=True)
+
+    cents = (
+        sample.orderBy("__ord", "__id")
+        .limit(k)
+        .select(F.col("__id").alias("cid"), rnd6(F.col("__v")).alias("cv"))
+    )
+
+    def cells_of(c: DataFrame) -> DataFrame:
+        return (
+            rank_centroids(
+                c.select(F.col("cid").alias("__fid"), F.col("cv").alias("__fv")),
+                coarse_cents,
+                1,
+                id_col="__fid",
+                vec_col="__fv",
+            )
+            .select(F.col("__fid").alias("cid"), F.col("cid").alias("cell"))
+        )
+
+    strain = sample.select("__id", "__v")
+    for _ in range(iters):
+        fine_cells = cells_of(cents)
+        assign = coarse_rank_centroids(strain, cents, (coarse_cents, fine_cells), 1)
+        dims = assign.select("cid", F.posexplode("__v").alias("dim", "val"))
+        new_cents = (
+            dims.groupBy("cid", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        cents = (
+            cents.select("cid", F.col("cv").alias("__prev_cv"))
+            .join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("cv", "__prev_cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents, (coarse_cents, cells_of(cents).localCheckpoint(eager=True))

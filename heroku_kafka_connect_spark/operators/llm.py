@@ -1886,7 +1886,23 @@ def _centroid_pairs(
     cap-and-route drill applies (SCALE.md round-12 overflow drill)."""
     from ..functions.vectors import dot, norm
 
-    assign, _ = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
+    if k > llmops.KMEANS_EXACT_MAX_K:
+        # r15 sampled-trainer branch (never a fixture gate): final
+        # sampled centroids + coarse-accelerated argmax stand in for
+        # the exact last-round assignment — the same approximation the
+        # recall gate and shape sweep measure on the 2-probe leg
+        cents, coarse = llmops.kmeans_sampled(embeddings, k=k, iters=iters)
+        assign = llmops.coarse_rank_centroids(
+            embeddings.select(
+                F.col("vec_id").alias("__id"),
+                F.col("embedding").cast("array<double>").alias("__v"),
+            ),
+            cents,
+            coarse,
+            1,
+        )
+    else:
+        assign, _ = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
     e = assign.select(
         F.col("__id").alias("vec_id"), "cid", F.col("__v").alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -2022,28 +2038,46 @@ def _centroid2_pairs(
     measured k-conditional depth (`_centroid_probe_for`: 2 through
     k = 503, 3 above — the r14 octave found the probe-2 → probe-3
     crossing between 64× and 128×). Verify is the shared
-    dot/(norm·norm) ROUND(4) contract."""
+    dot/(norm·norm) ROUND(4) contract.
+
+    Since r15 the trainer is `llmops.kmeans_sampled`: every fixture
+    gate (k ≤ 32) still runs the EXACT oracle-replayable Lloyd chain
+    bit-identically, while above it — the regime where the r14 100 TB
+    table filed exact training as the last quadratic (α 1.88) — the
+    centroids are sample-trained and BOTH the training argmax and this
+    top-``probe`` rank go through the ⌈√k⌉-cell coarse quantizer
+    (`llmops.coarse_rank_centroids`), replacing the n·k broadcast rank
+    with the n·√k flat-IVF envelope. The sampled branch is pytest-
+    gated on planted-clone recall (tests/test_round15_ops.py) and
+    measured in SCALING_CURVES `sampled_trainer`."""
     from ..functions.vectors import dot, norm
 
     if probe is None:
         probe = _centroid_probe_for(k)
-    _, cents = llmops.kmeans_lloyd(embeddings, k=k, iters=iters)
+    cents, coarse = llmops.kmeans_sampled(embeddings, k=k, iters=iters)
     v = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
-    cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
-        F.sqrt(fold(F.transform("v", lambda x: x * x)))
-        * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    top2 = (
-        v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cos.alias("__cos"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= probe)
-        .select("vec_id", "cid")
-    )
+    if coarse is not None:
+        top2 = llmops.coarse_rank_centroids(
+            v, cents, coarse, probe, id_col="vec_id", vec_col="v"
+        ).select("vec_id", "cid")
+    else:
+        fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
+        cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
+            F.sqrt(fold(F.transform("v", lambda x: x * x)))
+            * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("__cos").desc(), F.col("cid").asc()
+        )
+        top2 = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", cos.alias("__cos"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= probe)
+            .select("vec_id", "cid")
+        )
     cand = (
         top2.select(F.col("vec_id").alias("a"), "cid")
         .join(top2.select(F.col("vec_id").alias("b"), "cid"), "cid")
@@ -3068,25 +3102,33 @@ def _inc_semantic_best(
     choice = semantic_blocking_choice(indexed).collect()[0]["blocking"]
     if choice == "centroid":
         k = _centroid_k_for(min(split, _n_embeddings(sf_dir)))
-        _, cents = llmops.kmeans_lloyd(indexed, k=k, iters=KMEANS_ITERS)
+        # r15: sampled trainer + coarse-accelerated rank above k = 32
+        # (the index side is what trains, exactly like the full rung);
+        # every registered split (400) floors k at 8 → exact chain
+        cents, coarse = llmops.kmeans_sampled(indexed, k=k, iters=KMEANS_ITERS)
         v = embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
-        cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
-            F.sqrt(fold(F.transform("v", lambda x: x * x)))
-            * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("__cos").desc(), F.col("cid").asc()
-        )
-        top2 = (
-            v.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", cos.alias("__cos"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= _centroid_probe_for(k))
-            .select("vec_id", "cid")
-        )
+        if coarse is not None:
+            top2 = llmops.coarse_rank_centroids(
+                v, cents, coarse, _centroid_probe_for(k), id_col="vec_id", vec_col="v"
+            ).select("vec_id", "cid")
+        else:
+            fold = lambda a: F.aggregate(a, F.lit(0.0), lambda x, y: x + y)  # noqa: E731
+            cos = fold(F.zip_with("v", "cv", lambda x, y: x * y)) / (
+                F.sqrt(fold(F.transform("v", lambda x: x * x)))
+                * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("__cos").desc(), F.col("cid").asc()
+            )
+            top2 = (
+                v.crossJoin(F.broadcast(cents))
+                .select("vec_id", "cid", cos.alias("__cos"))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= _centroid_probe_for(k))
+                .select("vec_id", "cid")
+            )
         cand = (
             top2.filter(F.col("vec_id") >= split)
             .select(F.col("vec_id").alias("a"), "cid")

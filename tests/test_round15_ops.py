@@ -88,3 +88,68 @@ def test_incremental_oracle_ib_chain_at_k9(spark, tmp_path):
     )
     assert len(eng) > 0
     assert eng == duck
+
+
+# ------------------------------------------- sampled k-means trainer (r15 item 1)
+
+
+def _clustered_range_corpus(spark, n, n_clusters=32, mix=0.55):
+    """The r13 shape-sweep 'clustered' constructor (SQL-side md5
+    Gaussian-mixture), sized past the sampled-trainer threshold."""
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "cast(conv(substr(md5(concat(cast({i} as string), ':', cast(j as string))), 1, 8), 16, 10) as double)"
+        " / 4294967296.0E0 - 0.5E0)"
+    )
+    center = base.format(i=f"concat('ct:', cast(id % {n_clusters} as string))")
+    emb = (
+        f"zip_with({center}, {base.format(i='id')}, "
+        f"(c, f) -> {mix}E0 * c + {1 - mix}E0 * f)"
+    )
+    return spark.range(n).selectExpr("id AS vec_id", emb + " AS embedding")
+
+
+def test_kmeans_sampled_exact_passthrough_and_determinism(spark):
+    """k ≤ KMEANS_EXACT_MAX_K must be the EXACT `kmeans_lloyd` path —
+    identical centroids, no coarse index — so every committed fixture
+    plan and unrolled-Lloyd oracle is untouched by the r15 trainer
+    swap; and the sampled path must be run-to-run deterministic (the
+    md5-order idiom, not RNG sampling)."""
+    from heroku_kafka_connect_spark import llmops
+
+    corpus = _clustered_range_corpus(spark, 2048).localCheckpoint(eager=True)
+    cs, coarse = llmops.kmeans_sampled(corpus, k=8, iters=3)
+    _, cl = llmops.kmeans_lloyd(corpus, k=8, iters=3)
+    assert coarse is None
+    assert sorted((r["cid"], tuple(r["cv"])) for r in cs.collect()) == sorted(
+        (r["cid"], tuple(r["cv"])) for r in cl.collect()
+    )
+
+    big = _clustered_range_corpus(spark, 10240).localCheckpoint(eager=True)
+    c1, ix1 = llmops.kmeans_sampled(big, k=40, iters=2)
+    c2, ix2 = llmops.kmeans_sampled(big, k=40, iters=2)
+    assert ix1 is not None and c1.count() == 40
+    assert sorted((r["cid"], tuple(r["cv"])) for r in c1.collect()) == sorted(
+        (r["cid"], tuple(r["cv"])) for r in c2.collect()
+    )
+    # every fine centroid lives in exactly one coarse cell
+    cells = ix1[1]
+    assert cells.count() == 40 and cells.select("cid").distinct().count() == 40
+
+
+def test_sampled_trainer_holds_dedup_grade_recall_floor(spark):
+    """THE r15 acceptance gate (verdict item 1): on the clustered
+    shape-sweep corpus sized past the exact-trainer threshold
+    (n = 8448 → k = 34, sampled path), md5-sample-trained centroids
+    with the ⌈√k⌉-cell coarse-accelerated 2-probe rank must hold the
+    dedup-grade recall floor (≥ 0.87) that the exact trainer held —
+    i.e. the α-1.88 fix does not buy its linearity with recall."""
+    from scaling_curves import centroid_recall_point
+
+    from heroku_kafka_connect_spark import llmops
+
+    p = centroid_recall_point(spark, 8448, shape="clustered")
+    assert p["trainer"] == "sampled"
+    assert p["k"] > llmops.KMEANS_EXACT_MAX_K
+    assert p["chooser_blocking"] == "centroid"
+    assert p["recall_centroid_probe2_dedup_grade"] >= 0.87

@@ -550,46 +550,45 @@ def centroid_recall_point(
         "borderline": {p for p, cv in truth.items() if cv < 0.7},
     }
 
-    t0 = time.monotonic()
-    assign, cents = llmops.kmeans_lloyd(corpus, k=k, iters=3)
-    cid_of = {r[0]: r[1] for r in assign.select("__id", "cid").collect()}
-    train_wall = round(time.monotonic() - t0, 3)
-
+    # r15: the trainer is `kmeans_sampled` — above k = 32 (every sweep
+    # octave) training runs on the md5 1/8 sample with ⌈√k⌉-cell
+    # coarse-accelerated argmax, and the full-corpus rank goes through
+    # `coarse_rank_centroids` instead of the exact n·k broadcast rank
+    # that measured α 1.88 here through r14. train and assignment are
+    # timed SEPARATELY so the octave table can state each leg's α.
     from collections import Counter
 
-    sizes = sorted(Counter(cid_of.values()).values(), reverse=True)
-    captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
-
-    # 2-probe leg: the standard recall mitigation (IVF multi-probe —
-    # a pair is a candidate if the two TOP-2 centroid sets intersect).
-    # One extra n x k pass against the FINAL centroids; measures what
-    # the mitigation recovers and what candidate mass it costs.
     from pyspark.sql import Window
 
-    t1 = time.monotonic()
-    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
-    d2 = corpus.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__v")
-    ).crossJoin(F.broadcast(cents))
-    cos2 = fold(F.zip_with("__v", "cv", lambda x, y: x * y)) / (
-        F.sqrt(fold(F.transform("__v", lambda x: x * x)))
-        * F.sqrt(fold(F.transform("cv", lambda x: x * x)))
+    v3 = corpus.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
     )
-    w2 = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    # one ranking pass serves BOTH probe depths: rank <= 3 collected,
-    # probe-2 sets are the rn<=2 subset. Probe-3 exists because the
-    # r14 128x octave measured probe-2 dedup-grade recall crossing
-    # below the 0.87 floor (0.8717 at 64x -> 0.83 at 128x) — the
-    # next multi-probe rung is the measured answer, at its measured
-    # candidate-mass price.
-    top3 = (
-        d2.select("vec_id", "cid", cos2.alias("__cos"))
-        .withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= 3)
-        .select("vec_id", "cid", "__rn")
-        .collect()
-    )
+    t0 = time.monotonic()
+    cents, coarse = llmops.kmeans_sampled(corpus, k=k, iters=3)
+    if coarse is not None:
+        train_wall = round(time.monotonic() - t0, 3)  # checkpoints are eager
+        trainer = "sampled"
+        kc = coarse[0].count()
+        t1 = time.monotonic()
+        rank3 = llmops.coarse_rank_centroids(v3, cents, coarse, 3)
+    else:
+        # tiny-scale exact path: train wall includes forcing the plan
+        trainer = "exact"
+        kc = 0
+        rank3 = llmops.rank_centroids(v3, cents, 3)
+        train_wall = round(time.monotonic() - t0, 3)
+        t1 = time.monotonic()
+    # one ranking pass serves ALL probe depths: rank <= 3 collected,
+    # single-probe assignment is the rn == 1 subset, probe-2 the
+    # rn <= 2 subset. Probe-3 exists because the r14 128x octave
+    # measured probe-2 dedup-grade recall crossing below the 0.87
+    # floor (0.8717 at 64x -> 0.83 at 128x).
+    top3 = rank3.select(F.col("__id").alias("vec_id"), "cid", "__rn").collect()
     probe2_wall = round(time.monotonic() - t1, 3)
+    cid_of = {r.vec_id: r.cid for r in top3 if r["__rn"] == 1}
+    sizes = sorted(Counter(cid_of.values()).values(), reverse=True)
+    captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
     cids2: dict = {}
     cids3: dict = {}
     for r in top3:
@@ -652,12 +651,21 @@ def centroid_recall_point(
         "n_corpus": n_corpus,
         "k": k,
         "iters": 3,
-        "assignment_rows_per_iter": n_corpus * k,
+        "trainer": trainer,
+        "k_coarse": kc,
+        # per-pass argmax work: exact = n·k; sampled = the flat-IVF
+        # envelope n·(k_c + probe·⌈k/k_c⌉) the coarse quantizer buys
+        "assignment_rows_per_iter": (
+            n_corpus * k
+            if trainer == "exact"
+            else n_corpus * (kc + 2 * -(-k // max(kc, 1)))
+        ),
         "candidate_mass": sum(s * (s - 1) // 2 for s in sizes),
         "candidate_mass_probe2": mass2,
         "candidate_mass_probe3": mass3,
         "max_cluster": sizes[0] if sizes else 0,
-        "train_assign_wall_sec": train_wall,
+        "train_assign_wall_sec": round(train_wall + probe2_wall, 3),
+        "train_wall_sec": train_wall,
         "probe2_extra_wall_sec": probe2_wall,
         "n_truth_pairs": len(truth),
         "recall_centroid": round(len(captured) / len(truth), 4) if truth else None,
