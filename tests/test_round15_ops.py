@@ -153,3 +153,147 @@ def test_sampled_trainer_holds_dedup_grade_recall_floor(spark):
     assert p["k"] > llmops.KMEANS_EXACT_MAX_K
     assert p["chooser_blocking"] == "centroid"
     assert p["recall_centroid_probe2_dedup_grade"] >= 0.87
+
+
+# ------------------------------------------- incremental curation entry (r15 item 2)
+
+
+def test_curation_incremental_schema_unions_with_snapshot_manifest(spark, sf_dir):
+    """The delta manifest must be UNION-COMPATIBLE with the one-shot
+    showcase's (same columns, same dtypes) — the property that lets a
+    daily batch append manifest rows to a snapshot's — and its
+    verdict columns must be internally consistent."""
+    from heroku_kafka_connect_spark.operators.llm import (
+        llm_curation_incremental,
+        llm_curation_pipeline,
+        llm_dedup_incremental_semantic,
+    )
+
+    inc = llm_curation_incremental(spark, sf_dir)
+    full = llm_curation_pipeline(spark, sf_dir)
+    assert inc.schema == full.schema
+
+    rows = inc.collect()
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    batch_ids = {
+        i for i, r in docs.items() if i >= 400 and r["source"] != "src1"
+    }
+    assert {r["doc_id"] for r in rows} == batch_ids
+    tiers = {
+        r["doc_id"]: r["status"]
+        for r in llm_dedup_incremental_semantic(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["dedup_reason"] in ("exact", "near", "semantic", "unique")
+        want = tiers[r["doc_id"]]
+        assert r["dedup_reason"] == ("unique" if want == "new" else want)
+        assert r["dedup_keep"] == (r["dedup_reason"] == "unique")
+        assert r["final_keep"] == (
+            r["dedup_keep"]
+            and r["quality_keep"]
+            and r["contam_keep"]
+            and r["near_contam_keep"]
+        )
+        assert (r["pack_id"] is not None) == bool(r["final_keep"])
+    # at least one batch doc must actually match the index (the
+    # fixture plants cross-split dups), else the tier columns are
+    # vacuous
+    assert any(not r["dedup_keep"] for r in rows)
+    assert any(r["final_keep"] for r in rows)
+
+
+# ------------------------------------------- dispatched-branch plan divergence
+
+
+def test_dispatched_legs_produce_different_physical_plans(spark, tmp_path, monkeypatch):
+    """r14 verdict item 7: the two legs of `_sem_pairs_dispatched_for`
+    must be distinguishable in the PHYSICAL plan — a silent chooser
+    regression that routed both corpus shapes down one leg would
+    otherwise pass every value gate on fixtures where both legs find
+    the same pairs. LSH leg: the per-table signature explode
+    (Generate). Centroid leg: the top-probe rank window over the
+    broadcast centroid cross join, no signature explode. The pair
+    memos eagerly localCheckpoint (which collapses any plan to Scan
+    ExistingRDD), so checkpointing is stubbed out and the memos are
+    cleared around the capture — THROUGH the dispatcher, not by
+    calling the leg builders directly, so a mis-route cannot hide."""
+    from heroku_kafka_connect_spark.operators import llm as L
+    from heroku_kafka_connect_spark.session import load_tables
+
+    lsh_dir = "/root/testdata/sf0.001"  # md5-uniform -> chooser says lsh
+    cen_dir = _clustered_fixture(tmp_path, n=800)  # macro-clustered -> centroid
+    assert L._blocking_choice_for(spark, lsh_dir)["blocking"] == "lsh"
+    assert L._blocking_choice_for(spark, cen_dir)["blocking"] == "centroid"
+
+    # patch the CONCRETE runtime class: Spark 4's classic DataFrame
+    # subclasses pyspark.sql.DataFrame and overrides localCheckpoint,
+    # so patching the base class silently misses (measured: the plan
+    # still came back as Scan ExistingRDD)
+    concrete = type(load_tables(spark, lsh_dir).embeddings)
+    monkeypatch.setattr(
+        concrete, "localCheckpoint", lambda self, eager=True: self
+    )
+    for memo in (L._SEM_PAIRS_MEMO, L._CENTROID2_PAIRS_MEMO):
+        memo.clear()
+    try:
+
+        def pplan(d):
+            from heroku_kafka_connect_spark.session import load_tables
+
+            df = L._sem_pairs_dispatched_for(
+                spark, d, load_tables(spark, d).embeddings
+            )
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p_lsh, p_cen = pplan(lsh_dir), pplan(cen_dir)
+    finally:
+        # the memos now hold UNcheckpointed frames — evict so later
+        # consumers rebuild with the real eager checkpoint
+        for memo in (L._SEM_PAIRS_MEMO, L._CENTROID2_PAIRS_MEMO):
+            memo.clear()
+    assert "Generate explode" in p_lsh  # signature-table explode = LSH leg
+    assert "Generate explode" not in p_cen
+    assert "row_number" in p_cen  # top-probe centroid rank = centroid leg
+
+
+# ------------------------------------------- 256x octave + trainer-alpha artifact
+
+
+def test_sampled_trainer_artifact_octave_facts():
+    """The r15 sweep facts the SCALE.md narrative states, pinned
+    (verdict items 1 + 5): the 16x-256x clustered points now run the
+    SAMPLED trainer; its train wall scales ~linearly on the last
+    octave (alpha ~1.0 vs the filed exact-trainer 1.88 — 227 s at 64x
+    then became 22.9 s); the k-conditional probe rule survived the
+    trainer swap (probe-2 holds >= 0.87 at k=503, crosses below at
+    k=1003 where probe-3 restores >= 0.92); and at 256x (k=2003)
+    probe-3 still holds the dedup-grade floor — at 0.875, close
+    enough to 0.87 that the NEXT octave is the probe-4 watchpoint."""
+    import json
+    import math
+
+    with open("/root/repo/SCALING_CURVES.json") as f:
+        art = json.load(f)
+    pts = {
+        p["scale"]: p
+        for p in art["sweeps"]["emb_shape_clustered"]["centroid_recall"]
+    }
+    for s in (16, 64, 128, 256):
+        assert pts[s]["trainer"] == "sampled"
+        assert pts[s]["k_coarse"] >= 2
+    a, b = pts[128], pts[256]
+    train_alpha = math.log(b["train_wall_sec"] / a["train_wall_sec"]) / math.log(
+        b["n_corpus"] / a["n_corpus"]
+    )
+    assert train_alpha < 1.15  # the quadratic is gone (exact was 1.88)
+    assert b["train_wall_sec"] < 120  # exact extrapolates to ~2000 s here
+    # probe rule unchanged under the sampled trainer
+    assert pts[64]["recall_centroid_probe2_dedup_grade"] >= 0.87
+    assert pts[128]["recall_centroid_probe2_dedup_grade"] < 0.87
+    assert pts[128]["recall_centroid_probe3_dedup_grade"] >= 0.92
+    # the 256x answer: probe-3 holds dedup grade, margin ~0
+    assert pts[256]["recall_centroid_probe3_dedup_grade"] >= 0.87
+    assert pts[256]["chooser_blocking"] == "centroid"

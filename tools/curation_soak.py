@@ -55,18 +55,18 @@ def _dir_bytes(d: str, names=("documents.parquet", "embeddings.parquet")) -> int
     return total
 
 
-def soak(spark, name: str, sf_dir: str, cold: bool) -> dict:
+def soak(spark, name: str, sf_dir: str, cold: bool, fn=None) -> dict:
     from heroku_kafka_connect_spark.registry import all_queries
 
+    if fn is None:
+        fn = all_queries()[name].fn
     if cold:
         release_all_memos()
     before = _stages(spark)
     spark.sparkContext.setJobDescription(f"soak:{name}")
     t0 = time.time()
     try:
-        all_queries()[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     finally:
         spark.sparkContext.setJobDescription(None)
     wall = time.time() - t0
@@ -124,6 +124,42 @@ def soak(spark, name: str, sf_dir: str, cold: bool) -> dict:
     }
 
 
+def incremental_point(spark, scale: int, base_docs: int, base_vecs: int,
+                      entropy: str) -> dict:
+    """ONE incremental-vs-rebuild datapoint (r14 verdict item 2): on
+    the scale× corpus, classify-and-curate the LAST 1× of docs as a
+    batch against the first (scale−1)× as the index
+    (`llm_curation_incremental` at split = n − base), next to the COLD
+    full-rebuild wall of the one-shot showcase on the same corpus —
+    the measured form of SCALE.md's incremental-by-default argument
+    (|batch| × occupancy per day vs rescanning the corpus)."""
+    from heroku_kafka_connect_spark.operators.llm import llm_curation_incremental
+
+    d = build_scale_dir(spark, scale, base_docs, base_vecs, entropy)
+    n_docs = base_docs * scale
+    split = n_docs - base_docs
+    full = soak(spark, "llm_curation_pipeline", d, cold=True)
+    batch = soak(
+        spark,
+        f"llm_curation_incremental@split={split}",
+        d,
+        cold=True,
+        fn=lambda s, sf: llm_curation_incremental(s, sf, split=split),
+    )
+    return {
+        "scale": scale,
+        "n_docs": n_docs,
+        "batch_docs": base_docs,
+        "split": split,
+        "full_rebuild_cold_wall_sec": full["wall_sec"],
+        "batch_cold_wall_sec": batch["wall_sec"],
+        "rebuild_over_batch": round(full["wall_sec"] / batch["wall_sec"], 2),
+        "batch_shuffle_read_bytes": batch["shuffle_read_bytes"],
+        "full_shuffle_read_bytes": full["shuffle_read_bytes"],
+        "batch_spill_bytes": batch["memory_bytes_spilled"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=64)
@@ -138,7 +174,52 @@ def main() -> None:
         help="override spark.sql.shuffle.partitions for the soak (the r12 "
         "memory-cliff sizing rule: ~1 partition per 64 MB of stage shuffle)",
     )
+    ap.add_argument(
+        "--incremental",
+        default=None,
+        help="comma-separated scales (e.g. 16,64): measure the batch-vs-"
+        "rebuild incremental points instead of the one-shot soak, folding "
+        "them into the artifact's 'incremental' key",
+    )
     args = ap.parse_args()
+
+    if args.incremental:
+        spark = get_ui_session()
+        if args.shuffle_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+            )
+        from heroku_kafka_connect_spark.sources.synthetic import (
+            register_synthetic_sources,
+        )
+
+        assert register_synthetic_sources(spark), "Spark 4 DataSource API required"
+        pts = []
+        for scale in (int(s) for s in args.incremental.split(",")):
+            p = incremental_point(
+                spark, scale, args.base_docs, args.base_vecs, args.entropy
+            )
+            pts.append(p)
+            print(
+                f"[{scale:>3}x] incremental: batch {p['batch_cold_wall_sec']}s "
+                f"vs rebuild {p['full_rebuild_cold_wall_sec']}s "
+                f"({p['rebuild_over_batch']}x)",
+                flush=True,
+            )
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing["incremental"] = {
+            "entropy": args.entropy,
+            "loadavg_end": round(os.getloadavg()[0], 2),
+            "points": pts,
+        }
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+        print(json.dumps({"incremental_points": len(pts)}))
+        spark.stop()
+        return
 
     spark = get_ui_session()
     if args.shuffle_partitions:

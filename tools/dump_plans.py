@@ -44,6 +44,8 @@ EXTRA = [
                            # silhouette + balance -> 1-row decision)
     "llm_dedup_incremental_semantic",  # r14: chooser-dispatched new x indexed
                            # semantic tier over the lexical classifier
+    "llm_curation_incremental",  # r15: batch-scoped curation tail over the
+                           # three-tier classifier + memoized index artifacts
     "rel_window_range_frame",  # value-bounded RANGE frame, one window shuffle
     "rel_variant_json",    # parse_json once, typed variant_get paths
     "rel_join_bucketed",   # co-bucketed SMJ: only exchange is the final agg

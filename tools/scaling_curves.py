@@ -882,6 +882,14 @@ def main() -> None:
         "blocking chooser's readout, all on the --emb-shape corpus; writes "
         "sweeps['emb_shape_<shape>']",
     )
+    ap.add_argument(
+        "--centroid-only",
+        action="store_true",
+        help="with --shape-frontier: skip the LSH-capture leg and fold only "
+        "the centroid points (r15 trainer re-measure — the LSH side is "
+        "untouched by the sampled trainer, re-capturing it would only burn "
+        "the octave budget)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -920,16 +928,17 @@ def main() -> None:
         spark = get_ui_session()
         sem_pts, cen_pts = [], []
         for scale in scales:
-            rp = semantic_recall_point(
-                spark, args.base_vecs * scale, shape=args.emb_shape
-            )
-            rp["scale"] = scale
-            sem_pts.append(rp)
-            print(
-                f"[{scale:>3}x] {args.emb_shape} LSH capture: L={rp['tables_default']} "
-                f"-> {rp['recall_default']} (dedup_grade {rp['recall_default_dedup_grade']})",
-                flush=True,
-            )
+            if not args.centroid_only:
+                rp = semantic_recall_point(
+                    spark, args.base_vecs * scale, shape=args.emb_shape
+                )
+                rp["scale"] = scale
+                sem_pts.append(rp)
+                print(
+                    f"[{scale:>3}x] {args.emb_shape} LSH capture: L={rp['tables_default']} "
+                    f"-> {rp['recall_default']} (dedup_grade {rp['recall_default_dedup_grade']})",
+                    flush=True,
+                )
             cp = centroid_recall_point(
                 spark, args.base_vecs * scale, shape=args.emb_shape
             )
