@@ -24,15 +24,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def parallelize_scan(df, key: str | None = None):
+def parallelize_scan(df, key: str | None = None, max_parts: int | None = None):
     """Round-robin/hash repartition to the session's default
     parallelism. Use ONLY in front of compute-heavy narrow stages
     (Arrow/pandas UDFs, per-row hashing): a small-file scan yields
     fewer input splits than cores, serializing the Python stage. At
     cluster scale the scan has ample splits and this is a no-op-cost
     shuffle of the projected columns — keep the projection narrow
-    before calling."""
+    before calling.
+
+    ``max_parts`` caps the spread for stages whose PER-TASK cost
+    dominates their per-row cost (short Python stages: each task pays
+    a worker round-trip worth ~10s of ms, so 32 near-empty tasks lose
+    to 8 fuller ones — the r15 mm_cdc stage diff measured 0.90 s at
+    32 parts vs 0.55 s at 8 on a 1.15-core-s workload). The inverse
+    of the scarce-split problem; at cluster scale the caller's row
+    budget, not the core count, should set the task grain."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if max_parts is not None:
+        par = max(1, min(par, max_parts))
     return df.repartition(par, F.col(key)) if key else df.repartition(par)
 
 

@@ -13,6 +13,24 @@ from ..functions import multimodal as mm
 from ..registry import register
 from ..session import load_tables
 
+#: realpath(sf_dir) -> documents row count from the parquet FOOTER
+#: (no Spark job) — parameterizes python-stage task grain; fixtures
+#: are immutable (same idiom as llm._n_embeddings).
+_DOC_COUNT_MEMO: dict[str, int] = {}
+
+
+def _n_documents(sf_dir: str) -> int:
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key not in _DOC_COUNT_MEMO:
+        import pyarrow.dataset as ds
+
+        _DOC_COUNT_MEMO[key] = ds.dataset(
+            os.path.join(key, "documents.parquet")
+        ).count_rows()
+    return _DOC_COUNT_MEMO[key]
+
 
 @register(
     "mm_decode_meta",
@@ -774,13 +792,30 @@ def mm_cdc_chunking_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import parallelize_scan
 
     t = load_tables(spark, sf_dir)
+    # 640-row task grain: the synth+chunk python stage costs ~0.23
+    # core-ms/row, so a 32-way spread of 5k rows is per-task-overhead
+    # bound (r15 stage diff: 0.90 s at 32 parts vs 0.55 s at 8) —
+    # budget rows per task instead of spreading to every core
+    n_docs = _n_documents(sf_dir)
     docs = parallelize_scan(
-        t.documents.filter(F.length("text") > 0).select("doc_id", "text"), "doc_id"
+        t.documents.filter(F.length("text") > 0).select("doc_id", "text"),
+        "doc_id",
+        max_parts=max(1, -(-n_docs // 640)),
     )
     chunks = mm.cdc_chunk_blob(mm.attach_tone_payload(docs), modulus=64)
-    dfreq = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    # nd via a WINDOW over h, not an agg + join-back: the chunk
+    # relation fed TWO consumers before, and with no reused exchange
+    # between them the synth+chunk mapInArrow stage executed TWICE per
+    # run — the r14 watch entry's measured residue (stage diff r15:
+    # two ~20-25 core-s stages reading the same 850 KB exchange). The
+    # window keeps one shuffle on h and runs the chunker once.
+    # (count_distinct is not window-able; size(collect_set) is its
+    # standard spelling.)
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
     return (
-        chunks.join(dfreq, "h")
+        chunks.withColumn("nd", F.size(F.collect_set("doc_id").over(wh)))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
