@@ -3082,9 +3082,18 @@ def _inc_blocking_choice_for(
 ):
     key = _memo_key(spark, sf_dir) + (split,)
     if key not in _INC_CHOICE_MEMO:
+        from .common import parallelize_scan
+
         _evict_stale(_INC_CHOICE_MEMO, key)
+        # one-file fixture = one input split: spread before the probe
+        # Lloyd or its n×8 assignment serializes on a single core
         _INC_CHOICE_MEMO[key] = semantic_blocking_choice(
-            embeddings.filter(F.col("vec_id") < split)
+            parallelize_scan(
+                embeddings.filter(F.col("vec_id") < split).select(
+                    "vec_id", "embedding"
+                ),
+                "vec_id",
+            )
         ).collect()[0]
     return _INC_CHOICE_MEMO[key]
 

@@ -139,12 +139,16 @@ def incremental_point(spark, scale: int, base_docs: int, base_vecs: int,
     n_docs = base_docs * scale
     split = n_docs - base_docs
     full = soak(spark, "llm_curation_pipeline", d, cold=True)
-    batch = soak(
-        spark,
-        f"llm_curation_incremental@split={split}",
-        d,
-        cold=True,
-        fn=lambda s, sf: llm_curation_incremental(s, sf, split=split),
+    fn = lambda s, sf: llm_curation_incremental(s, sf, split=split)  # noqa: E731
+    batch = soak(spark, f"llm_curation_incremental@split={split}", d, cold=True, fn=fn)
+    # warm marginal: the memoized once-per-snapshot/batch artifacts
+    # (tier-3 match relation, near-contam verified pairs, chooser
+    # decision) read back instead of rebuilding — the lower bound a
+    # production run with persisted index artifacts approaches; the
+    # cold number above (everything from scratch, artifact builds
+    # included) is the upper bound.
+    warm = soak(
+        spark, f"llm_curation_incremental@split={split}", d, cold=False, fn=fn
     )
     return {
         "scale": scale,
@@ -153,7 +157,9 @@ def incremental_point(spark, scale: int, base_docs: int, base_vecs: int,
         "split": split,
         "full_rebuild_cold_wall_sec": full["wall_sec"],
         "batch_cold_wall_sec": batch["wall_sec"],
-        "rebuild_over_batch": round(full["wall_sec"] / batch["wall_sec"], 2),
+        "batch_warm_wall_sec": warm["wall_sec"],
+        "rebuild_over_batch_cold": round(full["wall_sec"] / batch["wall_sec"], 2),
+        "rebuild_over_batch_warm": round(full["wall_sec"] / warm["wall_sec"], 2),
         "batch_shuffle_read_bytes": batch["shuffle_read_bytes"],
         "full_shuffle_read_bytes": full["shuffle_read_bytes"],
         "batch_spill_bytes": batch["memory_bytes_spilled"],
@@ -201,9 +207,10 @@ def main() -> None:
             )
             pts.append(p)
             print(
-                f"[{scale:>3}x] incremental: batch {p['batch_cold_wall_sec']}s "
-                f"vs rebuild {p['full_rebuild_cold_wall_sec']}s "
-                f"({p['rebuild_over_batch']}x)",
+                f"[{scale:>3}x] incremental: batch cold {p['batch_cold_wall_sec']}s "
+                f"/ warm {p['batch_warm_wall_sec']}s vs rebuild "
+                f"{p['full_rebuild_cold_wall_sec']}s "
+                f"({p['rebuild_over_batch_cold']}x / {p['rebuild_over_batch_warm']}x)",
                 flush=True,
             )
         existing = {}
