@@ -880,12 +880,17 @@ def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame energy of the uniform residue waveform, so activity
     genuinely alternates. Scale: synth+extract are narrow stages; the
     islands window partitions per doc (bounded frames/doc); the final
-    agg is map-side combinable."""
+    agg is map-side combinable. Same 640-row task grain as
+    mm_cdc_chunking_blob (r15): the synth+energy python stage is
+    per-task-overhead bound when spread to every core at fixture
+    row counts."""
     from .common import parallelize_scan
 
     t = load_tables(spark, sf_dir)
     docs = parallelize_scan(
-        t.documents.filter(F.length("text") > 0).select("doc_id", "text"), "doc_id"
+        t.documents.filter(F.length("text") > 0).select("doc_id", "text"),
+        "doc_id",
+        max_parts=max(1, -(-_n_documents(sf_dir) // 640)),
     )
     fe = mm.frame_energy_rows(mm.attach_tone_payload(docs))
     act = fe.filter(F.col("fe") > 270000)
