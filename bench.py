@@ -77,6 +77,10 @@ MEMO_FAMILIES = {
     # r14: the incremental semantic tier's index-side build (chooser
     # train + dispatched new×indexed candidate/verify pass)
     "llm_dedup_incremental_semantic": "_INC_SEM_MEMO",
+    # r15: the lexical classifier relation (corpus banding + verified
+    # best match per new doc), shared by both incremental dedup rows
+    # and the incremental curation manifest
+    "llm_dedup_incremental": "_INC_CLASSIFY_MEMO",
 }
 
 

@@ -2883,7 +2883,31 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap/report via minhash_lsh_overflow exactly as the full path
     does."""
     t = load_tables(spark, sf_dir)
-    return incremental_classify(t.documents, split=400)
+    return _inc_classify_for(spark, sf_dir, t.documents, split=400)
+
+
+#: (applicationId, realpath, fingerprint, split) -> checkpointed
+#: lexical classifier relation (doc_id, status, match_id, jaccard).
+#: Same persisted-per-batch rationale as _INC_SEM_MEMO: in production
+#: the index side's band table is appended batch after batch and the
+#: classified batch is written once, then read by every downstream
+#: consumer (the two-tier row, the three-tier row, the incremental
+#: curation manifest) — without the memo each consumer re-banded the
+#: full corpus per call (r15 bench: ~2.5 s of the incremental
+#: entries' warm walls was exactly this rebuild).
+_INC_CLASSIFY_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _inc_classify_for(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, split: int
+) -> DataFrame:
+    key = _memo_key(spark, sf_dir) + (split,)
+    if key not in _INC_CLASSIFY_MEMO:
+        _evict_stale(_INC_CLASSIFY_MEMO, key)
+        _INC_CLASSIFY_MEMO[key] = incremental_classify(
+            docs, split=split
+        ).localCheckpoint(eager=True)
+    return _INC_CLASSIFY_MEMO[key]
 
 
 def incremental_classify(docs: DataFrame, *, split: int) -> DataFrame:
@@ -3242,7 +3266,7 @@ def llm_dedup_incremental_semantic(
     defaults to the registered/oracled boundary; the curation soak
     passes the scaled batch boundary (index = all but the last 1×)."""
     t = load_tables(spark, sf_dir)
-    base = incremental_classify(t.documents, split=split)
+    base = _inc_classify_for(spark, sf_dir, t.documents, split=split)
     sem = _inc_semantic_best_for(spark, sf_dir, t.embeddings, split)
     return (
         base.join(sem, base.doc_id == sem.a, "left")
