@@ -918,6 +918,151 @@ def rank_centroids(
     )
 
 
+#: Backend for the coarse-accelerated centroid ranking pass. The r15
+#: shape sweep measured the per-row expression fold chains (zip_with +
+#: aggregate per candidate row) as the assignment kernel's binding
+#: constant factor — SCALE.md's "real at-scale requirement (1)": the
+#: pass must be a batched matrix product, not per-row lambda chains.
+#: "arrow" (default) runs `coarse_rank_centroids_arrow` (one
+#: mapInArrow stage, NumPy tile matmuls against broadcast centroid
+#: blocks); "expr" keeps the pure-relational path (the SQL-replayable
+#: reference the parity gate compares against). Env override:
+#: SPARK_GRAFT_RANK_BACKEND. Only the k > KMEANS_EXACT_MAX_K sampled
+#: branch ever reaches this code — no registered fixture query's plan
+#: or output is affected by the switch.
+def _rank_backend() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_RANK_BACKEND", "arrow")
+
+
+def coarse_rank_centroids_arrow(
+    vectors: DataFrame,
+    cents: DataFrame,
+    coarse: tuple[DataFrame, DataFrame],
+    probe: int,
+    *,
+    id_col: str = "__id",
+    vec_col: str = "__v",
+    coarse_probe: int = KMEANS_COARSE_PROBE,
+) -> DataFrame:
+    """`coarse_rank_centroids` as ONE Arrow-batched NumPy kernel —
+    identical contract ((id, vec, cid, __rn ≤ probe), cosine scores,
+    ties on cid asc, a vector whose probed cells hold no fine centroid
+    yields no rows), different execution: instead of materializing
+    n·(k_c + 2√k) candidate ROWS and folding a lambda chain per row,
+    each Arrow batch of vectors is normalized once and pushed through
+    two tile matmuls (batch × coarse cells, then per-cell-combo batch
+    slices × their fine-centroid blocks). guide §4.2/§4.5: vectorized
+    native code inside the Python stage, centroid blocks constructed
+    once per task via a Spark broadcast variable.
+
+    The centroid relations are collected to the driver first — a
+    BOUNDED k-row collect (k = ⌈n/256⌉ capped by the broadcast
+    contract, ~1 MB at the 256× sweep), the exact bytes the expression
+    path moves through its BroadcastExchange; same class as the
+    chooser's memoized 1-row decision collect, not a corpus collect.
+    Past k ≈ 10⁵ the fine block outgrows a broadcast and this kernel's
+    per-cell blocks become a shuffle join on cell (unchanged envelope
+    — see `coarse_rank_centroids`' contract note).
+
+    Determinism: NumPy float64 dot products instead of the expression
+    path's left-fold IEEE chains — equal inputs rank identically
+    (stable argsort over cid-ascending blocks reproduces the tie
+    contract), but scores can differ in the last ulp, so an
+    infinitesimally-near tie may flip between backends. The sampled
+    branch is recall-gated, not value-oracled, precisely so backend
+    choice is free; the parity pytest pins row-identical output on the
+    planted-clone fixture. Zero-norm vectors are out of contract on
+    both paths (NaN scores; the engines order NaN differently)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    coarse_cents, fine_cells = coarse
+
+    cc = sorted(coarse_cents.collect(), key=lambda r: r["cid"])
+    cc_ids = np.array([r["cid"] for r in cc], dtype=np.int64)
+    cmat = np.array([list(r["cv"]) for r in cc], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    cell_of = {r["cid"]: r["cell"] for r in fine_cells.collect()}
+    fr = sorted(cents.collect(), key=lambda r: r["cid"])  # cid-asc: stable
+    f_ids = np.array([r["cid"] for r in fr], dtype=np.int64)
+    fmat = np.array([list(r["cv"]) for r in fr], dtype=np.float64)
+    fmat /= np.linalg.norm(fmat, axis=1, keepdims=True)
+    f_cell = np.array([cell_of[int(i)] for i in f_ids], dtype=np.int64)
+
+    sc = vectors.sparkSession.sparkContext
+    blocks = sc.broadcast((cc_ids, cmat, f_ids, fmat, f_cell, int(coarse_probe), int(probe)))
+
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("cid", cents.schema["cid"].dataType, True),
+            T.StructField("__rn", T.IntegerType(), False),
+        ]
+    )
+    cid_pa = (
+        pa.int32()
+        if isinstance(cents.schema["cid"].dataType, T.IntegerType)
+        else pa.int64()
+    )
+
+    def kernel(batches):
+        cc_ids, cmat, f_ids, fmat, f_cell, cprobe, fprobe = blocks.value
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = np.asarray(vec.values, dtype=np.float64)
+            offs = np.asarray(vec.offsets)
+            d = cmat.shape[1]
+            vs = flat.reshape(n, d) if offs[-1] == n * d else np.array(
+                vec.to_pylist(), dtype=np.float64
+            )
+            vn = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            # coarse tile: (n, k_c) scores; stable argsort over the
+            # cid-ascending columns == ties on cid asc
+            topc = np.argsort(-(vn @ cmat.T), axis=1, kind="stable")[:, :cprobe]
+            cells = cc_ids[topc]
+            out_row, out_cid, out_rn = [], [], []
+            combos, inv = np.unique(np.sort(cells, axis=1), axis=0, return_inverse=True)
+            inv = inv.ravel()  # numpy >= 2.1 returns (n, 1) for axis=0
+            for gi in range(len(combos)):
+                rows = np.flatnonzero(inv == gi)
+                cand = np.flatnonzero(np.isin(f_cell, combos[gi]))
+                if cand.size == 0:
+                    continue
+                s = vn[rows] @ fmat[cand].T
+                take = min(int(fprobe), cand.size)
+                # cand is cid-ascending (fr sorted), so stable sort
+                # reproduces the tie contract
+                rk = np.argsort(-s, axis=1, kind="stable")[:, :take]
+                out_row.append(np.repeat(rows, take))
+                out_cid.append(f_ids[cand][rk].ravel())
+                out_rn.append(np.tile(np.arange(1, take + 1), len(rows)))
+            if not out_row:
+                continue
+            rows = np.concatenate(out_row)
+            yield pa.record_batch(
+                [
+                    b.column(0).take(pa.array(rows)),
+                    vec.take(pa.array(rows)),
+                    pa.array(np.concatenate(out_cid), type=cid_pa),
+                    pa.array(np.concatenate(out_rn), type=pa.int32()),
+                ],
+                names=[id_col, vec_col, "cid", "__rn"],
+            )
+
+    return vectors.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+
+
 def coarse_rank_centroids(
     vectors: DataFrame,
     cents: DataFrame,
@@ -943,8 +1088,25 @@ def coarse_rank_centroids(
     vec-id hash partitioning the first window installed, so the
     accelerated pass shuffles n·k_c thin rows instead of ranking n·k.
     At 100 TB-scale k (k ≳ 10⁵) the fine side outgrows a broadcast and
-    becomes a shuffle join on cell — same per-cell-bounded mass."""
+    becomes a shuffle join on cell — same per-cell-bounded mass.
+
+    r15 (optimization round): dispatches to the Arrow tile kernel
+    (`coarse_rank_centroids_arrow`, SPARK_GRAFT_RANK_BACKEND=arrow,
+    the default) — same contract, matrix-product execution; this
+    expression path remains the SQL-replayable reference backend
+    (SPARK_GRAFT_RANK_BACKEND=expr) and the parity-gate baseline."""
     from pyspark.sql import Window
+
+    if _rank_backend() == "arrow":
+        return coarse_rank_centroids_arrow(
+            vectors,
+            cents,
+            coarse,
+            probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse_probe=coarse_probe,
+        )
 
     coarse_cents, fine_cells = coarse
 

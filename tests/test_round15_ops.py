@@ -297,3 +297,58 @@ def test_sampled_trainer_artifact_octave_facts():
     # the 256x answer: probe-3 holds dedup grade, margin ~0
     assert pts[256]["recall_centroid_probe3_dedup_grade"] >= 0.87
     assert pts[256]["chooser_blocking"] == "centroid"
+
+
+# ------------------------------------------- Arrow rank kernel (optimization round)
+
+
+def test_coarse_rank_arrow_kernel_matches_expression_backend(spark):
+    """r15 optimization round: `coarse_rank_centroids` dispatches to
+    the Arrow tile kernel (`coarse_rank_centroids_arrow`, NumPy
+    matmuls per Arrow batch) by default — SCALE.md's "assignment
+    kernel must be a batched matrix product" item. Contract parity is
+    pinned ROW-IDENTICAL against the retained expression backend
+    (SPARK_GRAFT_RANK_BACKEND=expr) on the clustered corpus at a
+    sampled-branch k, same centroids under both backends: same
+    (id, cid, rn) rows, same schema, for both the dedup probe depth
+    (2) and the sweep depth (3)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from heroku_kafka_connect_spark import llmops
+
+    big = _clustered_range_corpus(spark, 10240).localCheckpoint(eager=True)
+    os.environ["SPARK_GRAFT_RANK_BACKEND"] = "expr"
+    try:
+        cents, coarse = llmops.kmeans_sampled(big, k=40, iters=2)
+        cents = cents.localCheckpoint(eager=True)
+        coarse = (
+            coarse[0].localCheckpoint(eager=True),
+            coarse[1].localCheckpoint(eager=True),
+        )
+        v = big.select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        )
+        for probe in (2, 3):
+            os.environ["SPARK_GRAFT_RANK_BACKEND"] = "expr"
+            ref = llmops.coarse_rank_centroids(v, cents, coarse, probe)
+            os.environ["SPARK_GRAFT_RANK_BACKEND"] = "arrow"
+            ker = llmops.coarse_rank_centroids(v, cents, coarse, probe)
+            # names + types must agree; NULLABILITY flags may not (the
+            # expression path derives them from join/window lineage,
+            # mapInArrow from the declared schema) — an internal
+            # relation's consumers (posexplode, joins, selects) are
+            # indifferent to them
+            assert ker.schema.simpleString() == ref.schema.simpleString()
+            ref_rows = sorted(
+                (r["__id"], r["cid"], r["__rn"]) for r in ref.collect()
+            )
+            ker_rows = sorted(
+                (r["__id"], r["cid"], r["__rn"]) for r in ker.collect()
+            )
+            assert len(ref_rows) > 0
+            assert ker_rows == ref_rows
+    finally:
+        os.environ.pop("SPARK_GRAFT_RANK_BACKEND", None)
