@@ -2018,16 +2018,19 @@ def llm_dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroid_probe_for(k: int) -> int:
-    """Multi-probe depth for centroid blocking — the r14 octave's
-    measured rule (SCALING_CURVES.json `emb_shape_clustered`,
-    SCALE.md round-14): 2-probe holds dedup-grade recall ≥ 0.87
-    through k = 503 (the 64× sweep point) and crosses below grade at
-    k = 1003 (0.830), where 3-probe restores 0.92 at ~2.25× the
-    probe-2 candidate mass — mass per probe level stays ~linear in n,
-    so the deeper probe buys recall without changing the asymptotic.
-    Every fixture gate derives k = 8 → probe 2, bit-identical to the
-    r13 plans and oracles."""
-    return 2 if k <= 503 else 3
+    """Multi-probe depth for centroid blocking — the measured ladder
+    (SCALING_CURVES.json `emb_shape_clustered`, SCALE.md rounds
+    14–15): 2-probe holds dedup-grade recall ≥ 0.87 through k = 503
+    (the 64× sweep point) and crosses below grade at k = 1003
+    (0.830), where 3-probe restores 0.92 at ~2.25× the probe-2
+    candidate mass; 3-probe in turn holds through k = 2003 (0.875 at
+    256×) and crosses below at k = 4003 (0.838 — the r15 512× octave,
+    run once the Arrow rank kernel made it affordable), where 4-probe
+    restores 0.903 at 1.79× the probe-3 mass. Mass per probe level
+    stays ~linear in n, so each deeper probe buys recall without
+    changing the asymptotic. Every fixture gate derives k = 8 →
+    probe 2, bit-identical to the r13 plans and oracles."""
+    return 2 if k <= 503 else 3 if k <= 2003 else 4
 
 
 def _centroid2_pairs(

@@ -372,6 +372,11 @@ def test_centroid_probe_rule_and_probe3_parity(spark, tmp_path):
     assert _centroid_probe_for(8) == 2
     assert _centroid_probe_for(503) == 2
     assert _centroid_probe_for(504) == 3
+    # r15 512x octave: probe-3 holds through k = 2003 (0.875 at 256x),
+    # crosses below the 0.87 floor at k = 4003 (0.838), probe-4
+    # restores 0.903 at 1.79x the probe-3 mass
+    assert _centroid_probe_for(2003) == 3
+    assert _centroid_probe_for(2004) == 4
 
     n, n_clusters, mix = 400, 32, 0.55
     emb = []

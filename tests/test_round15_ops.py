@@ -297,6 +297,18 @@ def test_sampled_trainer_artifact_octave_facts():
     # the 256x answer: probe-3 holds dedup grade, margin ~0
     assert pts[256]["recall_centroid_probe3_dedup_grade"] >= 0.87
     assert pts[256]["chooser_blocking"] == "centroid"
+    # the 512x answer (optimization round, Arrow-kernel-affordable):
+    # probe-3 crosses below the floor at k = 4003 and probe-4 restores
+    # it at a constant-factor (<2x) mass price — the facts behind
+    # `_centroid_probe_for`'s third rung
+    p512 = pts[512]
+    assert p512["trainer"] == "sampled" and p512["k"] == 4003
+    assert p512["recall_centroid_probe3_dedup_grade"] < 0.87
+    assert p512["recall_centroid_probe4_dedup_grade"] >= 0.87
+    assert (
+        p512["candidate_mass_probe4"] / p512["candidate_mass_probe3"] <= 2.0
+    )
+    assert p512["chooser_blocking"] == "centroid"
 
 
 # ------------------------------------------- Arrow rank kernel (optimization round)

@@ -571,19 +571,22 @@ def centroid_recall_point(
         trainer = "sampled"
         kc = coarse[0].count()
         t1 = time.monotonic()
-        rank3 = llmops.coarse_rank_centroids(v3, cents, coarse, 3)
+        rank3 = llmops.coarse_rank_centroids(v3, cents, coarse, 4)
     else:
         # tiny-scale exact path: train wall includes forcing the plan
         trainer = "exact"
         kc = 0
-        rank3 = llmops.rank_centroids(v3, cents, 3)
+        rank3 = llmops.rank_centroids(v3, cents, 4)
         train_wall = round(time.monotonic() - t0, 3)
         t1 = time.monotonic()
-    # one ranking pass serves ALL probe depths: rank <= 3 collected,
+    # one ranking pass serves ALL probe depths: rank <= 4 collected,
     # single-probe assignment is the rn == 1 subset, probe-2 the
     # rn <= 2 subset. Probe-3 exists because the r14 128x octave
     # measured probe-2 dedup-grade recall crossing below the 0.87
-    # floor (0.8717 at 64x -> 0.83 at 128x).
+    # floor (0.8717 at 64x -> 0.83 at 128x); probe-4 was added when
+    # the r15 512x octave measured probe-3 crossing below it at
+    # k = 4003 (0.838) — the rank depth here (4) is the census depth,
+    # not the production rule (`_centroid_probe_for` stays measured).
     top3 = rank3.select(F.col("__id").alias("vec_id"), "cid", "__rn").collect()
     probe2_wall = round(time.monotonic() - t1, 3)
     cid_of = {r.vec_id: r.cid for r in top3 if r["__rn"] == 1}
@@ -591,16 +594,22 @@ def centroid_recall_point(
     captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
     cids2: dict = {}
     cids3: dict = {}
+    cids4: dict = {}
     for r in top3:
         if r["__rn"] <= 2:
             cids2.setdefault(r.vec_id, set()).add(r.cid)
-        cids3.setdefault(r.vec_id, set()).add(r.cid)
+        if r["__rn"] <= 3:
+            cids3.setdefault(r.vec_id, set()).add(r.cid)
+        cids4.setdefault(r.vec_id, set()).add(r.cid)
     captured2 = {p for p in truth if cids2.get(p[0], set()) & cids2.get(p[1], set())}
     sizes2 = Counter(c for s in cids2.values() for c in s)
     mass2 = sum(s * (s - 1) // 2 for s in sizes2.values())
     captured3 = {p for p in truth if cids3.get(p[0], set()) & cids3.get(p[1], set())}
     sizes3 = Counter(c for s in cids3.values() for c in s)
     mass3 = sum(s * (s - 1) // 2 for s in sizes3.values())
+    captured4 = {p for p in truth if cids4.get(p[0], set()) & cids4.get(p[1], set())}
+    sizes4 = Counter(c for s in cids4.values() for c in s)
+    mass4 = sum(s * (s - 1) // 2 for s in sizes4.values())
 
     # LSH cost census on the SAME corpus (the other side of the shape
     # frontier): per-(table, bucket) sizes under the production
@@ -663,6 +672,7 @@ def centroid_recall_point(
         "candidate_mass": sum(s * (s - 1) // 2 for s in sizes),
         "candidate_mass_probe2": mass2,
         "candidate_mass_probe3": mass3,
+        "candidate_mass_probe4": mass4,
         "max_cluster": sizes[0] if sizes else 0,
         "train_assign_wall_sec": round(train_wall + probe2_wall, 3),
         "train_wall_sec": train_wall,
@@ -675,6 +685,9 @@ def centroid_recall_point(
         "recall_centroid_probe3": (
             round(len(captured3) / len(truth), 4) if truth else None
         ),
+        "recall_centroid_probe4": (
+            round(len(captured4) / len(truth), 4) if truth else None
+        ),
     }
     for band, keys in bands.items():
         out[f"recall_centroid_{band}"] = (
@@ -685,6 +698,9 @@ def centroid_recall_point(
         )
         out[f"recall_centroid_probe3_{band}"] = (
             round(len(captured3 & keys) / len(keys), 4) if keys else None
+        )
+        out[f"recall_centroid_probe4_{band}"] = (
+            round(len(captured4 & keys) / len(keys), 4) if keys else None
         )
     return out
 
