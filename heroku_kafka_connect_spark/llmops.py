@@ -751,6 +751,47 @@ def pack_bins_ffd(
     return docs.select(id_col, group_col, tokens_col).groupBy(group_col).applyInPandas(ffd, schema)
 
 
+def _kmeans_update_backend() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_KMEANS_UPDATE", "explode")
+
+
+def _mean_update_dims(assign: DataFrame, d: int, vec_col: str = "__v") -> DataFrame:
+    """(cid, cv) decimal-mean centroid update WITHOUT the (cid, dim)
+    row explode: ONE groupBy(cid) carrying d per-dimension
+    `sum(decimal(28,12))` aggregates plus the count, then
+    round(sum/count, 6) assembled back into the array — guide §2.3
+    "aggregate before you shuffle": the hash aggregate partial-
+    aggregates map-side over n input rows instead of materializing
+    n·d (cid, dim, val) rows through posexplode. Bit-identical to the
+    explode formulation by construction: the same decimal sums
+    (order-independent), the same count, the same round-6 division,
+    the same dim order — pinned by the parity gate in
+    tests/test_round16_ops.py. Out-of-contract inputs (ragged or
+    empty vectors) diverge: posexplode drops what element_at nulls;
+    both trainers require fixed-dim embeddings."""
+    sums = [
+        F.sum(F.element_at(F.col(vec_col), i + 1).cast("decimal(28,12)")).alias(
+            f"__s{i}"
+        )
+        for i in range(d)
+    ]
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__n"), *sums)
+        .select(
+            "cid",
+            F.array(
+                *[
+                    F.round(F.col(f"__s{i}").cast("double") / F.col("__n"), 6)
+                    for i in range(d)
+                ]
+            ).alias("cv"),
+        )
+    )
+
+
 def kmeans_lloyd(
     vectors: DataFrame,
     *,
@@ -758,6 +799,7 @@ def kmeans_lloyd(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    update: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over an embedding column, cross-engine
     deterministic — the training step for the IVF coarse quantizer
@@ -784,12 +826,20 @@ def kmeans_lloyd(
     scan (assignment is narrow), one (cid, dim)-key aggregation for
     the update — the k-means|| shape minus the sampling pass. The
     loop is driver-side over ITERS, not data; each round's plan is
-    independent (no lineage growth worth checkpointing at 3 rounds)."""
+    independent (no lineage growth worth checkpointing at 3 rounds).
+
+    ``update`` picks the centroid-update formulation: "explode" (the
+    committed fixture-plan shape, posexplode → (cid, dim) agg) or
+    "dims" (`_mean_update_dims` — same decimal sums, no row explode;
+    bit-identical output, see its docstring). Default from env
+    SPARK_GRAFT_KMEANS_UPDATE, falling back to "explode"."""
     from pyspark.sql import Window
 
+    upd = update or _kmeans_update_backend()
     v = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    d_dims = len(v.select("__v").head()[0]) if upd == "dims" else 0
     rnd6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
     cents = (
         v.orderBy("__id")
@@ -813,26 +863,29 @@ def kmeans_lloyd(
             .filter(F.col("__rn") == 1)
             .select("__id", "__v", "cid")
         )
-        dims = assign.select(
-            "cid", F.posexplode("__v").alias("dim", "val")
-        )
-        new_cents = (
-            dims.groupBy("cid", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("m")
+        if upd == "dims":
+            new_cents = _mean_update_dims(assign, d_dims)
+        else:
+            dims = assign.select(
+                "cid", F.posexplode("__v").alias("dim", "val")
             )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
+            new_cents = (
+                dims.groupBy("cid", "dim")
+                .agg(
+                    F.round(
+                        F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("m")
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cv")
+                )
             )
-        )
         # a cid with zero assigned vectors vanishes from the mean agg;
         # carry its previous centroid forward so the centroid set
         # stays exactly k rows (an index built from it — ivf_write_-
@@ -871,6 +924,73 @@ KMEANS_COARSE_PER_CENTROID = 256
 #: assignment). 2 is the same Voronoi-boundary mitigation as the fine
 #: 2-probe rung; the r15 recall gate measures the combined effect.
 KMEANS_COARSE_PROBE = 2
+#: r16 tree quantizer: when the coarse-cell count k_c = ⌈√k⌉ exceeds
+#: this branch factor, `kmeans_sampled` stacks further quantizer
+#: levels ABOVE the cells (each ⌈prev/branch⌉ nodes, built by exact
+#: Lloyd over the previous level's centroids — cheap: level sizes are
+#: k_c, k_c/256, ...) and the ranking pass descends the tree instead
+#: of scoring all k_c cells, so per-vector coarse work is
+#: O(branch·beam·depth) = O(log k) blocks of bounded size instead of
+#: √k. Engages at k > TREE_BRANCH² = 65,536 (n ≳ 16.7M vectors at the
+#: ⌈n/256⌉ geometry) — every committed octave through 1024× keeps the
+#: single-level flat-IVF path bit-identical. Env override
+#: SPARK_GRAFT_TREE_BRANCH lets the sweep force a small branch to
+#: measure a deep tree at an affordable octave.
+TREE_BRANCH = 256
+#: Beam width at the tree's upper levels (top-`beam` nodes expanded
+#: per level; the LAST level still takes `coarse_probe` cells). The
+#: multi-probe analog of the probe ladder one level up: beam 4 keeps
+#: a cell reachable when its parent is not the vector's nearest
+#: upper node. Env override SPARK_GRAFT_TREE_BEAM.
+TREE_BEAM = 4
+#: Byte ceiling for broadcasting the FINE centroid block into the
+#: Arrow rank kernel (k·d·8 bytes — the r15-documented cliff at
+#: k ≈ 10⁵). Past it the fine leg leaves the broadcast: the kernel
+#: emits (id, vec, cell) descent rows and the fine ranking becomes a
+#: cell-cogrouped Arrow stage (per-task block = one cell's ~256
+#: centroids, O(branch·d) regardless of k). Env override
+#: SPARK_GRAFT_RANK_BCAST_MAX (bytes; tests force it tiny to parity-
+#: gate the cogroup leg against the broadcast leg).
+RANK_BCAST_MAX_BYTES = 256 << 20
+
+
+def _tree_branch() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_TREE_BRANCH", TREE_BRANCH))
+
+
+def _tree_beam() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_TREE_BEAM", TREE_BEAM))
+
+
+def _rank_bcast_max() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_RANK_BCAST_MAX", RANK_BCAST_MAX_BYTES))
+
+
+#: Spark Broadcast handles created by `coarse_rank_centroids_arrow`,
+#: tracked so iterative callers (the Lloyd loop in `kmeans_sampled`)
+#: can unpersist a round's centroid blocks once the round's action has
+#: materialized, instead of accumulating one ~MB block per iteration
+#: for the life of the session (r15 ADVICE item 2). `unpersist` (not
+#: `destroy`): a lazily re-executed consumer can still re-fetch from
+#: the driver copy, so releasing early is safe.
+_LIVE_RANK_BCASTS: list = []
+
+
+def release_rank_broadcasts() -> None:
+    """Unpersist every tracked rank-kernel broadcast (executor copies
+    only; the driver copy survives, so lazy re-execution re-ships)."""
+    while _LIVE_RANK_BCASTS:
+        b = _LIVE_RANK_BCASTS.pop()
+        try:
+            b.unpersist()
+        except Exception:
+            pass
 
 
 def _coarse_k_for(k: int) -> int:
@@ -936,6 +1056,256 @@ def _rank_backend() -> str:
     return os.environ.get("SPARK_GRAFT_RANK_BACKEND", "arrow")
 
 
+def _np_vectors(vec, n: int, d: int):
+    """float64 (n, d) matrix from an Arrow ListArray of embeddings.
+    Zero-copy reshape fast path ONLY when the offsets prove the values
+    buffer is exactly the n·d contiguous doubles in row order
+    (offs[0] == 0 and every list length == d) — `ListArray.values`
+    ignores slice offsets, so the r15 guard (`offs[-1] == n·d` alone)
+    could silently scramble a sliced batch (ADVICE r15 item 1)."""
+    import numpy as np
+
+    offs = np.asarray(vec.offsets)
+    if offs[0] == 0 and offs.size == n + 1 and np.all(np.diff(offs) == d):
+        flat = np.asarray(vec.values, dtype=np.float64)
+        return flat[: n * d].reshape(n, d)
+    return np.array(vec.to_pylist(), dtype=np.float64)
+
+
+def _collect_levels(levels_df: list[DataFrame]):
+    """Collect quantizer levels (root → cells) to NumPy blocks:
+    [(ids, unit_mat, parent_pos)], parent_pos indexing the PREVIOUS
+    level's row order (None at the root). Bounded collects — level
+    sizes are ≤ branch, ≤ branch², …, k_c (the fine block is NOT
+    here), the same bytes the expression path's BroadcastExchange
+    would move."""
+    import numpy as np
+
+    lvls = []
+    prev_pos: dict | None = None
+    for li, ldf in enumerate(levels_df):
+        rows = sorted(ldf.collect(), key=lambda r: r["cid"])
+        ids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        mat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        parent = (
+            None
+            if li == 0
+            else np.array([prev_pos[int(r["parent"])] for r in rows], dtype=np.int64)
+        )
+        prev_pos = {int(c): i for i, c in enumerate(ids)}
+        lvls.append((ids, mat, parent))
+    return lvls
+
+
+def _descend(vn, lvls, beam_w: int, cprobe: int):
+    """Tree descent for one normalized batch: beam-search the levels
+    (top-`beam_w` nodes per upper level, top-`cprobe` at the cell
+    level), scoring at each level only the children of the beam —
+    per-row work O(levels · beam · branch) instead of k_c. Returns an
+    (n, ≤cprobe) array of BOTTOM-level cell ids, −1-padded where a
+    beam dead-ends. With a single level this is exactly the flat-IVF
+    coarse tile: score all cells, stable-argsort top-cprobe (ids are
+    cid-ascending, so stable argsort == ties on cid asc)."""
+    import numpy as np
+
+    beam = None
+    for li, (ids, mat, parent) in enumerate(lvls):
+        width = cprobe if li == len(lvls) - 1 else beam_w
+        if beam is None:
+            take = min(width, mat.shape[0])
+            beam = np.argsort(-(vn @ mat.T), axis=1, kind="stable")[:, :take]
+            if take < width:
+                beam = np.pad(beam, ((0, 0), (0, width - take)), constant_values=-1)
+        else:
+            n = vn.shape[0]
+            nb = np.full((n, width), -1, dtype=np.int64)
+            combos, inv = np.unique(np.sort(beam, axis=1), axis=0, return_inverse=True)
+            inv = inv.ravel()
+            for gi in range(len(combos)):
+                combo = combos[gi]
+                combo = combo[combo >= 0]
+                if combo.size == 0:
+                    continue
+                rows = np.flatnonzero(inv == gi)
+                cand = np.flatnonzero(np.isin(parent, combo))
+                if cand.size == 0:
+                    continue
+                s = vn[rows] @ mat[cand].T
+                take = min(width, cand.size)
+                rk = np.argsort(-s, axis=1, kind="stable")[:, :take]
+                nb[rows[:, None], np.arange(take)[None, :]] = cand[rk]
+            beam = nb
+    ids_bottom = lvls[-1][0]
+    return np.where(beam >= 0, ids_bottom[np.clip(beam, 0, None)], np.int64(-1))
+
+
+def descend_cells(
+    vectors: DataFrame,
+    levels_df: list[DataFrame],
+    cprobe: int,
+    *,
+    id_col: str = "__id",
+    vec_col: str = "__v",
+    beam_w: int | None = None,
+) -> DataFrame:
+    """(id, vec, cell) — each vector's top-`cprobe` quantizer cells
+    via the Arrow tree-descent kernel, WITHOUT the fine block: the
+    broadcast is the quantizer levels only (≤ k_c·d doubles — ~5 MB
+    even at k = 10⁸/k_c = 10⁴), so this stage has no k-proportional
+    memory. The fine ranking attaches afterwards (broadcast when the
+    fine block fits, cell-cogrouped Arrow stage when it does not),
+    and `kmeans_sampled.cells_of` uses it at probe 1 to place fine
+    centroids into cells without the k·k_c brute-force rank."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    lvls = _collect_levels(levels_df)
+    bw = _tree_beam() if beam_w is None else beam_w
+    sc = vectors.sparkSession.sparkContext
+    blocks = sc.broadcast((lvls, int(cprobe), int(bw)))
+    _LIVE_RANK_BCASTS.append(blocks)
+
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("cell", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        lvls, cprobe, bw = blocks.value
+        d = lvls[0][1].shape[1]
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            vs = _np_vectors(vec, n, d)
+            vn = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            cells = _descend(vn, lvls, bw, cprobe)
+            rows, cols = np.nonzero(cells >= 0)
+            if rows.size == 0:
+                continue
+            yield pa.record_batch(
+                [
+                    b.column(0).take(pa.array(rows)),
+                    vec.take(pa.array(rows)),
+                    pa.array(cells[rows, cols], type=pa.int64()),
+                ],
+                names=[id_col, vec_col, "cell"],
+            )
+
+    return vectors.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+
+
+def _rank_fine_cogrouped(
+    vectors: DataFrame,
+    cents: DataFrame,
+    coarse: tuple,
+    probe: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    coarse_probe: int,
+) -> DataFrame:
+    """The Arrow rank kernel PAST the fine-block broadcast ceiling
+    (guide §3.1/§5: a build side that no longer fits a broadcast must
+    become a shuffle join): descend to cells with the levels-only
+    kernel, then score fine candidates in a CELL-COGROUPED Arrow
+    stage — vectors exploded to their probed cells are cogrouped with
+    the (cell, cid, cv) fine relation, so the per-task block is ONE
+    cell's ~256 centroids (O(branch·d) regardless of k) and the fine
+    centroids arrive as shuffled rows, never as a broadcast. Each
+    cell group emits its LOCAL top-`probe` (sufficient: the global
+    top-probe of a union is a subset of the per-cell top-probes), and
+    one window keyed on the vector id takes the global top-probe with
+    the same (score desc, cid asc) tie contract as the kernel's
+    stable argsort. Same (id, cid, __rn) rows as the broadcast leg —
+    pinned by the forced-tiny-ceiling parity gate in
+    tests/test_round16_ops.py."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    coarse_cents, fine_cells = coarse
+    levels_df = (
+        list(coarse_cents)
+        if isinstance(coarse_cents, (list, tuple))
+        else [coarse_cents]
+    )
+    hits = descend_cells(
+        vectors, levels_df, coarse_probe, id_col=id_col, vec_col=vec_col
+    )
+    fine = cents.join(fine_cells, "cid").select(
+        F.col("cell").cast("long").alias("cell"), "cid", "cv"
+    )
+
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    cid_t = cents.schema["cid"].dataType
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("cid", cid_t, True),
+            T.StructField("__s", T.DoubleType(), False),
+        ]
+    )
+    fprobe = int(probe)
+    cid_pa = pa.int32() if isinstance(cid_t, T.IntegerType) else pa.int64()
+
+    def score(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=left.schema.field(id_col).type),
+                    vec_col: pa.array([], type=left.schema.field(vec_col).type),
+                    "cid": pa.array([], type=cid_pa),
+                    "__s": pa.array([], type=pa.float64()),
+                }
+            )
+        n = left.num_rows
+        vec = left.column(vec_col).combine_chunks()
+        cids = np.asarray(right.column("cid").combine_chunks(), dtype=np.int64)
+        order = np.argsort(cids, kind="stable")  # cid-asc: tie contract
+        fmat = np.array(right.column("cv").to_pylist(), dtype=np.float64)[order]
+        fmat /= np.linalg.norm(fmat, axis=1, keepdims=True)
+        cids = cids[order]
+        vs = _np_vectors(vec, n, fmat.shape[1])
+        vn = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+        s = vn @ fmat.T
+        take = min(fprobe, fmat.shape[0])
+        rk = np.argsort(-s, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(n), take)
+        cols = rk.ravel()
+        return pa.table(
+            {
+                id_col: left.column(id_col).combine_chunks().take(pa.array(rows)),
+                vec_col: vec.take(pa.array(rows)),
+                "cid": pa.array(cids[cols], type=cid_pa),
+                "__s": pa.array(s[rows, cols], type=pa.float64()),
+            }
+        )
+
+    scored = (
+        hits.groupBy("cell")
+        .cogroup(fine.groupBy("cell"))
+        .applyInArrow(score, out_schema)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probe)
+        .select(id_col, vec_col, "cid", "__rn")
+    )
+
+
 def coarse_rank_centroids_arrow(
     vectors: DataFrame,
     cents: DataFrame,
@@ -980,21 +1350,43 @@ def coarse_rank_centroids_arrow(
     from pyspark.sql import types as T
 
     coarse_cents, fine_cells = coarse
+    levels_df = (
+        list(coarse_cents)
+        if isinstance(coarse_cents, (list, tuple))
+        else [coarse_cents]
+    )
 
-    cc = sorted(coarse_cents.collect(), key=lambda r: r["cid"])
-    cc_ids = np.array([r["cid"] for r in cc], dtype=np.int64)
-    cmat = np.array([list(r["cv"]) for r in cc], dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    lvls = _collect_levels(levels_df)
+    d = lvls[0][1].shape[1]
+    if cents.count() * d * 8 > _rank_bcast_max():
+        return _rank_fine_cogrouped(
+            vectors,
+            cents,
+            (levels_df, fine_cells),
+            probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse_probe=coarse_probe,
+        )
 
     cell_of = {r["cid"]: r["cell"] for r in fine_cells.collect()}
-    fr = sorted(cents.collect(), key=lambda r: r["cid"])  # cid-asc: stable
+    # match the expression path's inner-join semantics: a centroid
+    # with no fine_cells row is unreachable, not a driver KeyError
+    # (ADVICE r15 item 3)
+    fr = sorted(
+        (r for r in cents.collect() if int(r["cid"]) in cell_of),
+        key=lambda r: r["cid"],
+    )  # cid-asc: stable
     f_ids = np.array([r["cid"] for r in fr], dtype=np.int64)
     fmat = np.array([list(r["cv"]) for r in fr], dtype=np.float64)
     fmat /= np.linalg.norm(fmat, axis=1, keepdims=True)
     f_cell = np.array([cell_of[int(i)] for i in f_ids], dtype=np.int64)
 
     sc = vectors.sparkSession.sparkContext
-    blocks = sc.broadcast((cc_ids, cmat, f_ids, fmat, f_cell, int(coarse_probe), int(probe)))
+    blocks = sc.broadcast(
+        (lvls, f_ids, fmat, f_cell, int(coarse_probe), int(probe), _tree_beam())
+    )
+    _LIVE_RANK_BCASTS.append(blocks)
 
     in_fields = {f.name: f for f in vectors.schema.fields}
     out_schema = T.StructType(
@@ -1012,7 +1404,8 @@ def coarse_rank_centroids_arrow(
     )
 
     def kernel(batches):
-        cc_ids, cmat, f_ids, fmat, f_cell, cprobe, fprobe = blocks.value
+        lvls, f_ids, fmat, f_cell, cprobe, fprobe, beam_w = blocks.value
+        d = lvls[0][1].shape[1]
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -1020,23 +1413,18 @@ def coarse_rank_centroids_arrow(
             vec = b.column(1)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
-            flat = np.asarray(vec.values, dtype=np.float64)
-            offs = np.asarray(vec.offsets)
-            d = cmat.shape[1]
-            vs = flat.reshape(n, d) if offs[-1] == n * d else np.array(
-                vec.to_pylist(), dtype=np.float64
-            )
+            vs = _np_vectors(vec, n, d)
             vn = vs / np.linalg.norm(vs, axis=1, keepdims=True)
-            # coarse tile: (n, k_c) scores; stable argsort over the
-            # cid-ascending columns == ties on cid asc
-            topc = np.argsort(-(vn @ cmat.T), axis=1, kind="stable")[:, :cprobe]
-            cells = cc_ids[topc]
+            # coarse leg: single level = the flat tile (score all
+            # cells, top-cprobe); multi level = beam descent
+            cells = _descend(vn, lvls, beam_w, cprobe)
             out_row, out_cid, out_rn = [], [], []
             combos, inv = np.unique(np.sort(cells, axis=1), axis=0, return_inverse=True)
             inv = inv.ravel()  # numpy >= 2.1 returns (n, 1) for axis=0
             for gi in range(len(combos)):
                 rows = np.flatnonzero(inv == gi)
-                cand = np.flatnonzero(np.isin(f_cell, combos[gi]))
+                combo = combos[gi]
+                cand = np.flatnonzero(np.isin(f_cell, combo[combo >= 0]))
                 if cand.size == 0:
                     continue
                 s = vn[rows] @ fmat[cand].T
@@ -1109,14 +1497,42 @@ def coarse_rank_centroids(
         )
 
     coarse_cents, fine_cells = coarse
+    levels_df = (
+        list(coarse_cents)
+        if isinstance(coarse_cents, (list, tuple))
+        else [coarse_cents]
+    )
 
     def fold_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
 
-    vcells = (
-        rank_centroids(vectors, coarse_cents, coarse_probe, id_col=id_col, vec_col=vec_col)
-        .select(id_col, vec_col, F.col("cid").alias("cell"))
-    )
+    beam = _tree_beam()
+    cur = rank_centroids(
+        vectors,
+        levels_df[0],
+        coarse_probe if len(levels_df) == 1 else beam,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col, vec_col, "cid")
+    for li, lvl in enumerate(levels_df[1:], start=1):
+        width = coarse_probe if li == len(levels_df) - 1 else beam
+        cand = cur.select(id_col, vec_col, F.col("cid").alias("__parent")).join(
+            lvl.select("cid", "cv", F.col("parent").alias("__parent")), "__parent"
+        )
+        cos_l = fold_sum(F.zip_with(vec_col, "cv", lambda x, y: x * y)) / (
+            F.sqrt(fold_sum(F.transform(vec_col, lambda x: x * x)))
+            * F.sqrt(fold_sum(F.transform("cv", lambda x: x * x)))
+        )
+        wl = Window.partitionBy(id_col).orderBy(
+            F.col("__cos").desc(), F.col("cid").asc()
+        )
+        cur = (
+            cand.select(id_col, vec_col, "cid", cos_l.alias("__cos"))
+            .withColumn("__rn", F.row_number().over(wl))
+            .filter(F.col("__rn") <= width)
+            .select(id_col, vec_col, "cid")
+        )
+    vcells = cur.select(id_col, vec_col, F.col("cid").alias("cell"))
     fine = F.broadcast(
         cents.join(fine_cells, "cid").select("cid", "cell", "cv")
     )
@@ -1183,11 +1599,47 @@ def kmeans_sampled(
         .filter(md5_prefix_bucket(F.col("__id"), KMEANS_SAMPLE_BUCKETS) == 0)
         .localCheckpoint(eager=True)
     )
+    d_dims = len(sample.select("__v").head()[0])
     coarse_train = sample.orderBy("__ord", "__id").limit(KMEANS_COARSE_PER_CENTROID * kc)
     _, coarse_cents = kmeans_lloyd(
-        coarse_train, k=kc, iters=iters, vec_col="__v", id_col="__id"
+        coarse_train, k=kc, iters=iters, vec_col="__v", id_col="__id", update="dims"
     )
     coarse_cents = coarse_cents.localCheckpoint(eager=True)
+
+    # r16 tree quantizer: when the cell count k_c itself exceeds the
+    # branch factor (k > branch² — never a committed octave at the
+    # default 256), stack quantizer levels ABOVE the cells: each level
+    # is an exact Lloyd over the PREVIOUS level's centroids (sizes
+    # k_c, ⌈k_c/b⌉, … — cheap), each node keeping its nearest
+    # upper-level parent, so the ranking pass beam-descends
+    # O(branch·beam) blocks per level instead of scoring all k_c
+    # cells, and no per-task block ever scales with k.
+    branch = _tree_branch()
+    below: list[DataFrame] = []  # levels UNDER the current top, cells last
+    top, n_top = coarse_cents, kc
+    while n_top > branch:
+        k_up = max(2, -(-n_top // branch))
+        _, up = kmeans_lloyd(
+            top.select(F.col("cid").alias("__id"), F.col("cv").alias("__v")),
+            k=k_up,
+            iters=2,
+            vec_col="__v",
+            id_col="__id",
+            update="dims",
+        )
+        up = up.localCheckpoint(eager=True)
+        par = rank_centroids(
+            top.select(F.col("cid").alias("__nid"), F.col("cv").alias("__nv")),
+            up,
+            1,
+            id_col="__nid",
+            vec_col="__nv",
+        ).select(F.col("__nid").alias("cid"), F.col("cid").alias("parent"))
+        below.insert(0, top.join(par, "cid").localCheckpoint(eager=True))
+        top, n_top = up, k_up
+    levels: DataFrame | list[DataFrame] = (
+        coarse_cents if not below else [top, *below]
+    )
 
     cents = (
         sample.orderBy("__ord", "__id")
@@ -1196,43 +1648,34 @@ def kmeans_sampled(
     )
 
     def cells_of(c: DataFrame) -> DataFrame:
-        return (
-            rank_centroids(
-                c.select(F.col("cid").alias("__fid"), F.col("cv").alias("__fv")),
-                coarse_cents,
-                1,
-                id_col="__fid",
-                vec_col="__fv",
-            )
-            .select(F.col("__fid").alias("cid"), F.col("cid").alias("cell"))
-        )
+        """fine centroid → its coarse cell. Flat: exact k·k_c rank.
+        Tree: the same beam descent the corpus pass uses (probe 1) —
+        k·branch·depth instead of k·k_c, the leg that would otherwise
+        reintroduce the √k factor at tree-scale k."""
+        fv = c.select(F.col("cid").alias("__fid"), F.col("cv").alias("__fv"))
+        if below:
+            return descend_cells(
+                fv, [top, *below], 1, id_col="__fid", vec_col="__fv"
+            ).select(F.col("__fid").alias("cid"), F.col("cell").cast("int").alias("cell"))
+        return rank_centroids(
+            fv, coarse_cents, 1, id_col="__fid", vec_col="__fv"
+        ).select(F.col("__fid").alias("cid"), F.col("cid").alias("cell"))
 
     strain = sample.select("__id", "__v")
     for _ in range(iters):
         fine_cells = cells_of(cents)
-        assign = coarse_rank_centroids(strain, cents, (coarse_cents, fine_cells), 1)
-        dims = assign.select("cid", F.posexplode("__v").alias("dim", "val"))
-        new_cents = (
-            dims.groupBy("cid", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-        )
+        assign = coarse_rank_centroids(strain, cents, (levels, fine_cells), 1)
+        new_cents = _mean_update_dims(assign, d_dims)
         cents = (
             cents.select("cid", F.col("cv").alias("__prev_cv"))
             .join(new_cents, "cid", "left")
             .select("cid", F.coalesce("cv", "__prev_cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    return cents, (coarse_cents, cells_of(cents).localCheckpoint(eager=True))
+        # this round's centroid-block broadcasts were consumed by the
+        # eager checkpoint above — release the executor copies instead
+        # of accumulating one per iteration (ADVICE r15 item 2)
+        release_rank_broadcasts()
+    fine_cells = cells_of(cents).localCheckpoint(eager=True)
+    release_rank_broadcasts()
+    return cents, (levels, fine_cells)
