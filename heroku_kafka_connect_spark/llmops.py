@@ -162,7 +162,13 @@ def minhash_signatures(sh: DataFrame, k: int) -> DataFrame:
 
 
 def _lsh_shingle_buckets(
-    docs: DataFrame, id_col: str, text_col: str, shingle_n: int, bands: int, rows: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    bands: int,
+    rows: int,
+    checkpoint_sh: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: (per-doc shingle sets, per-bucket sorted
     id arrays), on the cross-engine md5+affine hash family.
@@ -189,6 +195,14 @@ def _lsh_shingle_buckets(
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.filter(F.col(text_col).isNotNull()).repartition(par, F.col(id_col))
     sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
+    if checkpoint_sh:
+        # r16 opt-in (default False keeps every committed caller plan
+        # byte-identical): a caller that consumes BOTH halves — the
+        # banded chain and per-doc shingle sets for its verify joins —
+        # otherwise recomputes the shingle pass once per consumer
+        # (3× in incremental_classify). Per-call, within one
+        # execution; guide §2.4/§5.
+        sh = sh.localCheckpoint(eager=True)
     mins = minhash_signatures(sh, k)
     banded = mins.select(
         "__id",

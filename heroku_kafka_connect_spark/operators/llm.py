@@ -2963,7 +2963,9 @@ def incremental_classify(docs: DataFrame, *, split: int) -> DataFrame:
     ``llm_dedup_incremental`` (the exact tier is vacuous on the
     duplicate-free fixture, so tests/test_llmops.py exercises it on
     synthetic docs through this entry)."""
-    sh, buckets = llmops._lsh_shingle_buckets(docs, "doc_id", "text", 3, 8, 4)
+    sh, buckets = llmops._lsh_shingle_buckets(
+        docs, "doc_id", "text", 3, 8, 4, checkpoint_sh=True
+    )
     b2 = buckets.select(
         "key",
         F.filter("ids", lambda i: i < F.lit(split)).alias("old"),

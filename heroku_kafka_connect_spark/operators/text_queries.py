@@ -1409,12 +1409,19 @@ def text_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = parallelize_scan(t.documents.select("doc_id", "text"), "doc_id")
+    # r16: the shingle-set relation has SIX consumers (freq, ordered,
+    # both prefix sides, both verify sides) and was re-derived from
+    # the parquet scan by each — 12 scans / 6 shingle+hex32 Generates
+    # in the committed r15 plan (plans/r16/..._before.txt). One eager
+    # localCheckpoint computes it once (guide §2.4/§5 — the pagerank
+    # 2-scan idiom); per-call, within one execution, so nothing is
+    # reused across runs.
     toks = docs.select(
         "doc_id",
         F.array_distinct(
             F.transform(llmops.shingles("text", 3), lambda s: llmops.hex32(s))
         ).alias("hs"),
-    )
+    ).localCheckpoint(eager=True)
     ex = toks.select("doc_id", F.explode("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ordered = (

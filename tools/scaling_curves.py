@@ -688,7 +688,7 @@ def centroid_recall_point(
         "quantizer_levels": max(1, len(levels)),
         "tree_branch": llmops._tree_branch(),
         "tree_beam": llmops._tree_beam(),
-        "kmeans_update": llmops._kmeans_update_backend("dims"),
+        "kmeans_update": llmops._kmeans_update_backend("explode"),
         "n_truth_pairs": len(truth),
         "recall_centroid": round(len(captured) / len(truth), 4) if truth else None,
     }
